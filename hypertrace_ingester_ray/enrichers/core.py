@@ -1,0 +1,269 @@
+"""The default enricher DAG — analogs of the reference's 15 enrichers.
+
+Each enricher cites the reference class it mirrors.  All are vectorized over
+a partition table sorted by (conv_id, turn_idx); entity-id derivation is
+deterministic (md5-based) so the DuckDB oracles can reproduce it exactly.
+
+Transcript analog mapping (SURVEY.md §2.5):
+  span.kind ENTRY/EXIT       ← role user/tool        (SpanTypeAttributeEnricher)
+  protocol                   ← tool class            (SpanTypeAttributeEnricher)
+  api status + message       ← parsed status_code    (ApiStatusEnricher)
+  API boundary               ← role-run head         (ApiBoundaryTypeAttributeEnricher)
+  service entity id          ← service_name lookup   (DefaultServiceEntityEnricher)
+  API/endpoint entity        ← (service, op) lookup  (EndpointEnricher)
+  backend entity             ← tool lookup           (BackendEntityEnricher)
+  exit-call counts           ← tool calls / episode  (ExitCallsEnricher)
+  transaction name           ← first ENTRY turn op   (TransactionNameEnricher)
+  error rollups              ← status flags          (ErrorsAndExceptionsEnricher)
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Dict, Optional
+
+import numpy as np
+import pyarrow as pa
+
+from ..stages.grouping import run_boundaries, segmented_broadcast_first
+from .base import ConversationContext, Enricher, EnrichmentRegistry
+
+# tool → protocol class (SpanTypeAttributeEnricher.getProtocolName analog,
+# /root/reference/hypertrace-trace-enricher/.../SpanTypeAttributeEnricher.java:182-276)
+PROTOCOL_BY_TOOL = {"db": "SQL", "code": "GRPC", "shell": "PROC"}
+DEFAULT_PROTOCOL = "HTTP"
+
+# status_code → message (HttpCodeMapper analog, .../util/HttpCodeMapper.java:1-93)
+STATUS_MESSAGES = {
+    200: "OK",
+    404: "Not Found",
+    429: "Too Many Requests",
+    500: "Internal Server Error",
+    503: "Service Unavailable",
+}
+
+
+def md5_id(prefix: str, value: str) -> str:
+    return prefix + hashlib.md5(value.encode()).hexdigest()[:8]
+
+
+def _map_unique(values: np.ndarray, fn) -> np.ndarray:
+    """Apply a scalar fn per *unique* non-null value, broadcast back
+    (lookup-cache analog of EntityCache, .../enrichers/cache/EntityCache.java)."""
+    values = values.astype(object)
+    valid = values != None  # noqa: E711 — elementwise on object dtype
+    out = np.full(len(values), None, dtype=object)
+    if valid.any():
+        uniq, inverse = np.unique(values[valid].astype(str), return_inverse=True)
+        mapped = np.array([fn(u) for u in uniq], dtype=object)
+        out[valid] = mapped[inverse]
+    return out
+
+
+class SpanKindEnricher(Enricher):
+    """SpanTypeAttributeEnricher analog (SpanTypeAttributeEnricher.java:88-179):
+    role → span_kind, tool → protocol."""
+
+    name = "span_kind"
+
+    def enrich(self, table: pa.Table, ctx: ConversationContext) -> pa.Table:
+        roles = ctx.roles
+        kind = np.where(
+            roles == "user", "ENTRY", np.where(roles == "tool", "EXIT", "INTERNAL")
+        )
+        tools = ctx.col("tool")
+        protocol = np.full(ctx.n, DEFAULT_PROTOCOL, dtype=object)
+        for t, p in PROTOCOL_BY_TOOL.items():
+            protocol[tools == t] = p
+        return table.append_column(
+            "span_kind", pa.array(kind, pa.string())
+        ).append_column("protocol", pa.array(protocol, pa.string()))
+
+
+class ApiStatusEnricher(Enricher):
+    """ApiStatusEnricher analog (ApiStatusEnricher.java:38-133)."""
+
+    name = "api_status"
+
+    def enrich(self, table: pa.Table, ctx: ConversationContext) -> pa.Table:
+        status = ctx.col("status_code")
+        valid = ~pa.compute.is_null(table["status_code"]).to_numpy(
+            zero_copy_only=False
+        )
+        api_status = np.where(
+            valid & (status >= 400), "FAIL", np.where(valid, "SUCCESS", None)
+        )
+        msg = np.full(ctx.n, None, dtype=object)
+        for code, m in STATUS_MESSAGES.items():
+            msg[valid & (status == code)] = m
+        return table.append_column(
+            "api_status", pa.array(api_status, pa.string())
+        ).append_column("status_message", pa.array(msg, pa.string()))
+
+
+class BoundaryEnricher(Enricher):
+    """ApiBoundaryTypeAttributeEnricher analog
+    (ApiBoundaryTypeAttributeEnricher.java:65-121): head of a role-run."""
+
+    name = "boundary"
+    depends_on = ("span_kind",)
+
+    def enrich(self, table: pa.Table, ctx: ConversationContext) -> pa.Table:
+        return table.append_column("is_boundary", pa.array(ctx.role_run_start()))
+
+
+class EpisodeEnricher(Enricher):
+    """ApiTraceGraph analog (ApiTraceGraph.java:139-273): episode = user-head
+    subgraph; adds episode_id + episode_head."""
+
+    name = "episode"
+    depends_on = ("boundary",)
+
+    def enrich(self, table: pa.Table, ctx: ConversationContext) -> pa.Table:
+        ep, head = ctx.episodes()
+        return table.append_column("episode_id", pa.array(ep)).append_column(
+            "episode_head", pa.array(head)
+        )
+
+
+class ServiceEntityEnricher(Enricher):
+    """DefaultServiceEntityEnricher analog
+    (DefaultServiceEntityEnricher.java:39-60): service_name → SERVICE_ID via a
+    lookup table with deterministic upsert (md5)."""
+
+    name = "service_entity"
+
+    def __init__(self, registry: Optional[Dict[str, str]] = None):
+        # broadcast small-side dict (EntityCache analog); unknown names are
+        # upserted deterministically, mirroring EDS upsert semantics.
+        self.registry = dict(registry or {})
+
+    def _lookup(self, name: str) -> str:
+        sid = self.registry.get(name)
+        if sid is None:
+            sid = md5_id("svc_", name)
+            self.registry[name] = sid
+        return sid
+
+    def enrich(self, table: pa.Table, ctx: ConversationContext) -> pa.Table:
+        svc = ctx.col("service_name")
+        ids = _map_unique(svc, self._lookup)
+        return table.append_column("service_id", pa.array(ids, pa.string()))
+
+
+class EndpointEnricher(Enricher):
+    """EndpointEnricher analog (endpoint/EndpointEnricher.java:49-120):
+    (service_name, op) → API_ID / API_NAME."""
+
+    name = "endpoint"
+    depends_on = ("service_entity",)
+
+    def enrich(self, table: pa.Table, ctx: ConversationContext) -> pa.Table:
+        svc = ctx.col("service_name")
+        op = ctx.col("op")
+        api_name = np.where(
+            op == None, None, np.char.add(np.char.add(svc.astype(str), ":"), op.astype(str))  # noqa: E711
+        ).astype(object)
+        api_name[op == None] = None  # noqa: E711
+        api_id = _map_unique(api_name, lambda v: md5_id("api_", v))
+        return table.append_column(
+            "api_id", pa.array(api_id, pa.string())
+        ).append_column("api_name", pa.array(api_name, pa.string()))
+
+
+class BackendEntityEnricher(Enricher):
+    """BackendEntityEnricher analog (backend/AbstractBackendEntityEnricher.java:96-160):
+    EXIT (tool) turns resolve a backend entity from (tool, protocol)."""
+
+    name = "backend"
+    depends_on = ("span_kind",)
+
+    def enrich(self, table: pa.Table, ctx: ConversationContext) -> pa.Table:
+        tools = ctx.col("tool")
+        proto = ctx.col("protocol")
+        key = np.where(
+            tools == None, None, np.char.add(np.char.add(tools.astype(str), ":"), proto.astype(str))  # noqa: E711
+        ).astype(object)
+        key[tools == None] = None  # noqa: E711
+        backend_id = _map_unique(key, lambda v: md5_id("be_", v))
+        return table.append_column("backend_id", pa.array(backend_id, pa.string()))
+
+
+class ExitCallsEnricher(Enricher):
+    """ExitCallsEnricher analog (ExitCallsEnricher.java:29-139): per-episode
+    tool-call count attached to every turn of the episode."""
+
+    name = "exit_calls"
+    depends_on = ("episode", "backend")
+
+    def enrich(self, table: pa.Table, ctx: ConversationContext) -> pa.Table:
+        ep_bounds = ctx.episode_bounds()
+        tools = ctx.col("tool")
+        is_call = (tools != None).astype(np.int64)  # noqa: E711
+        per_ep = np.add.reduceat(is_call, ep_bounds[:-1]) if ctx.n else np.zeros(0, np.int64)
+        counts = np.repeat(per_ep, np.diff(ep_bounds)).astype(np.int32)
+        return table.append_column("exit_call_count", pa.array(counts))
+
+
+class TransactionNameEnricher(Enricher):
+    """TransactionNameEnricher analog (TransactionNameEnricher.java:24-49):
+    conv-level transaction name = op of the earliest ENTRY (user) turn."""
+
+    name = "transaction_name"
+
+    def enrich(self, table: pa.Table, ctx: ConversationContext) -> pa.Table:
+        roles = ctx.roles
+        op = ctx.col("op")
+        n = ctx.n
+        # first user-turn op per conversation, via cummax over candidate rows
+        is_user = roles == "user"
+        idx = np.arange(n, dtype=np.int64)
+        cand = np.where(is_user, idx, np.iinfo(np.int64).max)
+        first_user = np.minimum.reduceat(cand, ctx.bounds[:-1]) if n else np.zeros(0, np.int64)
+        tx = np.full(len(first_user), None, dtype=object)
+        has = first_user < np.iinfo(np.int64).max
+        tx[has] = op[first_user[has]]
+        per_row = np.repeat(tx, np.diff(ctx.bounds))
+        return table.append_column("transaction_name", pa.array(per_row, pa.string()))
+
+
+class ErrorRollupEnricher(Enricher):
+    """ErrorsAndExceptionsEnricher trace-rollup analog
+    (ErrorsAndExceptionsEnricher.java:101-184): conv_has_error flag."""
+
+    name = "error_rollup"
+    depends_on = ("api_status",)
+
+    def enrich(self, table: pa.Table, ctx: ConversationContext) -> pa.Table:
+        err = ctx.col("is_error").astype(np.int64)
+        per_conv = np.add.reduceat(err, ctx.bounds[:-1]) if ctx.n else np.zeros(0, np.int64)
+        has = np.repeat(per_conv > 0, np.diff(ctx.bounds))
+        return table.append_column("conv_has_error", pa.array(has))
+
+
+DEFAULT_ENRICHERS = (
+    SpanKindEnricher,
+    ApiStatusEnricher,
+    BoundaryEnricher,
+    EpisodeEnricher,
+    ServiceEntityEnricher,
+    EndpointEnricher,
+    BackendEntityEnricher,
+    ExitCallsEnricher,
+    TransactionNameEnricher,
+    ErrorRollupEnricher,
+)
+
+
+def build_default_registry(
+    service_registry: Optional[Dict[str, str]] = None,
+) -> EnrichmentRegistry:
+    """Instantiate the default DAG (application.conf enrichers list analog,
+    hypertrace-trace-enricher/.../configs/common/application.conf:74-130)."""
+    instances = []
+    for cls in DEFAULT_ENRICHERS:
+        if cls is ServiceEntityEnricher:
+            instances.append(cls(service_registry))
+        else:
+            instances.append(cls())
+    return EnrichmentRegistry(instances)

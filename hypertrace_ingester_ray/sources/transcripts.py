@@ -1,0 +1,299 @@
+"""Transcript table sources.
+
+The engine's input contract is a Parquet table of multi-turn conversation /
+agent transcripts ``(conv_id:string, turn_idx:int32, role:string, text:string,
+tool:string, ts:timestamp)`` — the analog of the reference's ``jaeger-spans``
+input topic (span-normalizer/.../SpanNormalizer.java:55-61).
+
+Two deterministic sources are provided:
+
+1. ``transcripts_from_events(sf_dir)`` — derives the transcript table from the
+   driver's ``events`` Parquet table with a fixed, SQL-mirrorable mapping
+   (``TRANSCRIPTS_CTE`` is the byte-identical DuckDB derivation used by the
+   correctness oracles).  ``turn_idx`` is the per-conversation rank by
+   ``(ts, event_id)`` — computed with the same hash-partitioned vectorized
+   group pass the pipeline itself uses.
+
+2. ``generate_synown corpus`` — ``write_synthetic_transcripts`` emits a seeded
+   synthetic corpus (zipf-skewed conversation sizes, duplicate turns, error
+   injection) used by benchmarks and resume tests; no external data.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray.data
+from ray.data import Dataset
+
+from ..stages.grouping import (
+    group_apply,
+    run_boundaries,
+    segment_ids_from_boundaries,
+    segmented_cumcount,
+)
+
+TOOLS = ["http", "db", "search", "code", "shell"]
+ERROR_STATUSES = [500, 503, 429]
+
+# ---------------------------------------------------------------------------
+# DuckDB-side derivation — keep in exact lockstep with derive_turns_batch().
+# Oracle queries do `WITH {TRANSCRIPTS_CTE} SELECT ... FROM transcripts`.
+# ---------------------------------------------------------------------------
+TRANSCRIPTS_CTE = """
+ev0 AS (
+  SELECT event_id, ts, user_id, event_type, value,
+         CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INTEGER) AS k
+  FROM events
+),
+ev1 AS (
+  SELECT *,
+    CASE WHEN event_type IN ('signup','purchase') THEN 'POST' ELSE 'GET' END AS method,
+    CASE WHEN event_type = 'error'
+         THEN (CASE k % 3 WHEN 0 THEN 500 WHEN 1 THEN 503 ELSE 429 END)
+         WHEN k % 10 = 0 THEN 404 ELSE 200 END AS status,
+    CAST(floor(value * 10) AS BIGINT) AS dur_ms,
+    event_id % 4096 AS bytes
+  FROM ev0
+),
+transcripts AS (
+  SELECT
+    'conv_' || CAST(user_id AS VARCHAR) AS conv_id,
+    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+         AS INTEGER) AS turn_idx,
+    CASE WHEN event_type IN ('click','view') THEN 'user'
+         WHEN event_type IN ('signup','purchase') THEN 'assistant'
+         ELSE 'tool' END AS role,
+    method || ' /api/v1/' || event_type || '/' || CAST(k AS VARCHAR)
+      || ' HTTP/1.1 status=' || CAST(status AS VARCHAR)
+      || ' dur_ms=' || CAST(dur_ms AS VARCHAR)
+      || ' bytes=' || CAST(bytes AS VARCHAR) AS text,
+    CASE WHEN event_type IN ('purchase','error')
+         THEN (CASE k % 5 WHEN 0 THEN 'http' WHEN 1 THEN 'db'
+               WHEN 2 THEN 'search' WHEN 3 THEN 'code' ELSE 'shell' END)
+         ELSE NULL END AS tool,
+    ts
+  FROM ev1
+)
+"""
+
+
+def _str(arr) -> pa.Array:
+    return pc.cast(arr, pa.string())
+
+
+def derive_turns_batch(batch: pa.Table) -> pa.Table:
+    """events rows → transcript rows (minus turn_idx), fully vectorized.
+
+    Mirrors TRANSCRIPTS_CTE column-for-column; the per-record parse stage
+    analog of JaegerSpanPreProcessor.java:100-128 run over Arrow batches.
+    """
+    n = batch.num_rows
+    etype = batch["event_type"].combine_chunks()
+    k = pc.cast(
+        pc.struct_field(pc.extract_regex(batch["props"], r'"k": (?P<k>\d+)'), "k"),
+        pa.int32(),
+    )
+    k_np = k.to_numpy(zero_copy_only=False).astype(np.int64)
+    etype_np = np.asarray(etype.to_pandas(), dtype=object)
+
+    is_user = np.isin(etype_np, ["click", "view"])
+    is_assistant = np.isin(etype_np, ["signup", "purchase"])
+    is_error_ev = etype_np == "error"
+    has_tool = np.isin(etype_np, ["purchase", "error"])
+
+    role = np.where(is_user, "user", np.where(is_assistant, "assistant", "tool"))
+
+    tool = np.array(TOOLS, dtype=object)[k_np % 5]
+    tool = np.where(has_tool, tool, None)
+
+    status = np.where(k_np % 10 == 0, 404, 200)
+    err_status = np.array(ERROR_STATUSES, dtype=np.int64)[k_np % 3]
+    status = np.where(is_error_ev, err_status, status)
+
+    value = batch["value"].combine_chunks().to_numpy(zero_copy_only=False)
+    dur_ms = np.floor(value * 10).astype(np.int64)
+    event_id = batch["event_id"].combine_chunks().to_numpy(zero_copy_only=False)
+    bytes_ = event_id % 4096
+    method = np.where(np.isin(etype_np, ["signup", "purchase"]), "POST", "GET")
+
+    user_id = batch["user_id"].combine_chunks()
+    conv_id = pc.binary_join_element_wise("conv_", _str(user_id), "")
+
+    text = pc.binary_join_element_wise(
+        pa.array(method),
+        " /api/v1/",
+        etype,
+        "/",
+        _str(k),
+        " HTTP/1.1 status=",
+        _str(pa.array(status)),
+        " dur_ms=",
+        _str(pa.array(dur_ms)),
+        " bytes=",
+        _str(pa.array(bytes_)),
+        "",
+    )
+
+    return pa.table(
+        {
+            "conv_id": conv_id,
+            "role": pa.array(role, pa.string()),
+            "text": text,
+            "tool": pa.array(tool, pa.string()),
+            "ts": batch["ts"],
+            "_eid": batch["event_id"],
+        }
+    )
+
+
+def _assign_turn_idx(part: pa.Table) -> pa.Table:
+    """Per-conversation 0-based rank by (ts, _eid); input sorted by
+    (conv_id, ts, _eid) by group_apply."""
+    conv = part["conv_id"].combine_chunks().dictionary_encode()
+    codes = conv.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    bounds = run_boundaries(codes)
+    seg = segment_ids_from_boundaries(bounds)
+    turn_idx = segmented_cumcount(seg).astype(np.int32)
+    part = part.append_column("turn_idx", pa.array(turn_idx))
+    return part.select(["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+
+
+def transcripts_from_events(sf_dir: str, **group_kwargs) -> Dataset:
+    """Derive the canonical transcript Dataset from ``{sf_dir}/events.parquet``."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    ds = ds.map_batches(derive_turns_batch, batch_format="pyarrow")
+    return group_apply(
+        ds, "conv_id", _assign_turn_idx, sort_by=["ts", "_eid"], **group_kwargs
+    )
+
+
+def read_transcripts(path: str) -> Dataset:
+    """Read an on-disk transcript Parquet corpus (file or directory)."""
+    return ray.data.read_parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# synthetic corpus (bench / resume / skew tests) — deterministic, seeded
+# ---------------------------------------------------------------------------
+
+
+def synthesize_batch(
+    conv_start: int,
+    n_convs: int,
+    *,
+    seed: int = 42,
+    mean_turns: int = 24,
+    dup_rate: float = 0.01,
+    hot_conv_every: int = 0,
+    hot_turns: int = 5000,
+) -> pa.Table:
+    """Deterministic transcript rows for conversations [conv_start, conv_start+n_convs).
+
+    Each conversation's RNG is seeded by its id, so any shard can be generated
+    independently and reproducibly (resume-friendly, order-independent).
+    """
+    rng = np.random.default_rng(np.uint64(seed) * np.uint64(1_000_003) + np.uint64(conv_start))
+    conv_ids = np.arange(conv_start, conv_start + n_convs, dtype=np.int64)
+    n_turns = rng.poisson(mean_turns, n_convs).clip(2, None)
+    if hot_conv_every:
+        hot = conv_ids % hot_conv_every == 0
+        n_turns = np.where(hot, hot_turns, n_turns)
+    total = int(n_turns.sum())
+
+    conv_rep = np.repeat(conv_ids, n_turns)
+    turn_idx = segmented_cumcount(conv_rep).astype(np.int32)
+
+    # role cycle: user → assistant → (tool?) …; deterministic per row
+    r = rng.random(total)
+    first = turn_idx == 0
+    role = np.where(r < 0.4, "user", np.where(r < 0.75, "assistant", "tool"))
+    role = np.where(first, "user", role)
+
+    k = rng.integers(0, 100, total)
+    etype = np.where(
+        role == "user",
+        np.where(k % 2 == 0, "click", "view"),
+        np.where(
+            role == "assistant",
+            np.where(k % 2 == 0, "signup", "purchase"),
+            "error",
+        ),
+    )
+    has_tool = (role == "tool") | (etype == "purchase")
+    tool = np.where(has_tool, np.array(TOOLS, dtype=object)[k % 5], None)
+
+    is_err = (role == "tool") & (rng.random(total) < 0.25)
+    status = np.where(k % 10 == 0, 404, 200)
+    status = np.where(is_err, np.array(ERROR_STATUSES)[k % 3], status)
+    dur_ms = rng.integers(1, 2000, total)
+    bytes_ = rng.integers(0, 4096, total)
+    method = np.where(np.isin(etype, ["signup", "purchase"]), "POST", "GET")
+
+    base_ts = np.int64(1_704_067_200_000_000)  # 2024-01-01 UTC in us
+    conv_offset = (conv_rep * 97_003) % (86_400_000_000 * 30)
+    gaps = rng.integers(1_000_000, 120_000_000, total)  # 1–120 s between turns
+    ts = base_ts + conv_offset + np.cumsum(gaps) - np.repeat(
+        np.concatenate(([0], np.cumsum(gaps)[np.cumsum(n_turns)[:-1] - 1])), n_turns
+    )
+
+    text = np.char.add(
+        np.char.add(
+            np.char.add(method.astype(str), np.char.add(" /api/v1/", etype.astype(str))),
+            np.char.add("/", k.astype(str)),
+        ),
+        np.char.add(
+            np.char.add(" HTTP/1.1 status=", status.astype(str)),
+            np.char.add(
+                np.char.add(" dur_ms=", dur_ms.astype(str)),
+                np.char.add(" bytes=", bytes_.astype(str)),
+            ),
+        ),
+    )
+
+    tbl = pa.table(
+        {
+            "conv_id": pa.array(np.char.add("conv_", conv_rep.astype(str)), pa.string()),
+            "turn_idx": pa.array(turn_idx),
+            "role": pa.array(role, pa.string()),
+            "text": pa.array(text, pa.string()),
+            "tool": pa.array(tool, pa.string()),
+            "ts": pa.array(ts).cast(pa.timestamp("us")),
+        }
+    )
+
+    if dup_rate > 0 and total > 0:
+        n_dup = int(total * dup_rate)
+        dup_idx = rng.integers(0, total, n_dup)
+        tbl = pa.concat_tables([tbl, tbl.take(pa.array(dup_idx))])
+    return tbl
+
+
+def write_synthetic_transcripts(
+    out_dir: str,
+    *,
+    n_convs: int = 10_000,
+    convs_per_file: int = 2_000,
+    seed: int = 42,
+    **kwargs,
+) -> str:
+    """Write a sharded synthetic corpus: one Parquet file per conversation range."""
+    os.makedirs(out_dir, exist_ok=True)
+    for start in range(0, n_convs, convs_per_file):
+        path = os.path.join(out_dir, f"part-{start:08d}.parquet")
+        if os.path.exists(path):
+            continue
+        n = min(convs_per_file, n_convs - start)
+        tbl = synthesize_batch(start, n, seed=seed, **kwargs)
+        tmp = path + ".tmp"
+        pq.write_table(tbl, tmp)
+        os.rename(tmp, path)
+    return out_dir

@@ -1,0 +1,276 @@
+"""Hash-partitioned, vectorized group processing — the pipeline's one shuffle.
+
+Reference semantics: raw-spans-grouper keys every span by
+``TraceIdentity(tenant_id, trace_id)`` and accumulates spans per key in RocksDB
+state stores until a 30 s session-inactivity window closes
+(/root/reference/raw-spans-grouper/raw-spans-grouper/src/main/java/org/
+hypertrace/core/rawspansgrouper/RawSpansProcessor.java:186-247).  For bounded
+Parquet input the session window collapses to a plain hash-shuffle group-by;
+the state stores disappear entirely.
+
+Ray-Data-native design — ``group_apply``:
+
+Instead of ``groupby(conv_id).map_groups(fn)`` (one Python call per
+conversation — billions of tiny calls at 10^12-turn scale), we hash the group
+key into ``num_partitions`` buckets and run ``groupby("_part").map_groups``.
+Each task then receives a whole *partition* containing only complete
+conversations, sorts it once, and processes every group in the partition with
+vectorized numpy segment operations (run-length boundaries).  Python overhead
+is O(partitions), not O(groups), while the shuffle volume is identical.
+
+Skew handling: a single hot conversation cannot be split by salting without
+breaking group-scoped semantics, so (mirroring the reference's
+INFLIGHT_TRACE_MAX_SPAN_COUNT cap at RawSpansProcessor.java:347-388) we bound
+group size with a per-group cap applied inside the partition, and partitions
+hold many groups so one hot key never exceeds a single partition's budget.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Optional, Sequence, Union
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data import Dataset
+
+PART_COL = "__part"
+
+DEFAULT_NUM_PARTITIONS = int(os.environ.get("HTR_NUM_PARTITIONS", "64"))
+
+
+# ---------------------------------------------------------------------------
+# numpy segment helpers (vectorized per-group ops over a key-sorted table)
+# ---------------------------------------------------------------------------
+
+
+def run_boundaries(*key_arrays: np.ndarray) -> np.ndarray:
+    """Start offsets of each key-run in key-sorted arrays: [0, s1, ..., n]."""
+    n = len(key_arrays[0])
+    if n == 0:
+        return np.array([0], dtype=np.int64)
+    change = np.zeros(n - 1, dtype=bool)
+    for a in key_arrays:
+        change |= a[1:] != a[:-1]
+    starts = np.flatnonzero(change) + 1
+    return np.concatenate(([0], starts, [n]))
+
+
+def segment_ids_from_boundaries(bounds: np.ndarray) -> np.ndarray:
+    """Row → 0-based segment index. bounds as returned by run_boundaries."""
+    n = bounds[-1]
+    seg = np.zeros(n, dtype=np.int64)
+    if len(bounds) > 2:
+        seg[bounds[1:-1]] = 1
+        np.cumsum(seg, out=seg)
+    return seg
+
+
+def segmented_cumcount(seg_ids: np.ndarray) -> np.ndarray:
+    """Per-segment 0-based running count (seg_ids must be sorted)."""
+    n = len(seg_ids)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    idx = np.arange(n, dtype=np.int64)
+    starts = np.zeros(n, dtype=np.int64)
+    first = np.concatenate(([0], np.flatnonzero(seg_ids[1:] != seg_ids[:-1]) + 1))
+    starts[first] = idx[first]
+    np.maximum.accumulate(starts, out=starts)
+    return idx - starts
+
+
+def segmented_broadcast_first(values: np.ndarray, bounds: np.ndarray) -> np.ndarray:
+    """Broadcast each segment's first value to all of its rows."""
+    lengths = np.diff(bounds)
+    return np.repeat(values[bounds[:-1]], lengths)
+
+
+def segmented_sum(values: np.ndarray, bounds: np.ndarray) -> np.ndarray:
+    """Per-segment sum, one value per segment."""
+    return np.add.reduceat(values, bounds[:-1]) if bounds[-1] > 0 else np.zeros(0)
+
+
+# ---------------------------------------------------------------------------
+# hash partitioning
+# ---------------------------------------------------------------------------
+
+
+def _hash_column(col: pa.ChunkedArray, num_partitions: int) -> pa.Array:
+    """Deterministic vectorized hash of a key column into [0, num_partitions).
+
+    Uses pandas' SipHash-based ``hash_array`` (stable across processes), the
+    same role as the reference's key-hash Kafka partitioner
+    (SpanNormalizer.java:72-80).
+    """
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if pa.types.is_integer(arr.type):
+        np_vals = arr.to_numpy(zero_copy_only=False).astype(np.uint64, copy=False)
+        hashed = np_vals * np.uint64(0x9E3779B97F4A7C15)  # Fibonacci mix
+        hashed ^= hashed >> np.uint64(29)
+    else:
+        hashed = pd.util.hash_array(
+            np.asarray(arr.to_pandas(), dtype=object), categorize=False
+        )
+    return pa.array((hashed % np.uint64(num_partitions)).astype(np.int32))
+
+
+def add_part_column(batch: pa.Table, key: str, num_partitions: int) -> pa.Table:
+    return batch.append_column(PART_COL, _hash_column(batch[key], num_partitions))
+
+
+class _PartitionRunner:
+    """map_groups callable-class wrapper: sorts the partition, strips the
+    partition column, instantiates the user's processor once per actor
+    (the JVM-singleton-per-worker analog of
+    StructuredTraceEnrichProcessor.java:38-61)."""
+
+    def __init__(self, inner_cls, ctor_kwargs, order, pass_part_id):
+        self.inner = inner_cls(**(ctor_kwargs or {}))
+        self.order = order
+        self.pass_part_id = pass_part_id
+
+    def __call__(self, part: pa.Table) -> pa.Table:
+        part_id = int(part[PART_COL][0].as_py()) if part.num_rows else -1
+        part = part.drop_columns([PART_COL]).sort_by(
+            [(c, "ascending") for c in self.order]
+        )
+        if self.pass_part_id:
+            return self.inner(part, part_id)
+        return self.inner(part)
+
+
+def group_apply(
+    ds: Dataset,
+    key: Union[str, Sequence[str]],
+    fn: Optional[Callable[[pa.Table], pa.Table]] = None,
+    *,
+    fn_class: Optional[type] = None,
+    fn_constructor_kwargs: Optional[dict] = None,
+    pass_part_id: bool = False,
+    sort_by: Optional[Sequence[str]] = None,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+    **map_groups_kwargs,
+) -> Dataset:
+    """Apply a partition processor to hash partitions of complete ``key``-groups.
+
+    The processor receives a ``pyarrow.Table`` sorted by ``[*keys, *sort_by]``
+    that contains every row of every key-group assigned to the partition — the
+    vectorized analog of the reference's per-trace processing loop
+    (TraceEmitPunctuator.java:116-196), amortized over many groups per call.
+
+    Pass either ``fn`` (stateless task) or ``fn_class`` (+ ``concurrency=`` in
+    ``map_groups_kwargs``) for an actor-pool stage with per-worker state.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    part_key = keys[0]
+
+    ds = ds.map_batches(
+        add_part_column,
+        batch_format="pyarrow",
+        fn_kwargs={"key": part_key, "num_partitions": num_partitions},
+    )
+
+    order = keys + list(sort_by or [])
+
+    if fn_class is not None:
+        return ds.groupby(PART_COL).map_groups(
+            _PartitionRunner,
+            fn_constructor_kwargs={
+                "inner_cls": fn_class,
+                "ctor_kwargs": fn_constructor_kwargs,
+                "order": order,
+                "pass_part_id": pass_part_id,
+            },
+            batch_format="pyarrow",
+            **map_groups_kwargs,
+        )
+
+    def _run(part: pa.Table) -> pa.Table:
+        part_id = int(part[PART_COL][0].as_py()) if part.num_rows else -1
+        part = part.drop_columns([PART_COL]).sort_by([(c, "ascending") for c in order])
+        if pass_part_id:
+            return fn(part, part_id)
+        return fn(part)
+
+    return ds.groupby(PART_COL).map_groups(
+        _run, batch_format="pyarrow", **map_groups_kwargs
+    )
+
+
+# ---------------------------------------------------------------------------
+# conversation assembly (G1-G3 analog), fully vectorized
+# ---------------------------------------------------------------------------
+
+
+def assemble_conversations(
+    part: pa.Table,
+    *,
+    max_turns_per_conv: int = 100_000,
+    session_gap_us: Optional[int] = None,
+) -> pa.Table:
+    """Order, dedup, cap and sessionize one partition of conversations.
+
+    Semantics mirrored from the reference:
+      - stable ``(conv_id, turn_idx)`` ordering with ``ts`` tiebreak
+        (TraceEmitPunctuator.java:156-158 builds the trace from ordered spans);
+      - exact dedup keep-first per ``(conv_id, turn_idx)``
+        (span-id HashSet dedup, TraceEmitPunctuator.java:123-150);
+      - per-conversation turn cap — the skew guard
+        (RawSpansProcessor.java:347-388);
+      - optional ts-gap sessionization (the 30 s session-inactivity window,
+        RawSpansProcessor.java:70-76, as a batch gap-split).
+
+    Expects ``part`` sorted by (conv_id, turn_idx, ts).  Adds ``session_id``.
+    Returns ``(table, n_deduped, n_capped)``.
+    """
+    if part.num_rows == 0:
+        return part.append_column("session_id", pa.array([], pa.int32())), 0, 0
+    n_deduped = 0
+    n_capped = 0
+
+    conv = part["conv_id"].combine_chunks().dictionary_encode()
+    conv_codes = conv.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    turn_idx = part["turn_idx"].combine_chunks().to_numpy(zero_copy_only=False)
+
+    # keep-first dedup on (conv_id, turn_idx): first occurrence in sort order
+    keep = np.ones(len(conv_codes), dtype=bool)
+    keep[1:] = (conv_codes[1:] != conv_codes[:-1]) | (turn_idx[1:] != turn_idx[:-1])
+    if not keep.all():
+        idx = np.flatnonzero(keep)
+        n_deduped = len(keep) - len(idx)
+        part = part.take(pa.array(idx))
+        conv_codes = conv_codes[idx]
+
+    # per-conversation cap (keep the first max_turns in order)
+    bounds = run_boundaries(conv_codes)
+    seg = segment_ids_from_boundaries(bounds)
+    pos = segmented_cumcount(seg)
+    if int(np.diff(bounds).max(initial=0)) > max_turns_per_conv:
+        idx = np.flatnonzero(pos < max_turns_per_conv)
+        n_capped = len(pos) - len(idx)
+        part = part.take(pa.array(idx))
+        conv_codes = conv_codes[idx]
+        bounds = run_boundaries(conv_codes)
+        seg = segment_ids_from_boundaries(bounds)
+
+    # sessionization: split a conversation when the ts gap exceeds the window
+    ts = part["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+    if session_gap_us is not None and len(ts) > 0:
+        new_session = np.zeros(len(ts), dtype=np.int64)
+        gap = np.zeros(len(ts), dtype=bool)
+        gap[1:] = (ts[1:] - ts[:-1]) > session_gap_us
+        gap[bounds[:-1]] = False  # conversation start is session 0
+        new_session[gap] = 1
+        sess_cum = np.cumsum(new_session)
+        session_id = sess_cum - segmented_broadcast_first(sess_cum, bounds)
+    else:
+        session_id = np.zeros(len(ts), dtype=np.int64)
+
+    return (
+        part.append_column("session_id", pa.array(session_id.astype(np.int32))),
+        n_deduped,
+        n_capped,
+    )
