@@ -1,44 +1,398 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing here
+(or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``      — flagship transcript pipeline on sf0.001, returns the
+                     enriched per-turn Dataset.
+- ``queries()``    — one callable per implemented operator/pipeline
+                     (SURVEY.md §2); each takes ``sf_dir``.
+- ``oracle_sql()`` — DuckDB-equivalent SQL per query (omitted for ops that
+                     are not SQL-expressible → rows-only check).
+
+The transcript corpus is derived deterministically from the ``events`` table
+(``TRANSCRIPTS_CTE`` in sources/transcripts.py is the byte-identical SQL
+derivation), so every transcript-pipeline query has a true value-level
+oracle.  The transcript view queries read the routed Parquet sinks of ONE
+pipeline run per sf_dir (cached) — the oracle therefore checks the actual
+production path: parse → group → enrich → route → aggregate.
 """
 
 from __future__ import annotations
 
+import os
+import shutil
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+
+from hypertrace_ingester_ray.sources.transcripts import (
+    TRANSCRIPTS_CTE,
+    transcripts_from_events,
+)
+from hypertrace_ingester_ray.pipelines.ingest import (
+    PipelineConfig,
+    run_pipeline,
+    view_dataset,
+)
+from hypertrace_ingester_ray.pipelines import relational
+from hypertrace_ingester_ray.stages import dedup, similarity, text_analysis
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (enrichment chain mirrored with window functions)
+# ---------------------------------------------------------------------------
+
+NORMALIZED_CTE = (
+    TRANSCRIPTS_CTE
+    + """,
+n0 AS (
+  SELECT 'default-tenant' AS tenant_id, conv_id, turn_idx, role, text, tool, ts,
+    regexp_extract(text, '^([A-Z]+) ', 1) AS http_method,
+    regexp_extract(text, '^[A-Z]+ (\\S+) HTTP', 1) AS api_path,
+    CAST(regexp_extract(text, ' status=(\\d+)', 1) AS INTEGER) AS status_code,
+    CAST(regexp_extract(text, ' dur_ms=(\\d+)', 1) AS BIGINT) AS dur_ms,
+    CAST(regexp_extract(text, ' bytes=(\\d+)', 1) AS BIGINT) AS bytes
+  FROM transcripts
+),
+normalized AS (
+  SELECT *,
+    regexp_extract(api_path, '^/api/v1/([a-z]+)', 1) AS op,
+    COALESCE(tool, role) AS service_name,
+    COALESCE(status_code >= 400, FALSE) AS is_error
+  FROM n0
+)"""
+)
+
+ENRICHED_CTE = (
+    NORMALIZED_CTE
+    + """,
+e0 AS (
+  SELECT *,
+    CASE WHEN role='user' THEN 'ENTRY' WHEN role='tool' THEN 'EXIT'
+         ELSE 'INTERNAL' END AS span_kind,
+    CASE WHEN tool='db' THEN 'SQL' WHEN tool='code' THEN 'GRPC'
+         WHEN tool='shell' THEN 'PROC' ELSE 'HTTP' END AS protocol,
+    CASE WHEN status_code IS NULL THEN NULL
+         WHEN status_code >= 400 THEN 'FAIL' ELSE 'SUCCESS' END AS api_status,
+    CASE status_code WHEN 200 THEN 'OK' WHEN 404 THEN 'Not Found'
+         WHEN 429 THEN 'Too Many Requests' WHEN 500 THEN 'Internal Server Error'
+         WHEN 503 THEN 'Service Unavailable' ELSE NULL END AS status_message,
+    (lag(role) OVER w IS DISTINCT FROM role) AS is_boundary,
+    CASE WHEN role='user' AND (lag(role) OVER w IS DISTINCT FROM 'user')
+         THEN 1 ELSE 0 END AS user_head
+  FROM normalized
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+),
+e1 AS (
+  SELECT *,
+    CAST(GREATEST(SUM(user_head) OVER (PARTITION BY conv_id ORDER BY turn_idx
+         ROWS UNBOUNDED PRECEDING) - 1, 0) AS INTEGER) AS episode_id,
+    'svc_' || substr(md5(service_name),1,8) AS service_id,
+    service_name || ':' || op AS api_name,
+    CASE WHEN op IS NULL THEN NULL
+         ELSE 'api_' || substr(md5(service_name || ':' || op),1,8) END AS api_id,
+    CASE WHEN tool IS NULL THEN NULL
+         ELSE 'be_' || substr(md5(tool || ':' || protocol),1,8) END AS backend_id,
+    MIN(CASE WHEN role='user' THEN turn_idx END)
+        OVER (PARTITION BY conv_id) AS min_user_idx
+  FROM e0
+),
+enriched AS (
+  SELECT *,
+    (lag(episode_id) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+        IS DISTINCT FROM episode_id) AS episode_head,
+    CAST(SUM(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END)
+        OVER (PARTITION BY conv_id, episode_id) AS INTEGER) AS exit_call_count,
+    MAX(CASE WHEN turn_idx = min_user_idx THEN op END)
+        OVER (PARTITION BY conv_id) AS transaction_name,
+    BOOL_OR(is_error) OVER (PARTITION BY conv_id) AS conv_has_error,
+    CAST(0 AS INTEGER) AS session_id
+  FROM e1
+)"""
+)
+
+ENRICHED_COLS = (
+    "tenant_id, conv_id, turn_idx, role, text, tool, ts, http_method, api_path,"
+    " op, status_code, dur_ms, bytes, service_name, is_error, span_kind,"
+    " protocol, api_status, status_message, is_boundary, episode_id,"
+    " episode_head, service_id, api_id, api_name, backend_id, exit_call_count,"
+    " transaction_name, conv_has_error, session_id"
+)
+
+# ---------------------------------------------------------------------------
+# one pipeline run per sf_dir, cached across query callables
+# ---------------------------------------------------------------------------
+
+_RUN_CACHE: dict = {}
+
+
+def _pipeline_out(sf_dir: str) -> str:
+    out = _RUN_CACHE.get(sf_dir)
+    if out is None:
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        out = f"/tmp/htr_entry/{tag}"
+        shutil.rmtree(out, ignore_errors=True)
+        run_pipeline(
+            transcripts_from_events(sf_dir),
+            out,
+            PipelineConfig(num_partitions=32, concurrency=4),
+        )
+        _RUN_CACHE[sf_dir] = out
+    return out
+
+
+def _view(sf_dir: str, name: str):
+    return view_dataset(_pipeline_out(sf_dir), name)
+
+
+# ---------------------------------------------------------------------------
+# embeddings helpers (knn query set = vec_id < 5, deterministic)
+# ---------------------------------------------------------------------------
+
+
+def _knn(sf_dir: str):
+    import pyarrow.parquet as pq
+    import ray.data
+
+    q = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    qmask = np.asarray(q["vec_id"].to_numpy(zero_copy_only=False)) < 5
+    qids = q["vec_id"].to_numpy(zero_copy_only=False)[qmask]
+    qmat = np.asarray(
+        q["embedding"].combine_chunks().to_pylist(), dtype=np.float64
+    )[qmask]
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    out = similarity.knn_bruteforce(ds, qids, qmat, k=5)
+    return out.select(["query_id", "neighbor_id", "rank"])
+
+
+def _near_dup(sf_dir: str):
+    import ray.data
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    # the synthetic embeddings are diffuse (max intra-label cosine ≈ 0.47 at
+    # sf0.01) — 0.30 exercises the operator with a non-trivial result set
+    pairs = dedup.embedding_near_dup(ds, threshold=0.30, num_partitions=16)
+    return pairs.select_columns(["id_a", "id_b"])
+
+
+def _docs(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001."""
+    sf = "/root/testdata/sf0.001"
+    out = "/tmp/htr_entry/smoke"
+    shutil.rmtree(out, ignore_errors=True)
+    run_pipeline(
+        transcripts_from_events(sf), out, PipelineConfig(num_partitions=8)
+    )
+    return view_dataset(out, "per_turn")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q: dict[str, Callable[[str], Any]] = {
+        # --- transcript topology (parse → group → enrich → route → aggregate)
+        "transcripts": lambda sf: transcripts_from_events(sf),
+        "view_per_turn": lambda sf: _view(sf, "per_turn"),
+        "view_per_role": lambda sf: _view(sf, "per_role"),
+        "view_per_conversation": lambda sf: _view(sf, "per_conversation"),
+        "view_call_edges": lambda sf: _view(sf, "call_edges"),
+        "view_per_tool": lambda sf: _view(sf, "per_tool"),
+        "view_errors": lambda sf: _view(sf, "errors"),
+        "metrics_by_minute": lambda sf: _view(sf, "metrics"),
+        # --- generic relational operators
+        "lineitem_pricing_summary": relational.lineitem_pricing_summary,
+        "revenue_by_nation": relational.revenue_by_nation,
+        "top_orders": relational.top_orders,
+        "events_hourly": relational.events_hourly,
+        # --- training-data ops: dedup / text analysis / similarity
+        "doc_dedup_exact": lambda sf: dedup.exact_dedup(
+            _docs(sf), num_partitions=16
+        ).select_columns(["doc_id", "text", "n_copies"]),
+        "doc_token_stats": lambda sf: text_analysis.token_stats(_docs(sf)),
+        "doc_quality": lambda sf: text_analysis.quality_scores(_docs(sf)),
+        "doc_lang_id": lambda sf: text_analysis.lang_id(_docs(sf)),
+        "doc_fingerprint": lambda sf: text_analysis.fingerprints(_docs(sf)),
+        "doc_minhash_pairs": lambda sf: dedup.minhash_lsh_pairs(
+            _docs(sf), num_partitions=16
+        ),
+        "doc_simhash_pairs": lambda sf: dedup.simhash_pairs(
+            _docs(sf), num_partitions=16
+        ),
+        "knn_cosine_top5": _knn,
+        "embedding_near_dup": _near_dup,
+    }
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sql: dict[str, str] = {}
+
+    sql["transcripts"] = (
+        f"WITH {TRANSCRIPTS_CTE} SELECT conv_id, turn_idx, role, text, tool, ts"
+        " FROM transcripts"
+    )
+    sql["view_per_turn"] = (
+        f"WITH {ENRICHED_CTE} SELECT {ENRICHED_COLS} FROM enriched"
+    )
+    sql["view_per_role"] = f"""
+WITH {ENRICHED_CTE},
+runs AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx)
+      - row_number() OVER (PARTITION BY conv_id, role ORDER BY turn_idx) AS grp
+  FROM enriched
+)
+SELECT MIN(tenant_id) AS tenant_id, conv_id,
+  arg_min(service_name, turn_idx) AS service_name,
+  arg_min(service_id, turn_idx) AS service_id,
+  role,
+  arg_min(ts, turn_idx) AS start_ts,
+  arg_max(ts, turn_idx) AS end_ts,
+  CAST(COALESCE(SUM(dur_ms), 0) AS BIGINT) AS dur_ms_sum,
+  COUNT(*) AS num_turns,
+  CAST(SUM(CASE WHEN is_error THEN 1 ELSE 0 END) AS BIGINT) AS num_errors,
+  CAST(CASE WHEN role = 'user' THEN 1 ELSE 0 END AS BIGINT) AS num_calls,
+  MIN(transaction_name) AS transaction_name
+FROM runs GROUP BY conv_id, role, grp
+"""
+    sql["view_per_conversation"] = f"""
+WITH {ENRICHED_CTE}
+SELECT MIN(tenant_id) AS tenant_id, conv_id,
+  MIN(transaction_name) AS transaction_name,
+  COUNT(*) AS num_turns,
+  CAST(COUNT(DISTINCT service_id) AS BIGINT) AS num_services,
+  CAST(MAX(episode_id) + 1 AS BIGINT) AS num_episodes,
+  CAST(SUM(CASE WHEN is_error THEN 1 ELSE 0 END) AS BIGINT) AS num_errors,
+  CAST(SUM(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS num_exit_calls,
+  arg_min(ts, turn_idx) AS start_ts,
+  arg_max(ts, turn_idx) AS end_ts,
+  CAST((epoch_us(arg_max(ts, turn_idx)) - epoch_us(arg_min(ts, turn_idx))) // 1000
+       AS BIGINT) AS duration_ms,
+  BOOL_OR(is_error) AS has_error
+FROM enriched GROUP BY conv_id
+"""
+    sql["view_call_edges"] = f"""
+WITH {ENRICHED_CTE},
+lagged AS (
+  SELECT tenant_id, conv_id, service_name, role, turn_idx, ts, dur_ms, is_error,
+    lag(service_name) OVER w AS caller_service,
+    lag(role) OVER w AS caller_role,
+    lag(turn_idx) OVER w AS caller_turn_idx,
+    lag(is_error) OVER w AS caller_is_error
+  FROM enriched
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+)
+SELECT tenant_id, conv_id, caller_service, service_name AS callee_service,
+  caller_role, role AS callee_role, caller_turn_idx,
+  turn_idx AS callee_turn_idx, ts, dur_ms,
+  CAST((CASE WHEN caller_is_error THEN 1 ELSE 0 END)
+     + (CASE WHEN is_error THEN 1 ELSE 0 END) AS BIGINT) AS num_errors
+FROM lagged WHERE caller_role IS NOT NULL AND caller_role <> role
+"""
+    sql["view_per_tool"] = f"""
+WITH {ENRICHED_CTE},
+lagged AS (
+  SELECT *, lag(service_name) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+        AS caller_service
+  FROM enriched
+)
+SELECT tenant_id, conv_id, turn_idx, backend_id, tool, op, status_code,
+  api_status, caller_service, ts, dur_ms
+FROM lagged WHERE tool IS NOT NULL
+"""
+    sql["view_errors"] = f"""
+WITH {ENRICHED_CTE}
+SELECT tenant_id, conv_id, turn_idx, role, tool, status_code, status_message,
+  substr(text, 1, 120) AS summary, ts
+FROM enriched WHERE is_error
+"""
+    sql["metrics_by_minute"] = f"""
+WITH {ENRICHED_CTE}
+SELECT date_trunc('minute', ts) AS window_ts, tenant_id, service_name,
+  api_status, COUNT(*) AS num_calls
+FROM enriched GROUP BY ALL
+"""
+    sql["lineitem_pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+  SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS sum_base_price_cents,
+  SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+      AS sum_disc_price_cents,
+  COUNT(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+    sql["revenue_by_nation"] = """
+SELECT n_name,
+  SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS revenue_cents,
+  COUNT(*) AS num_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+    sql["top_orders"] = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+    sql["events_hourly"] = """
+SELECT date_trunc('hour', ts) AS hour_ts, event_type,
+  SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS sum_value_cents,
+  COUNT(*) AS num_events
+FROM events GROUP BY hour_ts, event_type
+"""
+    sql["doc_dedup_exact"] = """
+SELECT MIN(doc_id) AS doc_id, text, COUNT(*) AS n_copies
+FROM documents GROUP BY text
+"""
+    sql["doc_token_stats"] = """
+SELECT doc_id,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+  CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+"""
+    stop = ", ".join(f"'{w}'" for w in text_analysis.QUALITY_STOPWORDS)
+    sql["doc_quality"] = f"""
+SELECT doc_id,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+  CAST(((length(text) - (len(string_split(text, ' ')) - 1)) * 1000)
+       // GREATEST(len(string_split(text, ' ')), 1) AS BIGINT) AS mean_tok_len_x1000,
+  CAST(len(list_filter(string_split(text, ' '), x -> x IN ({stop}))) AS BIGINT)
+      AS n_stopwords
+FROM documents
+"""
+    sql["knn_cosine_top5"] = """
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+s AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                           CAST(e.embedding AS DOUBLE[])) AS cosine
+  FROM q, embeddings e WHERE q.vec_id <> e.vec_id
+),
+r AS (
+  SELECT query_id, neighbor_id,
+    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)
+        AS rank
+  FROM s
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 5
+"""
+    sql["embedding_near_dup"] = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.30
+"""
+    # doc_lang_id / doc_fingerprint / doc_minhash_pairs / doc_simhash_pairs:
+    # heuristic / hash-based ops, not SQL-expressible → rows-only checks.
+    return sql

@@ -1,0 +1,186 @@
+"""Benchmark harness.
+
+Default mode: runs the headline transcript pipeline (parse → group → enrich →
+route → aggregate, all sinks written) over a deterministic synthetic corpus
+sized to ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1), plus a set of
+representative per-operator queries over the sf tables, and prints ONE JSON
+line:
+
+  {"metric": "e2e_pipeline", "value": <sec>, "unit": "sec",
+   "turns": N, "turns_per_sec": T, "queries": {...}, "sf": ..., "num_cpus": N}
+
+--scaling: runs the identical headline job twice in fresh processes
+(num_cpus=8 then num_cpus=32 by default) on the same input and reports both
+throughputs plus scaling efficiency (BASELINE.md protocol).
+
+Usage:  python bench.py [--scaling] [--cpus N] [--headline-only]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DEFAULT_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+TURNS_PER_EVENT = 20  # synthetic corpus size multiplier vs the sf events table
+MEAN_TURNS = 24
+
+
+def _sf_tag() -> str:
+    return os.path.basename(os.path.normpath(SF_DIR)) or "sf"
+
+
+def _corpus_dir() -> str:
+    """Build (once) the deterministic synthetic transcript corpus for this sf."""
+    import pyarrow.parquet as pq
+
+    n_events = pq.ParquetFile(os.path.join(SF_DIR, "events.parquet")).metadata.num_rows
+    n_convs = max(200, (n_events * TURNS_PER_EVENT) // MEAN_TURNS)
+    out = f"/tmp/htr_bench_corpus/{_sf_tag()}_{n_convs}"
+    from hypertrace_ingester_ray.sources.transcripts import (
+        write_synthetic_transcripts,
+    )
+
+    write_synthetic_transcripts(
+        out,
+        n_convs=n_convs,
+        convs_per_file=max(1000, n_convs // 64),
+        seed=42,
+        mean_turns=MEAN_TURNS,
+        dup_rate=0.005,
+        hot_conv_every=max(1000, n_convs // 20),
+        hot_turns=3000,
+    )
+    return out
+
+
+def run_headline(num_cpus: int) -> dict:
+    import ray
+
+    corpus = _corpus_dir()  # built before the clock starts
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+    import logging
+
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    from hypertrace_ingester_ray.pipelines.ingest import PipelineConfig, run_pipeline
+
+    out = f"/tmp/htr_bench_out/{_sf_tag()}_{num_cpus}"
+    shutil.rmtree(out, ignore_errors=True)
+    # actor pool must leave CPUs for the shuffle's map/reduce tasks — an
+    # actor pool sized to the whole cluster starves the sort and deadlocks
+    cfg = PipelineConfig(
+        num_partitions=num_cpus * 4,
+        concurrency=max(1, num_cpus // 2),
+        max_turns_per_conv=100_000,
+    )
+    t0 = time.perf_counter()
+    summary = run_pipeline(corpus, out, cfg)
+    elapsed = time.perf_counter() - t0
+    return {
+        "elapsed_sec": elapsed,
+        "turns": summary["rows_in"],
+        "turns_per_sec": summary["rows_in"] / elapsed,
+        "view_counts": summary["view_counts"],
+        "num_cpus": num_cpus,
+    }
+
+
+def run_queries() -> dict:
+    """Representative per-operator timings over the sf tables."""
+    import numpy as np
+
+    from hypertrace_ingester_ray.pipelines import relational
+    from hypertrace_ingester_ray.sources.transcripts import transcripts_from_events
+    from hypertrace_ingester_ray.stages import dedup, text_analysis
+
+    import ray.data
+
+    def docs():
+        return ray.data.read_parquet(os.path.join(SF_DIR, "documents.parquet"))
+
+    timings = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        ds = fn()
+        n = ds.count() if hasattr(ds, "count") else len(ds)
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return n
+
+    timed("transcripts_derive", lambda: transcripts_from_events(SF_DIR))
+    timed("lineitem_pricing", lambda: relational.lineitem_pricing_summary(SF_DIR))
+    timed("revenue_by_nation", lambda: relational.revenue_by_nation(SF_DIR))
+    timed("events_hourly", lambda: relational.events_hourly(SF_DIR))
+    timed("doc_dedup_exact", lambda: dedup.exact_dedup(docs(), num_partitions=16))
+    timed("doc_minhash_pairs", lambda: dedup.minhash_lsh_pairs(docs(), num_partitions=16))
+    timed("doc_lang_id", lambda: text_analysis.lang_id(docs()))
+    return timings
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--cpus", type=int, default=DEFAULT_CPUS)
+    ap.add_argument("--headline-only", action="store_true")
+    args = ap.parse_args()
+
+    if args.scaling:
+        levels = [max(2, args.cpus // 4), args.cpus]
+        results = []
+        for n in levels:
+            p = subprocess.run(
+                [sys.executable, __file__, "--headline-only", "--cpus", str(n)],
+                capture_output=True,
+                text=True,
+                cwd=REPO,
+            )
+            line = [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
+            results.append(json.loads(line))
+        tp = [r["turns_per_sec"] for r in results]
+        eff = (tp[1] / tp[0]) / (levels[1] / levels[0])
+        out = {
+            "metric": "scaling_efficiency",
+            "value": round(eff, 4),
+            "unit": "ratio",
+            "levels": levels,
+            "turns_per_sec": [round(t, 1) for t in tp],
+            "sf": _sf_tag(),
+        }
+        print(json.dumps(out))
+        return
+
+    if args.headline_only:
+        r = run_headline(args.cpus)
+        print(json.dumps(r))
+        return
+
+    head = run_headline(args.cpus)
+    queries = run_queries()
+    out = {
+        "metric": "e2e_pipeline",
+        "value": round(head["elapsed_sec"], 3),
+        "unit": "sec",
+        "turns": head["turns"],
+        "turns_per_sec": round(head["turns_per_sec"], 1),
+        "queries": queries,
+        "sf": _sf_tag(),
+        "num_cpus": args.cpus,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,87 @@
+"""CLI driver — the ``ray job submit`` entry point.
+
+Examples (run from the repo root so workers can import the package):
+
+  python -m hypertrace_ingester_ray.cli run \
+      --input /tmp/corpus --out /tmp/run1 --num-partitions 128 --concurrency 8
+
+  python -m hypertrace_ingester_ray.cli synth --out /tmp/corpus --n-convs 100000
+
+  python -m hypertrace_ingester_ray.cli run \
+      --events /root/testdata/sf0.01 --out /tmp/run2
+
+A killed ``run`` resumes when re-invoked with the same ``--out``: partitions
+with committed manifests are skipped (state/lineage.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="hypertrace_ingester_ray")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    run = sub.add_parser("run", help="run the flagship pipeline")
+    src = run.add_mutually_exclusive_group(required=True)
+    src.add_argument("--input", help="transcript parquet file/dir")
+    src.add_argument("--events", help="sf dir: derive transcripts from events.parquet")
+    run.add_argument("--out", required=True)
+    run.add_argument("--num-partitions", type=int, default=64)
+    run.add_argument("--concurrency", type=int, default=None)
+    run.add_argument("--max-turns-per-conv", type=int, default=100_000)
+    run.add_argument("--session-gap-sec", type=float, default=None)
+    run.add_argument("--num-cpus", type=int, default=None)
+
+    synth = sub.add_parser("synth", help="write a synthetic transcript corpus")
+    synth.add_argument("--out", required=True)
+    synth.add_argument("--n-convs", type=int, default=10_000)
+    synth.add_argument("--seed", type=int, default=42)
+    synth.add_argument("--hot-conv-every", type=int, default=0)
+
+    args = ap.parse_args(argv)
+
+    if args.cmd == "synth":
+        from .sources.transcripts import write_synthetic_transcripts
+
+        out = write_synthetic_transcripts(
+            args.out,
+            n_convs=args.n_convs,
+            seed=args.seed,
+            hot_conv_every=args.hot_conv_every,
+        )
+        print(json.dumps({"corpus": out, "n_convs": args.n_convs}))
+        return 0
+
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {"num_cpus": args.num_cpus} if args.num_cpus else {}
+        ray.init(address="local", include_dashboard=False, **kwargs)
+    try:
+        from .pipelines.ingest import PipelineConfig, run_pipeline
+        from .sources.transcripts import transcripts_from_events
+
+        cfg = PipelineConfig(
+            num_partitions=args.num_partitions,
+            concurrency=args.concurrency,
+            max_turns_per_conv=args.max_turns_per_conv,
+            session_gap_us=(
+                int(args.session_gap_sec * 1e6) if args.session_gap_sec else None
+            ),
+        )
+        source = (
+            transcripts_from_events(args.events) if args.events else args.input
+        )
+        summary = run_pipeline(source, args.out, cfg)
+        print(json.dumps(summary, default=str))
+        return 0
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

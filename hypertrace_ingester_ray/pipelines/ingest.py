@@ -34,6 +34,7 @@ from typing import Dict, Optional, Union
 
 import pyarrow as pa
 
+import ray
 import ray.data
 from ray.data import Dataset
 
@@ -177,9 +178,14 @@ def run_pipeline(
     ds = normalize(ds, config.normalize)
     main, bypass = split_bypass(ds, config.normalize)
 
-    kwargs = {}
-    if config.concurrency is not None:
-        kwargs["concurrency"] = config.concurrency
+    concurrency = config.concurrency
+    if concurrency is None:
+        # callable-class map_groups needs an explicit actor-pool size; leave
+        # headroom for the shuffle's map/reduce tasks (a pool sized to the
+        # whole cluster starves the sort and deadlocks)
+        total_cpus = int(ray.cluster_resources().get("CPU", 4))
+        concurrency = max(1, total_cpus // 2)
+    kwargs = {"concurrency": concurrency}
     stats_ds = group_apply(
         main,
         "conv_id",

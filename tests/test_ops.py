@@ -1,0 +1,140 @@
+"""Training-data operator tests: dedup (exact / minhash / simhash),
+similarity search, text analysis."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from hypertrace_ingester_ray.stages import dedup, similarity, text_analysis
+
+
+@pytest.fixture(scope="module")
+def docs(ray_session):
+    base = [
+        "the quick brown fox jumps over the lazy dog and runs far away today",
+        "a completely different document about data processing engines at scale",
+        "the quick brown fox jumps over the lazy dog and runs far away tonight",
+        "short text",
+        "a completely different document about data processing engines at scale",
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(len(base))), pa.int64()),
+            "text": pa.array(base, pa.string()),
+        }
+    )
+    return ray.data.from_arrow(t)
+
+
+def test_exact_dedup(docs):
+    out = dedup.exact_dedup(docs, num_partitions=4).to_pandas()
+    assert len(out) == 4  # docs 1 and 4 are identical
+    dup = out[out.n_copies == 2]
+    assert len(dup) == 1 and dup.iloc[0].doc_id == 1
+
+
+def test_minhash_finds_near_dups(docs):
+    pairs = dedup.minhash_lsh_pairs(
+        docs, sim_threshold=0.35, num_partitions=4
+    ).to_pandas()
+    got = set(map(tuple, pairs[["doc_a", "doc_b"]].values))
+    assert (0, 2) in got  # one-word difference
+    assert (1, 4) in got  # identical
+    assert (0, 1) not in got and (0, 3) not in got
+
+
+def test_exact_jaccard():
+    assert dedup.exact_jaccard("a b c d", "a b c d") == 1.0
+    assert dedup.exact_jaccard("a b c d", "x y z w") == 0.0
+
+
+def test_simhash_identical_docs(docs):
+    pairs = dedup.simhash_pairs(docs, max_hamming=3, num_partitions=4).to_pandas()
+    got = set(map(tuple, pairs[["doc_a", "doc_b"]].values))
+    assert (1, 4) in got  # identical docs have hamming 0
+
+
+def test_knn_matches_numpy_bruteforce(ray_session):
+    rng = np.random.default_rng(0)
+    n, d, q, k = 200, 16, 3, 5
+    mat = rng.normal(size=(n, d))
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n), pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(mat.reshape(-1).astype(np.float32)), d
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    qids = np.arange(q)
+    out = similarity.knn_bruteforce(
+        ds, qids, mat[:q].astype(np.float32), k=k
+    ).to_pandas()
+
+    # reference: plain numpy in float64 from the same float32 inputs
+    m32 = mat.astype(np.float32).astype(np.float64)
+    norm = m32 / np.linalg.norm(m32, axis=1, keepdims=True)
+    sim = norm[:q] @ norm.T
+    for qi in range(q):
+        s = sim[qi].copy()
+        s[qi] = -np.inf
+        expect = np.argsort(-s, kind="stable")[:k]
+        got = out[out.query_id == qi].sort_values("rank").neighbor_id.to_numpy()
+        assert got.tolist() == expect.tolist()
+
+
+def test_ivf_search_recalls_bruteforce(ray_session):
+    rng = np.random.default_rng(1)
+    n, d = 300, 8
+    # clustered data so IVF probing is meaningful
+    centers = rng.normal(size=(3, d)) * 5
+    mat = np.vstack([centers[i % 3] + rng.normal(size=d) * 0.1 for i in range(n)])
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n), pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(mat.reshape(-1).astype(np.float32)), d
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    indexed = similarity.ivf_assign(ds, centers).materialize()
+    out = similarity.ivf_search(
+        indexed, np.array([0]), mat[:1], centers, k=5, nprobe=1
+    ).to_pandas()
+    assert len(out) == 5
+    # all neighbors should share query 0's cluster (ids ≡ 0 mod 3)
+    assert (out.neighbor_id % 3 == 0).all()
+
+
+def test_token_stats(docs):
+    out = text_analysis.token_stats(docs).to_pandas().sort_values("doc_id")
+    assert out.iloc[3].n_tokens == 2
+    assert out.iloc[3].n_chars == len("short text")
+
+
+def test_lang_id_stopwords(ray_session):
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(
+                ["the cat and the dog of the house",
+                 "el gato y la casa de que",
+                 "xyzzy plugh"],
+                pa.string(),
+            ),
+        }
+    )
+    out = text_analysis.lang_id(ray.data.from_arrow(t)).to_pandas().sort_values("doc_id")
+    assert out.pred_lang.tolist() == ["en", "es", "unknown"]
+
+
+def test_fingerprint_deterministic(docs):
+    a = text_analysis.fingerprints(docs).to_pandas().sort_values("doc_id")
+    b = text_analysis.fingerprints(docs).to_pandas().sort_values("doc_id")
+    assert a.fingerprint.tolist() == b.fingerprint.tolist()
+    # identical docs → identical fingerprints
+    assert a.iloc[1].fingerprint == a.iloc[4].fingerprint
