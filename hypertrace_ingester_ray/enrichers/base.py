@@ -62,12 +62,34 @@ class ConversationContext:
         self._roles: Optional[np.ndarray] = None
         self._episode_ids: Optional[np.ndarray] = None
         self._episode_heads: Optional[np.ndarray] = None
+        self._col_cache: dict = {}
 
     def col(self, name: str) -> np.ndarray:
-        arr = self.table[name].combine_chunks()
-        if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
-            return np.asarray(arr.to_pandas(), dtype=object)
-        return arr.to_numpy(zero_copy_only=False)
+        """Materialize a column as numpy once per partition (memoized)."""
+        out = self._col_cache.get(name)
+        if out is None:
+            arr = self.table[name].combine_chunks()
+            if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
+                out = np.asarray(arr.to_pandas(), dtype=object)
+            else:
+                out = arr.to_numpy(zero_copy_only=False)
+            self._col_cache[name] = out
+        return out
+
+    def dict_codes(self, name: str):
+        """(codes:int64, uniques:list) dictionary encoding of a string column,
+        memoized; the basis for per-unique-value enrichment."""
+        key = ("__codes", name)
+        out = self._col_cache.get(key)
+        if out is None:
+            enc = self.table[name].combine_chunks().dictionary_encode()
+            codes = enc.indices.to_numpy(zero_copy_only=False)
+            # null rows get code -1
+            codes = np.where(np.isnan(codes), -1, codes).astype(np.int64) if codes.dtype.kind == "f" else codes.astype(np.int64)
+            uniques = enc.dictionary.to_pylist()
+            out = (codes, uniques)
+            self._col_cache[key] = out
+        return out
 
     @property
     def roles(self) -> np.ndarray:

@@ -159,13 +159,27 @@ class EndpointEnricher(Enricher):
     depends_on = ("service_entity",)
 
     def enrich(self, table: pa.Table, ctx: ConversationContext) -> pa.Table:
-        svc = ctx.col("service_name")
-        op = ctx.col("op")
-        api_name = np.where(
-            op == None, None, np.char.add(np.char.add(svc.astype(str), ":"), op.astype(str))  # noqa: E711
-        ).astype(object)
-        api_name[op == None] = None  # noqa: E711
-        api_id = _map_unique(api_name, lambda v: md5_id("api_", v))
+        # per-unique (service, op) pair work only: combine dictionary codes,
+        # build strings + md5 once per distinct endpoint
+        svc_codes, svc_uniq = ctx.dict_codes("service_name")
+        op_codes, op_uniq = ctx.dict_codes("op")
+        k = len(op_uniq) + 1
+        # encode null op (code -1) as remainder k-1, which no real op can hit
+        pair = svc_codes * k + np.where(op_codes < 0, k - 1, op_codes)
+        uniq, inverse = np.unique(pair, return_inverse=True)
+        names = np.empty(len(uniq), dtype=object)
+        ids = np.empty(len(uniq), dtype=object)
+        for i, p in enumerate(uniq):
+            sc, oc = divmod(int(p), k)
+            if oc == k - 1:
+                names[i] = None
+                ids[i] = None
+            else:
+                name = f"{svc_uniq[sc]}:{op_uniq[oc]}"
+                names[i] = name
+                ids[i] = md5_id("api_", name)
+        api_name = names[inverse]
+        api_id = ids[inverse]
         return table.append_column(
             "api_id", pa.array(api_id, pa.string())
         ).append_column("api_name", pa.array(api_name, pa.string()))
@@ -179,14 +193,21 @@ class BackendEntityEnricher(Enricher):
     depends_on = ("span_kind",)
 
     def enrich(self, table: pa.Table, ctx: ConversationContext) -> pa.Table:
-        tools = ctx.col("tool")
-        proto = ctx.col("protocol")
-        key = np.where(
-            tools == None, None, np.char.add(np.char.add(tools.astype(str), ":"), proto.astype(str))  # noqa: E711
-        ).astype(object)
-        key[tools == None] = None  # noqa: E711
-        backend_id = _map_unique(key, lambda v: md5_id("be_", v))
-        return table.append_column("backend_id", pa.array(backend_id, pa.string()))
+        tool_codes, tool_uniq = ctx.dict_codes("tool")
+        proto_codes, proto_uniq = ctx.dict_codes("protocol")
+        k = len(proto_uniq) + 1
+        pair = tool_codes * k + np.where(proto_codes < 0, k - 1, proto_codes)
+        pair = np.where(tool_codes < 0, -1, pair)  # null tool → null backend
+        uniq, inverse = np.unique(pair, return_inverse=True)
+        ids = np.empty(len(uniq), dtype=object)
+        for i, p in enumerate(uniq):
+            if p < 0:
+                ids[i] = None
+            else:
+                tc, pc_ = divmod(int(p), k)
+                key = f"{tool_uniq[tc]}:{proto_uniq[pc_] if pc_ < k - 1 else ''}"
+                ids[i] = md5_id("be_", key)
+        return table.append_column("backend_id", pa.array(ids[inverse], pa.string()))
 
 
 class ExitCallsEnricher(Enricher):

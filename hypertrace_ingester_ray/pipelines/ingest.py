@@ -47,7 +47,6 @@ from ..stages.grouping import (
     assemble_conversations,
     group_apply,
 )
-from ..stages.metrics import windowed_metrics
 from ..stages.normalize import NormalizeConfig, normalize, split_bypass
 from ..stages.views import VIEW_BUILDERS
 from ..state import lineage
@@ -58,9 +57,18 @@ class PipelineConfig:
     normalize: NormalizeConfig = field(default_factory=NormalizeConfig)
     max_turns_per_conv: int = 100_000
     session_gap_us: Optional[int] = None
+    # MUST stay constant across resumes of the same out_dir (partition i of a
+    # run always holds the same key-groups); guarded by _run_config.json
     num_partitions: int = DEFAULT_NUM_PARTITIONS
-    # actor-pool size for the partition stage; tuple = autoscaling (min, max)
+    # None (default) → stateless tasks with a per-worker-process cached
+    # enricher registry: every CPU participates and there is no pool to size.
+    # Set an int/tuple to use an actor pool instead (the right shape when
+    # per-worker state is expensive to build — big models, large indexes);
+    # then leave CPUs free for the shuffle or it deadlocks.
     concurrency: Union[int, tuple, None] = None
+    # input read parallelism: ~2 blocks per CPU keeps per-task overhead low
+    # while the shuffle stays balanced; None = derive from cluster CPUs
+    read_num_blocks: Optional[int] = None
     service_registry: Optional[Dict[str, str]] = None
     metrics_window: str = "minute"
 
@@ -71,9 +79,20 @@ def process_partition(
     registry,
     max_turns_per_conv: int = 100_000,
     session_gap_us: Optional[int] = None,
+    metrics_window: str = "minute",
 ):
     """Pure core: normalized partition (sorted by conv_id, turn_idx, ts) →
-    (views dict, stats dict).  Shared by the sink-writing actor and tests."""
+    (views dict, stats dict).  Shared by the sink-writing actor and tests.
+
+    The views dict includes ``metrics_partial`` — the per-partition combiner
+    of the windowed metric aggregation (A1).  The final combine over these
+    partials is tiny (≤ dims × partitions rows), so the metrics stage never
+    re-reads or re-shuffles the full per-turn data.
+    """
+    from ..stages.metrics import partial_counts
+    from ..stages.normalize import extract_batch
+
+    table = extract_batch(table)  # no-op if extraction ran pre-shuffle
     rows_in = table.num_rows
     assembled, n_dedup, n_capped = assemble_conversations(
         table,
@@ -83,6 +102,7 @@ def process_partition(
     enriched = registry.apply(assembled)
     ctx = ConversationContext(enriched)
     views = {name: builder(enriched, ctx) for name, builder in VIEW_BUILDERS.items()}
+    views["metrics_partial"] = partial_counts(views["per_turn"], metrics_window)
     stats = {
         "rows_in": rows_in,
         "rows_deduped": n_dedup,
@@ -92,11 +112,36 @@ def process_partition(
     return views, stats
 
 
-class PartitionProcessor:
-    """Actor-pool partition stage: grouper + enricher + view fan-out + sinks.
+# Per-worker-process registry cache (the process-wide singleton
+# EnrichmentProcessor analog, StructuredTraceEnrichProcessor.java:38-61).
+# Ray worker processes are reused across tasks, so the build cost is paid
+# once per worker, exactly like an actor __init__ — without reserving CPUs.
+_WORKER_REGISTRIES: Dict[str, object] = {}
 
-    Built once per worker (enricher DAG, lookup registries) — the analog of
-    the process-wide singleton EnrichmentProcessor
+
+def _worker_registry(key: str, service_registry: Optional[Dict[str, str]]):
+    reg = _WORKER_REGISTRIES.get(key)
+    if reg is None:
+        reg = build_default_registry(service_registry)
+        _WORKER_REGISTRIES[key] = reg
+    return reg
+
+
+def _registry_key(service_registry: Optional[Dict[str, str]]) -> str:
+    if not service_registry:
+        return "default"
+    import hashlib
+
+    return hashlib.md5(repr(sorted(service_registry.items())).encode()).hexdigest()
+
+
+class PartitionProcessor:
+    """Partition stage: grouper + enricher + view fan-out + sinks.
+
+    Used two ways (see PipelineConfig.concurrency): instantiated per worker
+    process lazily by the stateless task path, or as an actor-pool callable
+    class.  Either way the enricher DAG and lookup registries are built once
+    per worker — the analog of the process-wide singleton EnrichmentProcessor
     (StructuredTraceEnrichProcessor.java:38-61).
     """
 
@@ -117,10 +162,12 @@ class PartitionProcessor:
         max_turns_per_conv: int = 100_000,
         session_gap_us: Optional[int] = None,
         service_registry: Optional[Dict[str, str]] = None,
+        metrics_window: str = "minute",
     ):
         self.out_dir = out_dir
         self.max_turns_per_conv = max_turns_per_conv
         self.session_gap_us = session_gap_us
+        self.metrics_window = metrics_window
         self.registry = build_default_registry(service_registry)
 
     def _stats_row(self, part_id, stats, resumed):
@@ -145,6 +192,7 @@ class PartitionProcessor:
             registry=self.registry,
             max_turns_per_conv=self.max_turns_per_conv,
             session_gap_us=self.session_gap_us,
+            metrics_window=self.metrics_window,
         )
         for name, tbl in views.items():
             lineage.write_view_part(self.out_dir, name, part_id, tbl)
@@ -159,6 +207,28 @@ class PartitionProcessor:
         return self._stats_row(part_id, stats, resumed=False)
 
 
+def _partition_task(
+    part: pa.Table,
+    part_id: int,
+    *,
+    out_dir: str,
+    max_turns_per_conv: int,
+    session_gap_us: Optional[int],
+    metrics_window: str,
+    service_registry: Optional[Dict[str, str]],
+    registry_key: str,
+):
+    """Stateless-task form of the partition stage (default execution path)."""
+    registry = _worker_registry(registry_key, service_registry)
+    proc = PartitionProcessor.__new__(PartitionProcessor)
+    proc.out_dir = out_dir
+    proc.max_turns_per_conv = max_turns_per_conv
+    proc.session_gap_us = session_gap_us
+    proc.metrics_window = metrics_window
+    proc.registry = registry
+    return proc(part, part_id)
+
+
 def run_pipeline(
     input_path_or_ds: Union[str, Dataset],
     out_dir: str,
@@ -166,42 +236,91 @@ def run_pipeline(
 ) -> dict:
     """Execute the full topology; returns the run summary (also written as
     ``_run_manifest.json``)."""
+    import json
+
     config = config or PipelineConfig()
     os.makedirs(out_dir, exist_ok=True)
-    t0 = time.perf_counter()
-    ds = (
-        input_path_or_ds
-        if isinstance(input_path_or_ds, Dataset)
-        else read_transcripts(input_path_or_ds)
-    )
 
-    ds = normalize(ds, config.normalize)
+    # resume guard: the partition layout (hash(conv_id) % P) must be identical
+    # across resumes, or manifests would describe different row sets
+    cfg_path = os.path.join(out_dir, "_run_config.json")
+    if os.path.exists(cfg_path):
+        with open(cfg_path) as f:
+            prev = json.load(f)
+        if prev.get("num_partitions") != config.num_partitions:
+            raise ValueError(
+                f"resume with num_partitions={config.num_partitions} but "
+                f"{out_dir} was written with {prev.get('num_partitions')}"
+            )
+    else:
+        tmp = cfg_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"num_partitions": config.num_partitions}, f)
+        os.rename(tmp, cfg_path)
+
+    t0 = time.perf_counter()
+    phases = {}
+    if isinstance(input_path_or_ds, Dataset):
+        ds = input_path_or_ds
+    else:
+        read_blocks = config.read_num_blocks
+        if read_blocks is None:
+            read_blocks = max(8, int(ray.cluster_resources().get("CPU", 4)) * 2)
+        ds = ray.data.read_parquet(
+            input_path_or_ds, override_num_blocks=read_blocks
+        )
+
+    # ship narrow rows through the shuffle when no rule needs extracted
+    # columns; the grok extraction then runs post-shuffle in the partition
+    # stage (same vectorized kernel, ~40% fewer shuffle bytes)
+    from ..stages.normalize import needs_extraction_for_rules, normalize_light
+
+    if needs_extraction_for_rules(config.normalize):
+        ds = normalize(ds, config.normalize)
+    else:
+        ds = normalize_light(ds, config.normalize)
     main, bypass = split_bypass(ds, config.normalize)
 
-    concurrency = config.concurrency
-    if concurrency is None:
-        # callable-class map_groups needs an explicit actor-pool size; leave
-        # headroom for the shuffle's map/reduce tasks (a pool sized to the
-        # whole cluster starves the sort and deadlocks)
-        total_cpus = int(ray.cluster_resources().get("CPU", 4))
-        concurrency = max(1, total_cpus // 2)
-    kwargs = {"concurrency": concurrency}
-    stats_ds = group_apply(
-        main,
-        "conv_id",
-        fn_class=PartitionProcessor,
-        fn_constructor_kwargs={
-            "out_dir": out_dir,
-            "max_turns_per_conv": config.max_turns_per_conv,
-            "session_gap_us": config.session_gap_us,
-            "service_registry": config.service_registry,
-        },
-        pass_part_id=True,
-        sort_by=["turn_idx", "ts"],
-        num_partitions=config.num_partitions,
-        **kwargs,
-    )
+    if config.concurrency is None:
+        # default: stateless tasks; registry cached per worker process
+        from functools import partial
+
+        fn = partial(
+            _partition_task,
+            out_dir=out_dir,
+            max_turns_per_conv=config.max_turns_per_conv,
+            session_gap_us=config.session_gap_us,
+            metrics_window=config.metrics_window,
+            service_registry=config.service_registry,
+            registry_key=_registry_key(config.service_registry),
+        )
+        stats_ds = group_apply(
+            main,
+            "conv_id",
+            fn,
+            pass_part_id=True,
+            sort_by=["turn_idx", "ts"],
+            num_partitions=config.num_partitions,
+        )
+    else:
+        stats_ds = group_apply(
+            main,
+            "conv_id",
+            fn_class=PartitionProcessor,
+            fn_constructor_kwargs={
+                "out_dir": out_dir,
+                "max_turns_per_conv": config.max_turns_per_conv,
+                "session_gap_us": config.session_gap_us,
+                "service_registry": config.service_registry,
+                "metrics_window": config.metrics_window,
+            },
+            pass_part_id=True,
+            sort_by=["turn_idx", "ts"],
+            num_partitions=config.num_partitions,
+            concurrency=config.concurrency,
+        )
     stats = stats_ds.to_pandas()  # one row per partition — small by design
+    phases["main_stage"] = round(time.perf_counter() - t0, 2)
     if stats.empty:  # every row dropped/filtered upstream
         stats = (
             PartitionProcessor.STATS_SCHEMA.empty_table().to_pandas()
@@ -209,26 +328,51 @@ def run_pipeline(
 
     # bypass side output (SpanNormalizer.java:66-70 routed branch)
     if bypass is not None:
+        from ..stages.normalize import extract_batch
+
         bp_dir = os.path.join(out_dir, "bypass")
         if not os.path.exists(bp_dir):
             tmp = bp_dir + "_tmp"
             shutil.rmtree(tmp, ignore_errors=True)
-            bypass.write_parquet(tmp)
+            bypass.map_batches(extract_batch, batch_format="pyarrow").write_parquet(tmp)
             os.rename(tmp, bp_dir)
 
-    # metrics stage reads the per_turn sink (as the reference's metrics
-    # pipeline consumes the view topic)
+    # metrics stage: final combine over the per-partition partial counts
+    # written by the partition stage (the combiner pattern — the full per-turn
+    # data is never re-read or re-shuffled).  Partial volume is bounded by
+    # dims × partitions; for the sizes this yields, a single-process Arrow
+    # group-by beats spinning up another distributed pipeline.  Should dims
+    # explode (very fine windows × high service cardinality), swap this for
+    # `windowed_metrics(view_dataset(out_dir, "metrics_partial"))`.
     metrics_dir = os.path.join(out_dir, "metrics")
-    per_turn_dir = os.path.join(out_dir, "per_turn")
-    if not os.path.exists(metrics_dir) and os.path.exists(per_turn_dir):
-        per_turn = ray.data.read_parquet(
-            per_turn_dir,
-            columns=["ts", "tenant_id", "service_name", "api_status"],
+    partial_dir = os.path.join(out_dir, "metrics_partial")
+    if not os.path.exists(metrics_dir) and os.path.exists(partial_dir):
+        import glob
+
+        import pyarrow.parquet as pq
+
+        from ..stages.metrics import METRIC_DIMS, finalize_partials
+
+        partial_bytes = sum(
+            os.path.getsize(f) for f in glob.glob(os.path.join(partial_dir, "*.parquet"))
         )
         tmp = metrics_dir + "_tmp"
         shutil.rmtree(tmp, ignore_errors=True)
-        windowed_metrics(per_turn, config.metrics_window).write_parquet(tmp)
+        if partial_bytes <= 64 * 1024 * 1024:
+            final = finalize_partials(pq.read_table(partial_dir))
+            os.makedirs(tmp, exist_ok=True)
+            pq.write_table(final, os.path.join(tmp, "part-00000.parquet"))
+        else:  # dims exploded — combine distributed instead
+            partials = ray.data.read_parquet(partial_dir)
+            agg = partials.groupby(METRIC_DIMS).sum("num_calls")
+            agg.map_batches(
+                lambda b: b.rename_columns(METRIC_DIMS + ["num_calls"]),
+                batch_format="pyarrow",
+            ).write_parquet(tmp)
         os.rename(tmp, metrics_dir)
+    phases["metrics_finalize"] = round(
+        time.perf_counter() - t0 - phases["main_stage"], 2
+    )
 
     elapsed = time.perf_counter() - t0
     total_rows_in = int(stats["rows_in"].sum())
@@ -243,6 +387,7 @@ def run_pipeline(
             v: int(stats[f"rows_{v}"].sum()) for v in VIEW_BUILDERS
         },
         "turns_per_sec": total_rows_in / elapsed if elapsed > 0 else 0.0,
+        "phases": phases,
     }
     lineage.write_run_manifest(out_dir, summary)
     return summary

@@ -239,8 +239,10 @@ def synthesize_batch(
     method = np.where(np.isin(etype, ["signup", "purchase"]), "POST", "GET")
 
     base_ts = np.int64(1_704_067_200_000_000)  # 2024-01-01 UTC in us
-    conv_offset = (conv_rep * 97_003) % (86_400_000_000 * 30)
-    gaps = rng.integers(1_000_000, 120_000_000, total)  # 1–120 s between turns
+    # conversations start spread over ~1 day, turns 1-10 s apart — realistic
+    # telemetry time density so windowed aggregation has real fan-in
+    conv_offset = (conv_rep * 97_003) % np.int64(86_400_000_000)
+    gaps = rng.integers(1_000_000, 10_000_000, total)  # 1–10 s between turns
     ts = base_ts + conv_offset + np.cumsum(gaps) - np.repeat(
         np.concatenate(([0], np.cumsum(gaps)[np.cumsum(n_turns)[:-1] - 1])), n_turns
     )
@@ -277,23 +279,41 @@ def synthesize_batch(
     return tbl
 
 
+def _write_shard(args) -> str:
+    out_dir, start, n, seed, kwargs = args
+    path = os.path.join(out_dir, f"part-{start:08d}.parquet")
+    if not os.path.exists(path):
+        tbl = synthesize_batch(start, n, seed=seed, **kwargs)
+        tmp = path + ".tmp"
+        pq.write_table(tbl, tmp)
+        os.rename(tmp, path)
+    return path
+
+
 def write_synthetic_transcripts(
     out_dir: str,
     *,
     n_convs: int = 10_000,
     convs_per_file: int = 2_000,
     seed: int = 42,
+    max_workers: int = 16,
     **kwargs,
 ) -> str:
-    """Write a sharded synthetic corpus: one Parquet file per conversation range."""
+    """Write a sharded synthetic corpus: one Parquet file per conversation
+    range.  Shards are deterministic and skipped if already present (resume-
+    friendly); generation fans out over processes."""
     os.makedirs(out_dir, exist_ok=True)
-    for start in range(0, n_convs, convs_per_file):
-        path = os.path.join(out_dir, f"part-{start:08d}.parquet")
-        if os.path.exists(path):
-            continue
-        n = min(convs_per_file, n_convs - start)
-        tbl = synthesize_batch(start, n, seed=seed, **kwargs)
-        tmp = path + ".tmp"
-        pq.write_table(tbl, tmp)
-        os.rename(tmp, path)
+    jobs = [
+        (out_dir, start, min(convs_per_file, n_convs - start), seed, kwargs)
+        for start in range(0, n_convs, convs_per_file)
+        if not os.path.exists(os.path.join(out_dir, f"part-{start:08d}.parquet"))
+    ]
+    if len(jobs) <= 1:
+        for j in jobs:
+            _write_shard(j)
+    else:
+        from concurrent.futures import ProcessPoolExecutor
+
+        with ProcessPoolExecutor(max_workers=max_workers) as ex:
+            list(ex.map(_write_shard, jobs))
     return out_dir

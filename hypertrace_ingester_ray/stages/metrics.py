@@ -40,6 +40,13 @@ def partial_counts(batch: pa.Table, window: str = "minute") -> pa.Table:
     return out.rename_columns(METRIC_DIMS + ["num_calls"])
 
 
+def finalize_partials(partials: "pa.Table") -> "pa.Table":
+    """Final combine of per-partition partial counts (small by construction:
+    ≤ distinct dims × partitions rows)."""
+    out = partials.group_by(METRIC_DIMS).aggregate([("num_calls", "sum")])
+    return out.rename_columns(METRIC_DIMS + ["num_calls"])
+
+
 def windowed_metrics(per_turn: Dataset, window: str = "minute") -> Dataset:
     """turns → (window_ts, tenant, service, api_status, num_calls)."""
     partial = per_turn.map_batches(
