@@ -182,6 +182,56 @@ def _docs(sf_dir: str):
     return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
 
 
+SESSION_GAP_US = 3_600_000_000  # 1 h
+
+
+def _sessionized(sf_dir: str):
+    """ts-gap sessionization of derived conversations (G2 session-window
+    analog as a batch gap split)."""
+    import pyarrow as pa
+
+    from hypertrace_ingester_ray.stages.grouping import (
+        assemble_conversations,
+        group_apply,
+    )
+
+    ds = transcripts_from_events(sf_dir)
+
+    def fn(part: pa.Table) -> pa.Table:
+        out, _, _ = assemble_conversations(part, session_gap_us=SESSION_GAP_US)
+        return out.select(["conv_id", "turn_idx", "session_id"])
+
+    return group_apply(ds, "conv_id", fn, sort_by=["turn_idx", "ts"])
+
+
+def _knn_ivf(sf_dir: str):
+    """IVF-bucketed approximate k-NN (scale path; approximate → rows-only)."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    q = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    mask = np.asarray(q["vec_id"].to_numpy(zero_copy_only=False)) < 5
+    qids = q["vec_id"].to_numpy(zero_copy_only=False)[mask]
+    qmat = np.asarray(q["embedding"].combine_chunks().to_pylist(), dtype=np.float64)[mask]
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    centroids = similarity.deterministic_centroids(ds, 8)
+    indexed = similarity.ivf_assign(ds, centroids)
+    return similarity.ivf_search(indexed, qids, qmat, centroids, k=5, nprobe=3)
+
+
+def _media_features(sf_dir: str):
+    """Multimodal actor-pool stage over a deterministic synthetic media table
+    (decode stubbed — see stages/multimodal.py)."""
+    import ray.data
+
+    from hypertrace_ingester_ray.stages import multimodal
+
+    media = multimodal.synthesize_media(200, seed=7)
+    ds = ray.data.from_arrow(media)
+    feats = multimodal.extract_media_features(ds, batch_size=64, concurrency=2)
+    return feats.select_columns(["media_id", "mime"])
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -230,6 +280,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "knn_cosine_top5": _knn,
         "embedding_near_dup": _near_dup,
+        # --- additional operators
+        "sessionized": _sessionized,
+        "knn_ivf_top5": _knn_ivf,
+        "media_features": _media_features,
     }
     return q
 
@@ -393,6 +447,21 @@ FROM embeddings a JOIN embeddings b
 WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                              CAST(b.embedding AS DOUBLE[])) >= 0.30
 """
-    # doc_lang_id / doc_fingerprint / doc_minhash_pairs / doc_simhash_pairs:
-    # heuristic / hash-based ops, not SQL-expressible → rows-only checks.
+    sql["sessionized"] = f"""
+WITH {TRANSCRIPTS_CTE},
+lagged AS (
+  SELECT conv_id, turn_idx,
+    CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > {SESSION_GAP_US}
+         THEN 1 ELSE 0 END AS new_sess
+  FROM transcripts
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+)
+SELECT conv_id, turn_idx,
+  CAST(SUM(new_sess) OVER (PARTITION BY conv_id ORDER BY turn_idx
+       ROWS UNBOUNDED PRECEDING) AS INTEGER) AS session_id
+FROM lagged
+"""
+    # doc_lang_id / doc_fingerprint / doc_minhash_pairs / doc_simhash_pairs /
+    # knn_ivf_top5 (approximate) / media_features (stubbed decode):
+    # not SQL-expressible → rows-only checks.
     return sql

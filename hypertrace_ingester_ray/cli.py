@@ -35,6 +35,7 @@ def main(argv=None):
     run.add_argument("--max-turns-per-conv", type=int, default=100_000)
     run.add_argument("--session-gap-sec", type=float, default=None)
     run.add_argument("--num-cpus", type=int, default=None)
+    run.add_argument("--config", help="JSON pipeline config (see config.py); CLI flags override")
 
     synth = sub.add_parser("synth", help="write a synthetic transcript corpus")
     synth.add_argument("--out", required=True)
@@ -65,14 +66,21 @@ def main(argv=None):
         from .pipelines.ingest import PipelineConfig, run_pipeline
         from .sources.transcripts import transcripts_from_events
 
-        cfg = PipelineConfig(
-            num_partitions=args.num_partitions,
-            concurrency=args.concurrency,
-            max_turns_per_conv=args.max_turns_per_conv,
-            session_gap_us=(
-                int(args.session_gap_sec * 1e6) if args.session_gap_sec else None
-            ),
-        )
+        if args.config:
+            from .config import load_pipeline_config
+
+            cfg = load_pipeline_config(args.config)
+            cfg.num_partitions = args.num_partitions
+            cfg.concurrency = args.concurrency
+        else:
+            cfg = PipelineConfig(
+                num_partitions=args.num_partitions,
+                concurrency=args.concurrency,
+                max_turns_per_conv=args.max_turns_per_conv,
+                session_gap_us=(
+                    int(args.session_gap_sec * 1e6) if args.session_gap_sec else None
+                ),
+            )
         source = (
             transcripts_from_events(args.events) if args.events else args.input
         )

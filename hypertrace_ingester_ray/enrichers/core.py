@@ -278,13 +278,19 @@ DEFAULT_ENRICHERS = (
 
 def build_default_registry(
     service_registry: Optional[Dict[str, str]] = None,
+    extra_enrichers=(),
 ) -> EnrichmentRegistry:
     """Instantiate the default DAG (application.conf enrichers list analog,
-    hypertrace-trace-enricher/.../configs/common/application.conf:74-130)."""
+    hypertrace-trace-enricher/.../configs/common/application.conf:74-130).
+
+    ``extra_enrichers``: already-instantiated optional enrichers (spaces,
+    client info, peer service, user plugins) appended to the registry; the
+    topo sort orders them by their declared ``depends_on``."""
     instances = []
     for cls in DEFAULT_ENRICHERS:
         if cls is ServiceEntityEnricher:
             instances.append(cls(service_registry))
         else:
             instances.append(cls())
+    instances.extend(extra_enrichers)
     return EnrichmentRegistry(instances)

@@ -1,0 +1,166 @@
+"""Optional enrichers: memoized client parsing (E11), space rules (E12),
+peer-service correlation (G4 / J2).  All off by default, mirroring the
+reference's config-gated enrichers.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from ..stages.grouping import segmented_broadcast_first
+from ..stages.normalize import DropCondition, rules_mask
+from .base import ConversationContext, Enricher
+
+
+class ClientInfoEnricher(Enricher):
+    """UserAgentSpanEnricher analog
+    (/root/reference/hypertrace-trace-enricher/.../UserAgentSpanEnricher.java:27-68
+    + cached UserAgentParser, util/UserAgentParser.java): parse a descriptor
+    string into client family/type fields through a memo cache that persists
+    across batches (worker-lifetime, like the reference's caffeine cache).
+
+    Transcript analog: the descriptor is ``role[/tool]``; the parse yields
+    ``client_family`` (human/agent/system) and ``client_type``.
+    """
+
+    name = "client_info"
+    depends_on = ("span_kind",)
+
+    def __init__(self):
+        self._memo: Dict[str, Tuple[str, str]] = {}
+
+    def _parse(self, descriptor: str) -> Tuple[str, str]:
+        hit = self._memo.get(descriptor)
+        if hit is None:
+            role, _, tool = descriptor.partition("/")
+            if role == "user":
+                hit = ("human", "browser")
+            elif role == "assistant":
+                hit = ("agent", "llm")
+            elif role == "tool":
+                hit = ("system", tool or "unknown")
+            else:
+                hit = ("unknown", "unknown")
+            self._memo[descriptor] = hit
+        return hit
+
+    def enrich(self, table: pa.Table, ctx: ConversationContext) -> pa.Table:
+        role_codes, role_uniq = ctx.dict_codes("role")
+        tool_codes, tool_uniq = ctx.dict_codes("tool")
+        k = len(tool_uniq) + 1
+        pair = role_codes * k + np.where(tool_codes < 0, k - 1, tool_codes)
+        uniq, inverse = np.unique(pair, return_inverse=True)
+        fams = np.empty(len(uniq), dtype=object)
+        types = np.empty(len(uniq), dtype=object)
+        for i, p in enumerate(uniq):
+            rc, tc = divmod(int(p), k)
+            tool = tool_uniq[tc] if tc < k - 1 else ""
+            fam, typ = self._parse(f"{role_uniq[rc]}/{tool}")
+            fams[i] = fam
+            types[i] = typ
+        return table.append_column(
+            "client_family", pa.array(fams[inverse], pa.string())
+        ).append_column("client_type", pa.array(types[inverse], pa.string()))
+
+
+@dataclass(frozen=True)
+class SpaceRule:
+    """One tenant space rule: rows matching the condition set get the space id
+    (SpaceEnricher analog, enrichers/space/SpaceEnricher.java:40-70)."""
+
+    space_id: str
+    conditions: Sequence[DropCondition]
+
+
+class SpaceEnricher(Enricher):
+    """Evaluate space rules per turn → ``space_ids`` list column; conv-level
+    union mirrors the trace-attr union (SpaceEnricher.java:50-56)."""
+
+    name = "spaces"
+
+    def __init__(self, rules: Sequence[SpaceRule] = ()):
+        self.rules = list(rules)
+
+    def enrich(self, table: pa.Table, ctx: ConversationContext) -> pa.Table:
+        n = ctx.n
+        per_row: List[List[str]] = [[] for _ in range(n)]
+        for rule in self.rules:
+            mask = rules_mask(table, [rule.conditions])
+            if mask is None:
+                continue
+            hit = mask.combine_chunks().to_numpy(zero_copy_only=False)
+            for i in np.flatnonzero(hit):
+                per_row[i].append(rule.space_id)
+        # conv-level union, broadcast back (sorted for determinism)
+        conv_union: List[List[str]] = []
+        for s, e in zip(ctx.bounds[:-1], ctx.bounds[1:]):
+            u = sorted({sid for i in range(s, e) for sid in per_row[i]})
+            conv_union.append(u)
+        conv_ids = [
+            conv_union[si]
+            for si in np.repeat(np.arange(ctx.n_convs), np.diff(ctx.bounds))
+        ]
+        return table.append_column(
+            "space_ids", pa.array(per_row, pa.list_(pa.string()))
+        ).append_column("conv_space_ids", pa.array(conv_ids, pa.list_(pa.string())))
+
+
+# ---------------------------------------------------------------------------
+# G4 / J2 — peer-service correlation: the cross-conversation KV join
+# ---------------------------------------------------------------------------
+
+
+def build_peer_index(normalized_ds, *, max_entries: int = 1_000_000) -> Dict[str, str]:
+    """Pass 1: build the small (tool → first caller service) map — the analog
+    of client spans publishing ``ip-identity → service_name`` to the shared
+    store (RawSpansProcessor.java:249-345).  Aggregated distributively
+    (per-batch distinct pairs, tiny global combine)."""
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "tool": batch["tool"],
+                "service": pa.compute.coalesce(batch["tool"], batch["role"]),
+            }
+        )
+        t = t.filter(pa.compute.is_valid(t["tool"]))
+        return t.group_by(["tool"]).aggregate([("service", "min")]).rename_columns(
+            ["tool", "service"]
+        )
+
+    partial = normalized_ds.map_batches(pairs, batch_format="pyarrow")
+    combined = partial.groupby("tool").min("service")
+    out: Dict[str, str] = {}
+    for row in combined.take_all():
+        if len(out) >= max_entries:
+            break
+        out[row["tool"]] = row["min(service)"]
+    return out
+
+
+class PeerServiceEnricher(Enricher):
+    """Pass 2: turns gain ``peer_service_name`` from the broadcast peer index
+    (server spans looking up the client-published identity,
+    RawSpansProcessor.java:274-333).  The index is fetched from the object
+    store once per worker (zero-copy broadcast join, SURVEY §2.9 J2)."""
+
+    name = "peer_service"
+
+    def __init__(self, index_ref=None, index: Optional[Dict[str, str]] = None):
+        if index is None and index_ref is not None:
+            index = ray.get(index_ref)
+        self.index = index or {}
+
+    def enrich(self, table: pa.Table, ctx: ConversationContext) -> pa.Table:
+        tool_codes, tool_uniq = ctx.dict_codes("tool")
+        mapped = np.array(
+            [self.index.get(t) for t in tool_uniq] + [None], dtype=object
+        )
+        peer = mapped[tool_codes]  # code -1 → the trailing None
+        return table.append_column("peer_service_name", pa.array(peer, pa.string()))

@@ -71,6 +71,14 @@ class PipelineConfig:
     read_num_blocks: Optional[int] = None
     service_registry: Optional[Dict[str, str]] = None
     metrics_window: str = "minute"
+    # optional features (off by default, mirroring the reference's config
+    # gating): see enrichers/extended.py and stages/filters.py
+    enable_client_info: bool = False  # E11 UserAgentSpanEnricher analog
+    space_rules: tuple = ()  # E12 SpaceEnricher rules
+    peer_correlation: bool = False  # G4/J2 two-pass broadcast KV join
+    drop_root_exits: bool = False  # F3 parentless-client-span drop
+    root_exit_exclusions: tuple = ()
+    latency_sample_pct: Optional[int] = None  # G5 TraceLatencyMeter analog
 
 
 def process_partition(
@@ -80,6 +88,9 @@ def process_partition(
     max_turns_per_conv: int = 100_000,
     session_gap_us: Optional[int] = None,
     metrics_window: str = "minute",
+    drop_root_exits: bool = False,
+    root_exit_exclusions=(),
+    latency_sample_pct: Optional[int] = None,
 ):
     """Pure core: normalized partition (sorted by conv_id, turn_idx, ts) →
     (views dict, stats dict).  Shared by the sink-writing actor and tests.
@@ -94,6 +105,14 @@ def process_partition(
 
     table = extract_batch(table)  # no-op if extraction ran pre-shuffle
     rows_in = table.num_rows
+    if drop_root_exits:
+        from ..stages.filters import root_exit_drop
+
+        table = root_exit_drop(table, root_exit_exclusions)
+    if latency_sample_pct is not None:
+        from ..stages.filters import add_latency_sample
+
+        table = add_latency_sample(table, latency_sample_pct)
     assembled, n_dedup, n_capped = assemble_conversations(
         table,
         max_turns_per_conv=max_turns_per_conv,
@@ -112,27 +131,28 @@ def process_partition(
     return views, stats
 
 
-# Per-worker-process registry cache (the process-wide singleton
+# Per-worker-process processor cache (the process-wide singleton
 # EnrichmentProcessor analog, StructuredTraceEnrichProcessor.java:38-61).
 # Ray worker processes are reused across tasks, so the build cost is paid
 # once per worker, exactly like an actor __init__ — without reserving CPUs.
-_WORKER_REGISTRIES: Dict[str, object] = {}
+_WORKER_PROCESSORS: Dict[str, "PartitionProcessor"] = {}
 
 
-def _worker_registry(key: str, service_registry: Optional[Dict[str, str]]):
-    reg = _WORKER_REGISTRIES.get(key)
-    if reg is None:
-        reg = build_default_registry(service_registry)
-        _WORKER_REGISTRIES[key] = reg
-    return reg
+def _build_extras(config: "PipelineConfig", peer_index: Optional[Dict[str, str]]):
+    extras = []
+    if config.enable_client_info:
+        from ..enrichers.extended import ClientInfoEnricher
 
+        extras.append(ClientInfoEnricher())
+    if config.space_rules:
+        from ..enrichers.extended import SpaceEnricher
 
-def _registry_key(service_registry: Optional[Dict[str, str]]) -> str:
-    if not service_registry:
-        return "default"
-    import hashlib
+        extras.append(SpaceEnricher(config.space_rules))
+    if peer_index is not None:
+        from ..enrichers.extended import PeerServiceEnricher
 
-    return hashlib.md5(repr(sorted(service_registry.items())).encode()).hexdigest()
+        extras.append(PeerServiceEnricher(index=peer_index))
+    return extras
 
 
 class PartitionProcessor:
@@ -159,16 +179,15 @@ class PartitionProcessor:
     def __init__(
         self,
         out_dir: str,
-        max_turns_per_conv: int = 100_000,
-        session_gap_us: Optional[int] = None,
-        service_registry: Optional[Dict[str, str]] = None,
-        metrics_window: str = "minute",
+        config: Optional["PipelineConfig"] = None,
+        peer_index: Optional[Dict[str, str]] = None,
     ):
+        config = config or PipelineConfig()
         self.out_dir = out_dir
-        self.max_turns_per_conv = max_turns_per_conv
-        self.session_gap_us = session_gap_us
-        self.metrics_window = metrics_window
-        self.registry = build_default_registry(service_registry)
+        self.config = config
+        self.registry = build_default_registry(
+            config.service_registry, _build_extras(config, peer_index)
+        )
 
     def _stats_row(self, part_id, stats, resumed):
         row = {
@@ -187,12 +206,16 @@ class PartitionProcessor:
         if existing is not None:
             return self._stats_row(part_id, existing, resumed=True)
 
+        cfg = self.config
         views, stats = process_partition(
             part,
             registry=self.registry,
-            max_turns_per_conv=self.max_turns_per_conv,
-            session_gap_us=self.session_gap_us,
-            metrics_window=self.metrics_window,
+            max_turns_per_conv=cfg.max_turns_per_conv,
+            session_gap_us=cfg.session_gap_us,
+            metrics_window=cfg.metrics_window,
+            drop_root_exits=cfg.drop_root_exits,
+            root_exit_exclusions=cfg.root_exit_exclusions,
+            latency_sample_pct=cfg.latency_sample_pct,
         )
         for name, tbl in views.items():
             lineage.write_view_part(self.out_dir, name, part_id, tbl)
@@ -212,21 +235,37 @@ def _partition_task(
     part_id: int,
     *,
     out_dir: str,
-    max_turns_per_conv: int,
-    session_gap_us: Optional[int],
-    metrics_window: str,
-    service_registry: Optional[Dict[str, str]],
-    registry_key: str,
+    config: "PipelineConfig",
+    peer_index: Optional[Dict[str, str]],
+    cache_key: str,
 ):
-    """Stateless-task form of the partition stage (default execution path)."""
-    registry = _worker_registry(registry_key, service_registry)
-    proc = PartitionProcessor.__new__(PartitionProcessor)
-    proc.out_dir = out_dir
-    proc.max_turns_per_conv = max_turns_per_conv
-    proc.session_gap_us = session_gap_us
-    proc.metrics_window = metrics_window
-    proc.registry = registry
+    """Stateless-task form of the partition stage (default execution path);
+    the processor (registry + extras) is built once per worker process."""
+    proc = _WORKER_PROCESSORS.get(cache_key)
+    if proc is None:
+        proc = PartitionProcessor(out_dir, config, peer_index)
+        _WORKER_PROCESSORS[cache_key] = proc
     return proc(part, part_id)
+
+
+def _write_schema_manifest(out_dir: str) -> None:
+    """Sink bootstrap (the run-once Pinot view-creator DDL analog,
+    hypertrace-view-generator/hypertrace-view-creator/.../all-views/
+    application.conf:5-8): one ``_schema.json`` describing every sink."""
+    import json
+
+    path = os.path.join(out_dir, "_schema.json")
+    if os.path.exists(path):
+        return
+    manifest = {
+        name: {f.name: str(f.type) for f in schema}
+        for name, schema in schemas.VIEW_SCHEMAS.items()
+    }
+    manifest["metrics"] = {f.name: str(f.type) for f in schemas.METRICS}
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.rename(tmp, path)
 
 
 def run_pipeline(
@@ -281,18 +320,32 @@ def run_pipeline(
         ds = normalize_light(ds, config.normalize)
     main, bypass = split_bypass(ds, config.normalize)
 
+    # optional G4/J2 pre-pass: small-side index built distributively, then
+    # broadcast into the partition stage
+    peer_index = None
+    if config.peer_correlation:
+        from ..enrichers.extended import build_peer_index
+
+        peer_index = build_peer_index(main)
+
+    # S6 analog: write the sink schema manifest once at pipeline start
+    # (the Pinot view-creator bootstrap job)
+    _write_schema_manifest(out_dir)
+
     if config.concurrency is None:
-        # default: stateless tasks; registry cached per worker process
+        # default: stateless tasks; processor cached per worker process
+        import hashlib
         from functools import partial
 
+        cache_key = hashlib.md5(
+            (out_dir + repr(config) + repr(sorted((peer_index or {}).items()))).encode()
+        ).hexdigest()
         fn = partial(
             _partition_task,
             out_dir=out_dir,
-            max_turns_per_conv=config.max_turns_per_conv,
-            session_gap_us=config.session_gap_us,
-            metrics_window=config.metrics_window,
-            service_registry=config.service_registry,
-            registry_key=_registry_key(config.service_registry),
+            config=config,
+            peer_index=peer_index,
+            cache_key=cache_key,
         )
         stats_ds = group_apply(
             main,
@@ -309,10 +362,8 @@ def run_pipeline(
             fn_class=PartitionProcessor,
             fn_constructor_kwargs={
                 "out_dir": out_dir,
-                "max_turns_per_conv": config.max_turns_per_conv,
-                "session_gap_us": config.session_gap_us,
-                "service_registry": config.service_registry,
-                "metrics_window": config.metrics_window,
+                "config": config,
+                "peer_index": peer_index,
             },
             pass_part_id=True,
             sort_by=["turn_idx", "ts"],

@@ -185,5 +185,6 @@ def ivf_search(
 def deterministic_centroids(ds: Dataset, c: int, *, vec_col: str = "embedding") -> np.ndarray:
     """Centroids = the first c vectors in id order (deterministic, cheap);
     a k-means refinement can replace this without changing the operator."""
-    head = ds.sort("vec_id").limit(c).to_arrow()
+    refs = ds.sort("vec_id").limit(c).to_arrow_refs()
+    head = pa.concat_tables(ray.get(refs))
     return _to_matrix(head[vec_col])

@@ -33,8 +33,22 @@ from .. import schemas
 SUMMARY_LEN = 120  # LogEventViewGenerator summary priority-key analog
 
 
+# optional enrichment columns included in per_turn when their enricher ran
+OPTIONAL_TURN_COLUMNS = [
+    "client_family",
+    "client_type",
+    "space_ids",
+    "conv_space_ids",
+    "peer_service_name",
+    "latency_sampled",
+]
+
+
 def per_turn_view(t: pa.Table, ctx: ConversationContext) -> pa.Table:
-    return t.select(schemas.PER_TURN_VIEW.names)
+    names = list(schemas.PER_TURN_VIEW.names) + [
+        c for c in OPTIONAL_TURN_COLUMNS if c in t.schema.names
+    ]
+    return t.select(names)
 
 
 def per_role_view(t: pa.Table, ctx: ConversationContext) -> pa.Table:

@@ -1,0 +1,146 @@
+"""Optional-feature tests: extended enrichers, stateful filters, peer
+correlation, multimodal plumbing, schema manifest."""
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from hypertrace_ingester_ray.enrichers.extended import SpaceRule
+from hypertrace_ingester_ray.pipelines.ingest import (
+    PipelineConfig,
+    run_pipeline,
+    view_dataset,
+)
+from hypertrace_ingester_ray.sources.transcripts import transcripts_from_events
+from hypertrace_ingester_ray.stages.filters import RateLimiter, root_exit_drop
+from hypertrace_ingester_ray.stages.normalize import DropCondition
+from hypertrace_ingester_ray.stages import multimodal
+
+
+@pytest.fixture(scope="module")
+def featured_run(tmp_path_factory, sf_dir, ray_session):
+    out = str(tmp_path_factory.mktemp("featured"))
+    cfg = PipelineConfig(
+        num_partitions=8,
+        enable_client_info=True,
+        space_rules=(
+            SpaceRule("errors-space", (DropCondition("is_error", "EQ", True),)),
+            SpaceRule("db-space", (DropCondition("tool", "EQ", "db"),)),
+        ),
+        peer_correlation=True,
+        latency_sample_pct=20,
+        session_gap_us=3_600_000_000,
+    )
+    summary = run_pipeline(transcripts_from_events(sf_dir), out, cfg)
+    return out, summary
+
+
+def test_optional_columns_in_per_turn(featured_run):
+    out, _ = featured_run
+    pt = view_dataset(out, "per_turn").to_pandas()
+    for col in [
+        "client_family", "client_type", "space_ids", "conv_space_ids",
+        "peer_service_name", "latency_sampled",
+    ]:
+        assert col in pt.columns, col
+    # client info semantics
+    assert set(pt[pt.role == "user"].client_family) == {"human"}
+    tools = pt[pt.role == "tool"]
+    assert (tools.client_type == tools.tool).all()
+    # space rules: every error turn carries errors-space
+    err = pt[pt.is_error]
+    assert all("errors-space" in s for s in err.space_ids)
+    # peer correlation: every tool turn resolves a peer service
+    assert tools.peer_service_name.notna().all()
+    # latency sampling is deterministic per conv
+    per_conv = pt.groupby("conv_id").latency_sampled.nunique()
+    assert (per_conv == 1).all()
+
+
+def test_sessionization_with_gap(featured_run):
+    out, _ = featured_run
+    pt = view_dataset(out, "per_turn").to_pandas()
+    # 1h gap splits some derived conversations (they span weeks)
+    assert pt.session_id.max() > 0
+
+
+def test_rate_limiter():
+    batch = pa.table(
+        {
+            "tenant_id": pa.array(["t"] * 10, pa.string()),
+            "conv_id": pa.array(["a"] * 6 + ["b"] * 4, pa.string()),
+        }
+    )
+    rl = RateLimiter(3, window_sec=1000)
+    out = rl(batch)
+    # per-key cap of 3
+    counts = out.group_by("conv_id").aggregate([([], "count_all")]).to_pydict()
+    assert dict(zip(counts["conv_id"], counts["count_all"])) == {"a": 3, "b": 3}
+    # second batch in the same window: keys are exhausted
+    out2 = rl(batch)
+    assert out2.num_rows == 0
+    # new window resets
+    rl2 = RateLimiter(3, window_sec=0.0)
+    assert rl2(batch).num_rows == 6
+
+
+def test_root_exit_drop():
+    part = pa.table(
+        {
+            "conv_id": pa.array(["a"] * 4 + ["b"] * 2, pa.string()),
+            "turn_idx": pa.array([0, 1, 2, 3, 0, 1], pa.int32()),
+            "role": pa.array(
+                ["tool", "tool", "user", "tool", "user", "tool"], pa.string()
+            ),
+            "tool": pa.array(["db", "db", None, "db", None, "http"], pa.string()),
+        }
+    )
+    out = root_exit_drop(part)
+    # conv a loses its two LEADING tool turns only; conv b untouched
+    assert out["turn_idx"].to_pylist() == [2, 3, 0, 1]
+    # exclusion keeps matching leading exits
+    out2 = root_exit_drop(part, [[DropCondition("tool", "EQ", "db")]])
+    assert out2.num_rows == 6
+
+
+def test_schema_manifest(featured_run):
+    out, _ = featured_run
+    with open(os.path.join(out, "_schema.json")) as f:
+        manifest = json.load(f)
+    assert "per_turn" in manifest and "metrics" in manifest
+    assert manifest["per_conversation"]["num_turns"] == "int64"
+
+
+def test_multimodal_feature_extraction(ray_session):
+    media = multimodal.synthesize_media(50, payload_bytes=1024)
+    ds = ray.data.from_arrow(media)
+    feats = multimodal.extract_media_features(ds, batch_size=16, concurrency=2)
+    df = feats.to_pandas()
+    assert len(df) == 50
+    assert len(df.iloc[0].feature) == multimodal.FEATURE_DIM
+    # deterministic: same payload → same features
+    feats2 = multimodal.extract_media_features(
+        ray.data.from_arrow(media), batch_size=16, concurrency=2
+    ).to_pandas()
+    a = np.stack(df.sort_values("media_id").feature.values)
+    b = np.stack(feats2.sort_values("media_id").feature.values)
+    assert np.array_equal(a, b)
+
+
+def test_multimodal_real_decode_raises():
+    ext = multimodal.MediaFeatureExtractor(decode_stub=False)
+    with pytest.raises(NotImplementedError):
+        ext._decode(b"xx", "image/png")
+
+
+def test_multimodal_resize_planning(ray_session):
+    media = multimodal.synthesize_media(10)
+    out = multimodal.resize_stub(media, max_side=512)
+    w = out["target_width"].to_numpy()
+    h = out["target_height"].to_numpy()
+    assert (np.maximum(w, h) <= 512).all()
