@@ -1,0 +1,71 @@
+"""True crash-resume: SIGKILL a CLI run mid-flight, re-run, and assert the
+routed rows equal a clean run's — the north rule's "killed ray job submit
+resumes without duplicate or missing routed rows"."""
+
+import json
+import os
+import signal
+import subprocess
+import sys
+import time
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.slow
+def test_sigkill_then_resume(tmp_path):
+    corpus = str(tmp_path / "corpus")
+    subprocess.run(
+        [sys.executable, "-m", "hypertrace_ingester_ray.cli", "synth",
+         "--out", corpus, "--n-convs", "3000"],
+        cwd=REPO, check=True, capture_output=True,
+    )
+
+    def run_cli(out, timeout=None, kill_after=None):
+        p = subprocess.Popen(
+            [sys.executable, "-m", "hypertrace_ingester_ray.cli", "run",
+             "--input", corpus, "--out", out,
+             "--num-partitions", "16", "--num-cpus", "4"],
+            cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+            text=True,
+        )
+        if kill_after is not None:
+            manifests = os.path.join(out, "_manifests")
+            deadline = time.time() + 120
+            while time.time() < deadline:
+                done = len(os.listdir(manifests)) if os.path.isdir(manifests) else 0
+                if done >= kill_after:
+                    break
+                time.sleep(0.2)
+            p.kill()  # SIGKILL — no cleanup, mid-write
+            p.wait()
+            return None
+        out_text, _ = p.communicate(timeout=timeout)
+        assert p.returncode == 0, out_text
+        return json.loads([l for l in out_text.splitlines() if l.startswith("{")][-1])
+
+    clean = str(tmp_path / "clean")
+    s_clean = run_cli(clean, timeout=300)
+
+    crashed = str(tmp_path / "crashed")
+    run_cli(crashed, kill_after=4)  # kill once ≥4 partitions committed
+    committed = len(os.listdir(os.path.join(crashed, "_manifests")))
+    assert committed >= 1
+
+    s_resumed = run_cli(crashed, timeout=300)
+    assert s_resumed["resumed_partitions"] >= 1
+    assert s_resumed["view_counts"] == s_clean["view_counts"]
+
+    a = pq.read_table(os.path.join(clean, "per_turn")).to_pandas()
+    b = pq.read_table(os.path.join(crashed, "per_turn")).to_pandas()
+    key = ["conv_id", "turn_idx"]
+    assert not b.duplicated(key).any()
+    pd.testing.assert_frame_equal(
+        a.sort_values(key).reset_index(drop=True)[sorted(a.columns)],
+        b.sort_values(key).reset_index(drop=True)[sorted(b.columns)],
+        check_dtype=False,
+    )
