@@ -219,6 +219,79 @@ def _knn_ivf(sf_dir: str):
     return similarity.ivf_search(indexed, qids, qmat, centroids, k=5, nprobe=3)
 
 
+def _log_tokens(sf_dir: str):
+    """flat_map row expansion (raw-logs side-output analog, M11)."""
+    from hypertrace_ingester_ray.stages.explode import explode_tokens
+
+    return explode_tokens(transcripts_from_events(sf_dir))
+
+
+def _order_priority_revenue(sf_dir: str):
+    """Two-large-sides distributed hash join: lineitem ⋈ orders."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from hypertrace_ingester_ray.stages.joins import hash_join
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice"],
+    )
+    od = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderpriority"],
+    )
+    j = hash_join(li, od, on=["l_orderkey"], right_on=["o_orderkey"], num_partitions=16)
+    names = ["o_orderpriority", "revenue_cents", "num_items"]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.floor(pc.multiply(batch["l_extendedprice"], pa.scalar(100.0))),
+            pa.int64(),
+        )
+        t = pa.table({"o_orderpriority": batch["o_orderpriority"], "revenue_cents": cents})
+        return (
+            t.group_by(["o_orderpriority"])
+            .aggregate([("revenue_cents", "sum"), ([], "count_all")])
+            .rename_columns(names)
+        )
+
+    agg = j.map_batches(partial, batch_format="pyarrow").groupby(
+        "o_orderpriority"
+    ).sum(["revenue_cents", "num_items"])
+    return agg.map_batches(lambda b: b.rename_columns(names), batch_format="pyarrow")
+
+
+def _asof_last_click(sf_dir: str):
+    """Custom as-of join: for each error event, the latest prior click of the
+    same user (matched rows only)."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from hypertrace_ingester_ray.stages.joins import asof_join
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    errors = ev.filter(expr="event_type == 'error'").select_columns(
+        ["user_id", "ts", "event_id"]
+    )
+    clicks = ev.filter(expr="event_type == 'click'").select_columns(
+        ["user_id", "ts", "event_id"]
+    )
+    j = asof_join(errors, clicks, key="user_id", ts_col="ts", num_partitions=8)
+
+    def finish(batch):
+        batch = batch.filter(pc.is_valid(batch["event_id_right"]))
+        return batch.select(["event_id", "event_id_right"]).rename_columns(
+            ["error_id", "click_id"]
+        )
+
+    return j.map_batches(finish, batch_format="pyarrow")
+
+
 def _media_features(sf_dir: str):
     """Multimodal actor-pool stage over a deterministic synthetic media table
     (decode stubbed — see stages/multimodal.py)."""
@@ -282,6 +355,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": _near_dup,
         # --- additional operators
         "sessionized": _sessionized,
+        "log_tokens": _log_tokens,
+        "order_priority_revenue": _order_priority_revenue,
+        "asof_last_click": _asof_last_click,
         "knn_ivf_top5": _knn_ivf,
         "media_features": _media_features,
     }
@@ -460,6 +536,27 @@ SELECT conv_id, turn_idx,
   CAST(SUM(new_sess) OVER (PARTITION BY conv_id ORDER BY turn_idx
        ROWS UNBOUNDED PRECEDING) AS INTEGER) AS session_id
 FROM lagged
+"""
+    sql["log_tokens"] = f"""
+WITH {TRANSCRIPTS_CTE}
+SELECT conv_id, turn_idx,
+  CAST(unnest(generate_series(1, len(string_split(text, ' ')))) AS INTEGER)
+      AS token_idx,
+  unnest(string_split(text, ' ')) AS token
+FROM transcripts
+"""
+    sql["order_priority_revenue"] = """
+SELECT o_orderpriority,
+  SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS revenue_cents,
+  COUNT(*) AS num_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+    sql["asof_last_click"] = """
+SELECT e.event_id AS error_id, c.event_id AS click_id
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON e.user_id = c.user_id AND e.ts >= c.ts
 """
     # doc_lang_id / doc_fingerprint / doc_minhash_pairs / doc_simhash_pairs /
     # knn_ivf_top5 (approximate) / media_features (stubbed decode):

@@ -1,0 +1,211 @@
+"""Join operators.
+
+The reference's only joins are broadcast lookups against cached entity
+services (SURVEY.md §2.9 J1/J2) — no shuffle/sort-merge/as-of joins exist
+there.  A complete engine needs them, so this module adds:
+
+- ``broadcast_join`` — the canonical small-side pattern: build a dict once,
+  ``ray.put`` it, probe per batch (generalizes the EntityCache lookup,
+  /root/reference/hypertrace-trace-enricher/.../cache/EntityCache.java).
+- ``hash_join`` — distributed hash join for two large sides, delegating to
+  Ray Data's native hash-shuffle join.
+- ``asof_join`` — for each left row, the latest right row with
+  ``right.ts <= left.ts`` within the same key: both sides are tagged,
+  unioned, hash-partitioned by key with the same ``group_apply`` primitive
+  the pipeline uses, and matched vectorized with ``np.searchsorted`` per
+  partition.  The partitioning assumption: one key's rows (both sides) fit
+  in one partition — same contract as conversation assembly.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data import Dataset
+
+from .grouping import group_apply, run_boundaries
+
+
+def broadcast_join(
+    ds: Dataset,
+    lookup: Dict,
+    *,
+    key: str,
+    value_col: str,
+    default=None,
+) -> Dataset:
+    """Attach ``value_col`` = lookup[row[key]] via a broadcast dict."""
+    ref = ray.put(lookup)
+
+    class _Probe:
+        def __init__(self, ref):
+            self.lookup = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keys = batch[key].to_pylist()
+            uniq = {}
+            vals = [
+                uniq.setdefault(k, self.lookup.get(k, default)) for k in keys
+            ]
+            return batch.append_column(value_col, pa.array(vals))
+
+    return ds.map_batches(
+        _Probe, fn_constructor_kwargs={"ref": ref}, batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+
+def hash_join(
+    left: Dataset,
+    right: Dataset,
+    *,
+    on: Sequence[str],
+    right_on: Optional[Sequence[str]] = None,
+    how: str = "inner",
+    num_partitions: int = 32,
+) -> Dataset:
+    """Distributed hash join (both sides large → co-shuffle by key)."""
+    return left.join(
+        right,
+        how,
+        num_partitions,
+        on=tuple(on),
+        right_on=tuple(right_on) if right_on else None,
+    )
+
+
+def asof_join(
+    left: Dataset,
+    right: Dataset,
+    *,
+    key: str,
+    ts_col: str = "ts",
+    left_cols: Optional[Sequence[str]] = None,
+    right_cols: Optional[Sequence[str]] = None,
+    suffix: str = "_right",
+    num_partitions: int = 32,
+) -> Dataset:
+    """Backward as-of join: each left row gains the columns of the latest
+    right row with ``right.ts <= left.ts`` and the same key (nulls if none).
+    """
+    for side, ds_ in (("left", left), ("right", right)):
+        names = ds_.schema().names
+        for col in (key, ts_col):
+            if col not in names:
+                raise ValueError(
+                    f"asof_join: column {col!r} not in {side} dataset "
+                    f"(has {names})"
+                )
+    left_cols = list(left_cols or [c for c in left.schema().names])
+    right_cols = list(right_cols or [c for c in right.schema().names])
+    right_payload = [c for c in right_cols if c not in (key, ts_col)]
+
+    # tag + align to a shared schema: key, ts, __side, left payload (null on
+    # right rows), right payload (null on left rows)
+    left_payload = [c for c in left_cols if c not in (key, ts_col)]
+
+    def _tag(side: int, payload_keep: List[str], payload_null: List[str], null_types):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            cols = {
+                key: batch[key],
+                ts_col: batch[ts_col],
+                "__side": pa.array(np.full(n, side, dtype=np.int8)),
+            }
+            for c in payload_keep:
+                cols["L_" + c if side == 0 else "R_" + c] = batch[c]
+            for c, t in null_types.items():
+                cols[c] = pa.nulls(n, t)
+            return pa.table(cols)
+
+        return fn
+
+    lschema = {f.name: f.type for f in left.schema().base_schema}
+    rschema = {f.name: f.type for f in right.schema().base_schema}
+    l_nulls = {"R_" + c: rschema[c] for c in right_payload}
+    r_nulls = {"L_" + c: lschema[c] for c in left_payload}
+
+    lt = left.map_batches(
+        _tag(0, left_payload, [], l_nulls), batch_format="pyarrow"
+    )
+    rt = right.map_batches(
+        _tag(1, right_payload, [], r_nulls), batch_format="pyarrow"
+    )
+    # column order must match for union
+    order = [key, ts_col, "__side"] + ["L_" + c for c in left_payload] + [
+        "R_" + c for c in right_payload
+    ]
+    lt = lt.map_batches(lambda b: b.select(order), batch_format="pyarrow")
+    rt = rt.map_batches(lambda b: b.select(order), batch_format="pyarrow")
+    both = lt.union(rt)
+
+    def _match(part: pa.Table) -> pa.Table:
+        # sorted by (key, ts, __side) — right rows sort before left on ts ties?
+        # __side: left=0, right=1; for ties we want right rows with equal ts to
+        # be eligible → sort by (key, ts, __side desc) not expressible here, so
+        # handle via searchsorted side='right' on (key_code, ts) pairs instead.
+        keys = part[key]
+        if pa.types.is_integer(keys.type):
+            kcodes = keys.combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        else:
+            kcodes = (
+                keys.combine_chunks().dictionary_encode().indices
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+        ts = part[ts_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        side = part["__side"].combine_chunks().to_numpy(zero_copy_only=False)
+
+        lrows = np.flatnonzero(side == 0)
+        rrows = np.flatnonzero(side == 1)
+        out_left = part.take(pa.array(lrows)).select(
+            [key, ts_col] + ["L_" + c for c in left_payload]
+        )
+        if len(rrows) == 0:
+            empty = {("R_" + c): pa.nulls(len(lrows), rschema[c]) for c in right_payload}
+            res = out_left
+            for name, arr in empty.items():
+                res = res.append_column(name, arr)
+            return res.rename_columns(
+                [key, ts_col] + left_payload + [c + suffix for c in right_payload]
+            )
+
+        # right side sorted by (key, ts) — build composite sort key
+        rk, rts = kcodes[rrows], ts[rrows]
+        r_order = np.lexsort((rts, rk))
+        rk, rts = rk[r_order], rts[r_order]
+        r_sorted_rows = rrows[r_order]
+
+        lk, lts = kcodes[lrows], ts[lrows]
+        # vectorized (key, ts) lexicographic search: rank-compress ts so the
+        # composite (key_code, ts_rank) packs into one int64
+        all_ts = np.unique(np.concatenate([rts, lts]))
+        r_rank = np.searchsorted(all_ts, rts)
+        l_rank = np.searchsorted(all_ts, lts)
+        base = np.int64(len(all_ts) + 1)
+        r_comp = rk * base + r_rank
+        l_comp = lk * base + l_rank
+        idx = np.searchsorted(r_comp, l_comp, side="right") - 1
+        # candidate must exist and share the key
+        matched = (idx >= 0) & (rk[np.maximum(idx, 0)] == lk)
+        idx = np.where(matched, idx, -1)
+        take_idx = np.where(matched, idx, 0)
+        right_match = part.take(pa.array(r_sorted_rows[take_idx]))
+        res = out_left
+        for c in right_payload:
+            col = right_match["R_" + c].combine_chunks()
+            if not matched.all():
+                col = pc.if_else(pa.array(matched), col, pa.nulls(len(matched), col.type))
+            res = res.append_column("R_" + c, col)
+        return res.rename_columns(
+            [key, ts_col] + left_payload + [c + suffix for c in right_payload]
+        )
+
+    return group_apply(
+        both, key, _match, sort_by=[ts_col], num_partitions=num_partitions
+    )

@@ -1,0 +1,98 @@
+"""Join + explode operator tests."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from hypertrace_ingester_ray.stages.explode import explode_tokens_batch
+from hypertrace_ingester_ray.stages.joins import asof_join, broadcast_join, hash_join
+
+
+def test_explode_tokens_batch():
+    batch = pa.table(
+        {
+            "conv_id": pa.array(["a", "b"], pa.string()),
+            "turn_idx": pa.array([0, 1], pa.int32()),
+            "text": pa.array(["x y z", "solo"], pa.string()),
+        }
+    )
+    out = explode_tokens_batch(batch)
+    assert out["token"].to_pylist() == ["x", "y", "z", "solo"]
+    assert out["token_idx"].to_pylist() == [1, 2, 3, 1]
+    assert out["conv_id"].to_pylist() == ["a", "a", "a", "b"]
+
+
+def test_broadcast_join(ray_session):
+    ds = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 2, 3, 2], pa.int64())})
+    )
+    out = broadcast_join(ds, {1: "one", 2: "two"}, key="k", value_col="name")
+    got = dict(zip(*[out.to_pandas()[c] for c in ["k", "name"]]))
+    assert got == {1: "one", 2: "two", 3: None}
+
+
+def test_hash_join_inner(ray_session):
+    left = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 2, 3], pa.int64()), "l": pa.array(["a", "b", "c"])})
+    )
+    right = ray.data.from_arrow(
+        pa.table({"k": pa.array([2, 3, 4], pa.int64()), "r": pa.array(["B", "C", "D"])})
+    )
+    out = hash_join(left, right, on=["k"], num_partitions=4).to_pandas()
+    assert sorted(out.k.tolist()) == [2, 3]
+
+
+def test_asof_join_backward(ray_session):
+    left = ray.data.from_arrow(
+        pa.table(
+            {
+                "key": pa.array([1, 1, 2, 3], pa.int64()),
+                "ts": pa.array([100, 50, 10, 99], pa.timestamp("us")),
+                "lv": pa.array(["L1", "L2", "L3", "L4"], pa.string()),
+            }
+        )
+    )
+    right = ray.data.from_arrow(
+        pa.table(
+            {
+                "key": pa.array([1, 1, 1, 2], pa.int64()),
+                "ts": pa.array([40, 60, 100, 20], pa.timestamp("us")),
+                "rv": pa.array(["R40", "R60", "R100", "R20"], pa.string()),
+            }
+        )
+    )
+    out = (
+        asof_join(left, right, key="key", ts_col="ts", num_partitions=4)
+        .to_pandas()
+        .sort_values(["key", "ts"])
+        .reset_index(drop=True)
+    )
+    # key 1 ts 50 → R40; key 1 ts 100 → R100 (tie inclusive); key 2 ts 10 →
+    # no match (right at 20 is later); key 3 → no right rows
+    assert out.rv_right.tolist() == ["R40", "R100", None, None]
+
+
+def test_asof_join_string_keys(ray_session):
+    left = ray.data.from_arrow(
+        pa.table(
+            {
+                "key": pa.array(["x", "y"], pa.string()),
+                "ts": pa.array([10, 10], pa.timestamp("us")),
+                "v": pa.array([1, 2], pa.int64()),
+            }
+        )
+    )
+    right = ray.data.from_arrow(
+        pa.table(
+            {
+                "key": pa.array(["x"], pa.string()),
+                "ts": pa.array([5], pa.timestamp("us")),
+                "w": pa.array([9], pa.int64()),
+            }
+        )
+    )
+    out = asof_join(left, right, key="key", ts_col="ts", num_partitions=2).to_pandas()
+    got = dict(zip(out.key, out.w_right))
+    assert got["x"] == 9 and np.isnan(got["y"])
