@@ -248,6 +248,44 @@ def _partition_task(
     return proc(part, part_id)
 
 
+DISTRIBUTED_METRICS_THRESHOLD = 64 * 1024 * 1024
+
+
+def finalize_metrics(out_dir: str, *, force_distributed: bool = False) -> None:
+    """Final combine over the per-partition metric partials.  Partial volume
+    is bounded by dims × partitions; below the threshold a single-process
+    Arrow group-by beats spinning up another distributed pipeline, above it
+    (dims exploded: very fine windows × high cardinality) the combine runs
+    as a Ray groupby."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from ..stages.metrics import METRIC_DIMS, finalize_partials
+
+    metrics_dir = os.path.join(out_dir, "metrics")
+    partial_dir = os.path.join(out_dir, "metrics_partial")
+    if os.path.exists(metrics_dir) or not os.path.exists(partial_dir):
+        return
+    partial_bytes = sum(
+        os.path.getsize(f) for f in glob.glob(os.path.join(partial_dir, "*.parquet"))
+    )
+    tmp = metrics_dir + "_tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    if partial_bytes <= DISTRIBUTED_METRICS_THRESHOLD and not force_distributed:
+        final = finalize_partials(pq.read_table(partial_dir))
+        os.makedirs(tmp, exist_ok=True)
+        pq.write_table(final, os.path.join(tmp, "part-00000.parquet"))
+    else:
+        partials = ray.data.read_parquet(partial_dir)
+        agg = partials.groupby(METRIC_DIMS).sum("num_calls")
+        agg.map_batches(
+            lambda b: b.rename_columns(METRIC_DIMS + ["num_calls"]),
+            batch_format="pyarrow",
+        ).write_parquet(tmp)
+    os.rename(tmp, metrics_dir)
+
+
 def _write_schema_manifest(out_dir: str) -> None:
     """Sink bootstrap (the run-once Pinot view-creator DDL analog,
     hypertrace-view-generator/hypertrace-view-creator/.../all-views/
@@ -395,32 +433,7 @@ def run_pipeline(
     # group-by beats spinning up another distributed pipeline.  Should dims
     # explode (very fine windows × high service cardinality), swap this for
     # `windowed_metrics(view_dataset(out_dir, "metrics_partial"))`.
-    metrics_dir = os.path.join(out_dir, "metrics")
-    partial_dir = os.path.join(out_dir, "metrics_partial")
-    if not os.path.exists(metrics_dir) and os.path.exists(partial_dir):
-        import glob
-
-        import pyarrow.parquet as pq
-
-        from ..stages.metrics import METRIC_DIMS, finalize_partials
-
-        partial_bytes = sum(
-            os.path.getsize(f) for f in glob.glob(os.path.join(partial_dir, "*.parquet"))
-        )
-        tmp = metrics_dir + "_tmp"
-        shutil.rmtree(tmp, ignore_errors=True)
-        if partial_bytes <= 64 * 1024 * 1024:
-            final = finalize_partials(pq.read_table(partial_dir))
-            os.makedirs(tmp, exist_ok=True)
-            pq.write_table(final, os.path.join(tmp, "part-00000.parquet"))
-        else:  # dims exploded — combine distributed instead
-            partials = ray.data.read_parquet(partial_dir)
-            agg = partials.groupby(METRIC_DIMS).sum("num_calls")
-            agg.map_batches(
-                lambda b: b.rename_columns(METRIC_DIMS + ["num_calls"]),
-                batch_format="pyarrow",
-            ).write_parquet(tmp)
-        os.rename(tmp, metrics_dir)
+    finalize_metrics(out_dir)
     phases["metrics_finalize"] = round(
         time.perf_counter() - t0 - phases["main_stage"], 2
     )
