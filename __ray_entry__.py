@@ -360,6 +360,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_last_click": _asof_last_click,
         "knn_ivf_top5": _knn_ivf,
         "media_features": _media_features,
+        "docs_clean": lambda sf: __import__(
+            "hypertrace_ingester_ray.pipelines.docs", fromlist=["clean_documents"]
+        ).clean_documents(sf),
     }
     return q
 
@@ -557,6 +560,14 @@ SELECT e.event_id AS error_id, c.event_id AS click_id
 FROM (SELECT * FROM events WHERE event_type = 'error') e
 ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
   ON e.user_id = c.user_id AND e.ts >= c.ts
+"""
+    sql["docs_clean"] = """
+SELECT MIN(doc_id) AS doc_id, text,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+  COUNT(*) AS n_copies
+FROM documents
+WHERE len(string_split(text, ' ')) >= 10
+GROUP BY text
 """
     # doc_lang_id / doc_fingerprint / doc_minhash_pairs / doc_simhash_pairs /
     # knn_ivf_top5 (approximate) / media_features (stubbed decode):

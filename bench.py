@@ -189,7 +189,7 @@ def main():
         print(json.dumps(r))
         return
 
-    head = run_headline(args.cpus)
+    head = run_headline(args.cpus, repeats=2)  # 2nd run = warm workers
     queries = run_queries()
     out = {
         "metric": "e2e_pipeline",
