@@ -69,7 +69,16 @@ def run_headline(num_cpus: int, repeats: int = 1) -> dict:
     import ray
 
     corpus = _corpus_dir()  # built before the clock starts
-    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+    # large-shuffle jobs must not spill: input + sort output both live in the
+    # object store, so size it to the workload (Ray's default 43% of RAM
+    # spills at ~35GB of shuffle and spill I/O is the shared disk)
+    store_bytes = int(os.environ.get("HTR_OBJECT_STORE_GB", "60")) * 1024**3
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        object_store_memory=store_bytes,
+    )
     import logging
 
     import ray.data

@@ -6,18 +6,21 @@ HypertraceIngester.java:52-77), where consecutive jobs share in-memory streams
 instead of Kafka round-trips (SpanNormalizer.java:55-61).  Here the whole
 chain is ONE lazy Ray Data pipeline with exactly one all-to-all shuffle:
 
-  read_parquet(transcripts)
-    → map_batches(normalize)                       # span-normalizer
-    → group_apply(conv_id, PartitionProcessor)     # grouper + enricher + view-gen
+  read_parquet(transcripts, ~2 blocks/CPU)
+    → map_batches(normalize_light)                 # span-normalizer (narrow rows)
+    → group_apply(conv_id, partition stage)        # grouper + enricher + view-gen
+         ├─ grok extraction (post-shuffle)
          ├─ assemble (order/dedup/cap/sessionize)
          ├─ enricher DAG (topo order, vectorized)
-         └─ 6 view sinks written atomically per partition (+ manifest)
-    → stats rows (small)                           # lineage + metrics
-  read(per_turn sink) → windowed_metrics → metrics sink   # metrics-generator
+         └─ 6 view sinks + metrics-partial combiner, written atomically
+            per partition (+ manifest)
+    → stats rows (1/partition)                     # lineage
+  finalize_metrics: tiny combine over the partials # metrics-generator
 
-The metrics stage consumes the per_turn sink exactly as the reference's
-metrics pipeline consumes the RawServiceView Kafka topic
-(hypertrace-metrics-generator/.../MetricsProcessor.java:75-124).
+The metrics aggregation mirrors the reference's metrics pipeline consuming
+the RawServiceView topic (hypertrace-metrics-generator/.../
+MetricsProcessor.java:75-124), expressed as a per-partition combiner plus a
+final combine bounded by dims × partitions rows.
 
 Every sink is partitioned Parquet (one file per hash partition) with a JSON
 manifest per partition — a killed run resumes by skipping committed

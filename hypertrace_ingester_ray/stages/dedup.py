@@ -52,7 +52,6 @@ def exact_dedup(ds: Dataset, col: str = "text", id_col: str = "doc_id", **kw) ->
     def _keep_first(part: pa.Table) -> pa.Table:
         # sorted by (_chash, id_col); one output row per hash run.
         h = part["_chash"].to_numpy(zero_copy_only=False)
-        ids = part[id_col].to_numpy(zero_copy_only=False)
         bounds = run_boundaries(h)
         firsts = bounds[:-1]
         counts = np.diff(bounds)
