@@ -292,6 +292,74 @@ def _asof_last_click(sf_dir: str):
     return j.map_batches(finish, batch_format="pyarrow")
 
 
+def _conv_rollup_salted(sf_dir: str):
+    """Per-conversation rollup via skew-aware SALTED aggregation: hot
+    conversations are pre-counted, split across salt_factor sub-groups for
+    concurrent partial aggregation, then merged (stages/grouping.py::
+    salted_group_apply).  hot_threshold is set low here so the salting path
+    actually executes on the test corpus."""
+    import pyarrow as pa
+
+    from hypertrace_ingester_ray.stages.grouping import (
+        run_boundaries,
+        salted_group_apply,
+    )
+
+    ds = transcripts_from_events(sf_dir)
+
+    def partial(part: pa.Table) -> pa.Table:
+        conv = part["conv_id"].combine_chunks().dictionary_encode()
+        codes = conv.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        bounds = run_boundaries(codes)
+        firsts = bounds[:-1]
+        tools = part["tool"].combine_chunks()
+        tool_valid = np.asarray(
+            tools.is_valid().to_numpy(zero_copy_only=False), dtype=np.int64
+        )
+        ts = part["ts"].combine_chunks().cast("int64").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "conv_id": part["conv_id"].take(pa.array(firsts)),
+                "num_turns": pa.array(np.diff(bounds).astype(np.int64)),
+                "num_tool_calls": pa.array(np.add.reduceat(tool_valid, firsts)),
+                "first_ts": pa.array(np.minimum.reduceat(ts, firsts)).cast(
+                    pa.timestamp("us")
+                ),
+                "last_ts": pa.array(np.maximum.reduceat(ts, firsts)).cast(
+                    pa.timestamp("us")
+                ),
+            }
+        )
+
+    def merge(part: pa.Table) -> pa.Table:
+        conv = part["conv_id"].combine_chunks().dictionary_encode()
+        codes = conv.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        bounds = run_boundaries(codes)
+        firsts = bounds[:-1]
+        nt = part["num_turns"].to_numpy(zero_copy_only=False)
+        nc = part["num_tool_calls"].to_numpy(zero_copy_only=False)
+        f = part["first_ts"].combine_chunks().cast("int64").to_numpy(zero_copy_only=False)
+        l = part["last_ts"].combine_chunks().cast("int64").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "conv_id": part["conv_id"].take(pa.array(firsts)),
+                "num_turns": pa.array(np.add.reduceat(nt, firsts)),
+                "num_tool_calls": pa.array(np.add.reduceat(nc, firsts)),
+                "first_ts": pa.array(np.minimum.reduceat(f, firsts)).cast(
+                    pa.timestamp("us")
+                ),
+                "last_ts": pa.array(np.maximum.reduceat(l, firsts)).cast(
+                    pa.timestamp("us")
+                ),
+            }
+        )
+
+    return salted_group_apply(
+        ds, "conv_id", partial, merge,
+        hot_threshold=50, salt_factor=8, num_partitions=16,
+    )
+
+
 def _media_features(sf_dir: str):
     """Multimodal actor-pool stage over a deterministic synthetic media table
     (decode stubbed — see stages/multimodal.py)."""
@@ -360,6 +428,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_last_click": _asof_last_click,
         "knn_ivf_top5": _knn_ivf,
         "media_features": _media_features,
+        "conv_rollup_salted": _conv_rollup_salted,
         "docs_clean": lambda sf: __import__(
             "hypertrace_ingester_ray.pipelines.docs", fromlist=["clean_documents"]
         ).clean_documents(sf),
@@ -560,6 +629,14 @@ SELECT e.event_id AS error_id, c.event_id AS click_id
 FROM (SELECT * FROM events WHERE event_type = 'error') e
 ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
   ON e.user_id = c.user_id AND e.ts >= c.ts
+"""
+    sql["conv_rollup_salted"] = f"""
+WITH {TRANSCRIPTS_CTE}
+SELECT conv_id, COUNT(*) AS num_turns,
+  CAST(SUM(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS num_tool_calls,
+  MIN(ts) AS first_ts, MAX(ts) AS last_ts
+FROM transcripts GROUP BY conv_id
 """
     sql["docs_clean"] = """
 SELECT MIN(doc_id) AS doc_id, text,

@@ -28,7 +28,7 @@ hold many groups so one hot key never exceeds a single partition's budget.
 from __future__ import annotations
 
 import os
-from typing import Callable, Optional, Sequence, Union
+from typing import Callable, Dict, Optional, Sequence, Union
 
 import numpy as np
 import pandas as pd
@@ -117,8 +117,117 @@ def _hash_column(col: pa.ChunkedArray, num_partitions: int) -> pa.Array:
     return pa.array((hashed % np.uint64(num_partitions)).astype(np.int32))
 
 
-def add_part_column(batch: pa.Table, key: str, num_partitions: int) -> pa.Table:
-    return batch.append_column(PART_COL, _hash_column(batch[key], num_partitions))
+def add_part_column(batch: pa.Table, key, num_partitions: int) -> pa.Table:
+    """Append the shuffle-partition column; ``key`` may be one column name or
+    a list (all participate in the hash — required for salted sub-groups)."""
+    keys = [key] if isinstance(key, str) else list(key)
+    acc = None
+    for k in keys:
+        h = _hash_column(batch[k], 1 << 31).to_numpy(zero_copy_only=False).astype(
+            np.uint64
+        )
+        acc = h if acc is None else (acc * np.uint64(1_000_003)) ^ h
+    part = (acc % np.uint64(num_partitions)).astype(np.int32)
+    return batch.append_column(PART_COL, pa.array(part))
+
+
+def hot_key_counts(
+    ds: Dataset, key: str, *, threshold: int
+) -> Dict[str, int]:
+    """Pre-count pass: keys whose row count exceeds ``threshold``.
+
+    Cheap by construction — only the key column leaves the scan, and the
+    count is combined per batch before the (tiny) global groupby.  This is
+    the 'pre-count group sizes' step of skew-aware salting (SURVEY.md §4).
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return (
+            batch.select([key])
+            .group_by([key])
+            .aggregate([([], "count_all")])
+            .rename_columns([key, "n"])
+        )
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").groupby(key).sum("n")
+    out: Dict[str, int] = {}
+    for row in agg.iter_rows():
+        if row["sum(n)"] > threshold:
+            out[row[key]] = int(row["sum(n)"])
+    return out
+
+
+def salted_group_apply(
+    ds: Dataset,
+    key: str,
+    partial_fn: Callable[[pa.Table], pa.Table],
+    merge_fn: Callable[[pa.Table], pa.Table],
+    *,
+    sort_by: Optional[Sequence[str]] = None,
+    hot_threshold: int = 100_000,
+    salt_factor: int = 16,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+) -> Dataset:
+    """Skew-aware salted aggregation for ASSOCIATIVE per-group computations.
+
+    A single hot key (one conversation with millions of turns) would pin an
+    entire partition task.  Here keys above ``hot_threshold`` (found by a
+    pre-count on the key column only) are salted across ``salt_factor``
+    sub-groups: ``partial_fn`` runs per (key, salt) slice — concurrently for
+    a hot key — and ``merge_fn`` combines each key's partials in a second,
+    tiny ``group_apply`` pass.  Cold keys take salt 0 and skip nothing.
+
+    Correctness contract: ``merge_fn(concat(partial_fn(slices))) ==
+    partial_fn(whole)`` — i.e. the computation must be decomposable
+    (sums/counts/min/max/distinct-sets).  Order-sensitive, graph-shaped
+    computations cannot be salted; for those the engine caps group size
+    instead (assemble_conversations), mirroring the reference's
+    INFLIGHT_TRACE_MAX_SPAN_COUNT (RawSpansProcessor.java:347-388).
+    """
+    import ray as _ray
+
+    hot = hot_key_counts(ds, key, threshold=hot_threshold)
+    hot_ref = _ray.put(set(hot))
+    salt_col = "__salt"
+
+    class _AddSalt:
+        def __init__(self, ref):
+            self.hot = _ray.get(ref) if isinstance(ref, _ray.ObjectRef) else ref
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            if self.hot:
+                is_hot = pc.is_in(
+                    batch[key], value_set=pa.array(list(self.hot))
+                ).to_numpy(zero_copy_only=False)
+                # round-robin within the batch spreads a hot key evenly; the
+                # merge step makes the final result independent of assignment
+                salts = np.where(
+                    is_hot, np.arange(n, dtype=np.int64) % salt_factor, 0
+                ).astype(np.int32)
+            else:
+                salts = np.zeros(n, dtype=np.int32)
+            return batch.append_column(salt_col, pa.array(salts))
+
+    salted = ds.map_batches(
+        _AddSalt, fn_constructor_kwargs={"ref": hot_ref},
+        batch_format="pyarrow", concurrency=(1, 8),
+    )
+
+    def _partial(part: pa.Table) -> pa.Table:
+        return partial_fn(part.drop_columns([salt_col]))
+
+    partials = group_apply(
+        salted,
+        [key, salt_col],
+        _partial,
+        sort_by=sort_by,
+        num_partitions=num_partitions,
+    )
+    # second level: merge each key's ≤ salt_factor partial rows (tiny)
+    return group_apply(
+        partials, key, merge_fn, num_partitions=max(8, num_partitions // 4)
+    )
 
 
 class _PartitionRunner:
@@ -165,12 +274,11 @@ def group_apply(
     ``map_groups_kwargs``) for an actor-pool stage with per-worker state.
     """
     keys = [key] if isinstance(key, str) else list(key)
-    part_key = keys[0]
 
     ds = ds.map_batches(
         add_part_column,
         batch_format="pyarrow",
-        fn_kwargs={"key": part_key, "num_partitions": num_partitions},
+        fn_kwargs={"key": keys, "num_partitions": num_partitions},
     )
 
     order = keys + list(sort_by or [])

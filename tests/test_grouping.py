@@ -110,3 +110,61 @@ def test_group_apply_complete_groups(ray_session):
     for _, row in out.iterrows():
         expect = sum(1 for i in range(1000) if f"c{i % 37}" == row["conv_id"])
         assert row["n"] == expect
+
+
+def test_salted_group_apply_hot_key(ray_session):
+    """A hot key is split across salts and partials merge back exactly."""
+    import ray.data
+    from hypertrace_ingester_ray.stages.grouping import (
+        hot_key_counts,
+        salted_group_apply,
+    )
+
+    rows = [("hot", i) for i in range(5000)] + [("cold", i) for i in range(20)]
+    t = pa.table(
+        {
+            "k": pa.array([r[0] for r in rows], pa.string()),
+            "v": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(8)
+
+    hot = hot_key_counts(ds, "k", threshold=1000)
+    assert hot == {"hot": 5000}
+
+    def partial(part: pa.Table) -> pa.Table:
+        ks = part["k"].to_pylist()
+        out_k, out_n, out_s = [], [], []
+        for k in sorted(set(ks)):
+            sel = part.filter(pa.compute.equal(part["k"], k))
+            out_k.append(k)
+            out_n.append(sel.num_rows)
+            out_s.append(sum(sel["v"].to_pylist()))
+        return pa.table(
+            {"k": pa.array(out_k), "n": pa.array(out_n, pa.int64()),
+             "s": pa.array(out_s, pa.int64())}
+        )
+
+    n_partials = {"count": 0}
+
+    def merge(part: pa.Table) -> pa.Table:
+        ks = part["k"].to_pylist()
+        out = []
+        for k in sorted(set(ks)):
+            sel = part.filter(pa.compute.equal(part["k"], k))
+            n_partials["count"] = max(n_partials["count"], sel.num_rows)
+            out.append((k, sum(sel["n"].to_pylist()), sum(sel["s"].to_pylist())))
+        return pa.table(
+            {"k": pa.array([o[0] for o in out]),
+             "n": pa.array([o[1] for o in out], pa.int64()),
+             "s": pa.array([o[2] for o in out], pa.int64())}
+        )
+
+    res = salted_group_apply(
+        ds, "k", partial, merge, hot_threshold=1000, salt_factor=8,
+        num_partitions=8,
+    ).to_pandas().set_index("k")
+    assert res.loc["hot", "n"] == 5000
+    assert res.loc["hot", "s"] == sum(range(5000))
+    assert res.loc["cold", "n"] == 20
+    assert res.loc["cold", "s"] == sum(range(20))
