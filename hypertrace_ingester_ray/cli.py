@@ -35,6 +35,11 @@ def main(argv=None):
     run.add_argument("--max-turns-per-conv", type=int, default=100_000)
     run.add_argument("--session-gap-sec", type=float, default=None)
     run.add_argument("--num-cpus", type=int, default=None)
+    run.add_argument(
+        "--object-store-gb", type=float, default=None,
+        help="size the object store to the shuffle (input+sort output must "
+             "fit or Ray spills to disk)",
+    )
     run.add_argument("--config", help="JSON pipeline config (see config.py); CLI flags override")
 
     synth = sub.add_parser("synth", help="write a synthetic transcript corpus")
@@ -61,6 +66,8 @@ def main(argv=None):
 
     if not ray.is_initialized():
         kwargs = {"num_cpus": args.num_cpus} if args.num_cpus else {}
+        if args.object_store_gb:
+            kwargs["object_store_memory"] = int(args.object_store_gb * 1024**3)
         ray.init(address="local", include_dashboard=False, **kwargs)
     try:
         from .pipelines.ingest import PipelineConfig, run_pipeline

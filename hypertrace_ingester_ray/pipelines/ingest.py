@@ -455,6 +455,11 @@ def run_pipeline(
         },
         "turns_per_sec": total_rows_in / elapsed if elapsed > 0 else 0.0,
         "phases": phases,
+        # skew observability: rows per hash partition (A4 operational metrics)
+        "partition_rows": {
+            "max": int(stats["rows_in"].max()) if len(stats) else 0,
+            "mean": float(stats["rows_in"].mean()) if len(stats) else 0.0,
+        },
     }
     lineage.write_run_manifest(out_dir, summary)
     return summary
