@@ -133,10 +133,13 @@ def _pipeline_out(sf_dir: str) -> str:
         tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
         out = f"/tmp/htr_entry/{tag}"
         shutil.rmtree(out, ignore_errors=True)
+        # concurrency=None → stateless-task path: safe at any CPU count the
+        # driver may have initialized Ray with (a fixed actor pool can starve
+        # the shuffle on small clusters)
         run_pipeline(
             transcripts_from_events(sf_dir),
             out,
-            PipelineConfig(num_partitions=32, concurrency=4),
+            PipelineConfig(num_partitions=32),
         )
         _RUN_CACHE[sf_dir] = out
     return out
