@@ -120,6 +120,20 @@ def needs_extraction_for_rules(config: NormalizeConfig) -> bool:
     return False
 
 
+def drop_poison_rows(batch: pa.Table) -> pa.Table:
+    """Poison-pill policy (JaegerSpanPreProcessor.java:88-96 swallows bad
+    records and counts them, never failing the job): rows with a null
+    grouping key, turn index or timestamp cannot be ordered or grouped —
+    drop them instead of corrupting the shuffle."""
+    mask = pc.and_(
+        pc.and_(pc.is_valid(batch["conv_id"]), pc.is_valid(batch["turn_idx"])),
+        pc.is_valid(batch["ts"]),
+    )
+    if pc.all(mask).as_py():
+        return batch
+    return batch.filter(mask)
+
+
 def normalize_light_batch(
     batch: pa.Table, config: NormalizeConfig = NormalizeConfig()
 ) -> pa.Table:
@@ -128,6 +142,7 @@ def normalize_light_batch(
     The grok extraction runs post-shuffle (extract_batch) so the all-to-all
     exchange moves ~40% fewer bytes per row — extraction output is derived
     data and cheaper to recompute after the move than to ship."""
+    batch = drop_poison_rows(batch)
     drop = rules_mask(batch, config.drop_rules)
     if drop is not None:
         batch = batch.filter(pc.invert(drop))
@@ -183,6 +198,7 @@ def extract_batch(batch: pa.Table) -> pa.Table:
 
 def normalize_batch(batch: pa.Table, config: NormalizeConfig = NormalizeConfig()) -> pa.Table:
     """transcripts batch → NORMALIZED_TURNS batch (drop-filtered)."""
+    batch = drop_poison_rows(batch)
     drop = rules_mask(batch, config.drop_rules)
     if drop is not None:
         batch = batch.filter(pc.invert(drop))

@@ -132,3 +132,31 @@ def test_metrics_distributed_finalize(pipeline_out, tmp_path, ray_session):
         dist.sort_values(key).reset_index(drop=True)[local.columns],
         check_dtype=False,
     )
+
+
+def test_poison_rows_dropped(ray_session, tmp_path):
+    """Null conv_id / turn_idx / ts rows are swallowed end-to-end, never
+    crashing the pipeline (the reference's poison-pill contract)."""
+    import ray.data
+
+    from hypertrace_ingester_ray.pipelines.ingest import PipelineConfig, run_pipeline
+
+    t = pa.table(
+        {
+            "conv_id": pa.array(["a", None, "b", "b"], pa.string()),
+            "turn_idx": pa.array([0, 1, None, 0], pa.int32()),
+            "role": pa.array(["user"] * 4, pa.string()),
+            "text": pa.array(
+                ["GET /api/v1/view/1 HTTP/1.1 status=200 dur_ms=1 bytes=1"] * 4,
+                pa.string(),
+            ),
+            "tool": pa.array([None] * 4, pa.string()),
+            "ts": pa.array([1, 2, 3, None], pa.timestamp("us")),
+        }
+    )
+    out = str(tmp_path / "poison")
+    s = run_pipeline(
+        ray.data.from_arrow(t), out, PipelineConfig(num_partitions=2)
+    )
+    assert s["rows_in"] == 1  # only the fully-valid row survives
+    assert s["view_counts"]["per_turn"] == 1
