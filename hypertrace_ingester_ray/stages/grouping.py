@@ -18,11 +18,15 @@ conversations, sorts it once, and processes every group in the partition with
 vectorized numpy segment operations (run-length boundaries).  Python overhead
 is O(partitions), not O(groups), while the shuffle volume is identical.
 
-Skew handling: a single hot conversation cannot be split by salting without
-breaking group-scoped semantics, so (mirroring the reference's
-INFLIGHT_TRACE_MAX_SPAN_COUNT cap at RawSpansProcessor.java:347-388) we bound
-group size with a per-group cap applied inside the partition, and partitions
-hold many groups so one hot key never exceeds a single partition's budget.
+Skew handling, two complementary mechanisms:
+- order/graph-scoped computations (enricher DAG, episode graphs) cannot be
+  split without breaking semantics, so group size is bounded by a per-group
+  cap (mirroring the reference's INFLIGHT_TRACE_MAX_SPAN_COUNT,
+  RawSpansProcessor.java:347-388) and partitions hold many groups so one hot
+  key never exceeds a single partition's budget;
+- ASSOCIATIVE aggregations use ``salted_group_apply``: hot keys found by a
+  key-column-only pre-count are spread across salt_factor sub-groups for
+  concurrent partial aggregation, merged in a tiny second pass.
 """
 
 from __future__ import annotations
