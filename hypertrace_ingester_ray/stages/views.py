@@ -68,7 +68,11 @@ def per_role_view(t: pa.Table, ctx: ConversationContext) -> pa.Table:
     dur_sum = np.add.reduceat(dur, starts).astype(np.int64) if ctx.n else np.zeros(0, np.int64)
     err_sum = np.add.reduceat(err, starts) if ctx.n else np.zeros(0, np.int64)
 
-    head = t.take(pa.array(starts))
+    # take only the columns the view reads (the take is the hot kernel here)
+    head = t.select(
+        ["tenant_id", "conv_id", "service_name", "service_id", "role", "ts",
+         "span_kind", "transaction_name"]
+    ).take(pa.array(starts))
     kind = head["span_kind"].combine_chunks()
     num_calls = pc.cast(pc.equal(kind, "ENTRY"), pa.int64())
 
@@ -118,7 +122,9 @@ def per_conversation_view(t: pa.Table, ctx: ConversationContext) -> pa.Table:
     uniq_pairs = np.unique(ctx.conv_codes * k + svc_codes)
     n_svc = np.bincount(uniq_pairs // k, minlength=ctx.n_convs)
 
-    head = t.take(pa.array(starts))
+    head = t.select(["tenant_id", "conv_id", "transaction_name"]).take(
+        pa.array(starts)
+    )
     start_ts = ts[starts]
     end_ts = ts[ends]
     duration_ms = ((end_ts.astype(np.int64) - start_ts.astype(np.int64)) // 1000).astype(
@@ -155,8 +161,12 @@ def call_edges_view(t: pa.Table, ctx: ConversationContext) -> pa.Table:
     callee_rows = np.flatnonzero(same_conv & role_change) + 1
     caller_rows = callee_rows - 1
 
-    caller = t.take(pa.array(caller_rows))
-    callee = t.take(pa.array(callee_rows))
+    caller = t.select(
+        ["tenant_id", "conv_id", "service_name", "role", "turn_idx"]
+    ).take(pa.array(caller_rows))
+    callee = t.select(["service_name", "role", "turn_idx", "ts", "dur_ms"]).take(
+        pa.array(callee_rows)
+    )
     err = ctx.col("is_error").astype(np.int64)
 
     return pa.table(
@@ -183,7 +193,10 @@ def per_tool_view(t: pa.Table, ctx: ConversationContext) -> pa.Table:
     rows = np.flatnonzero(tools != None)  # noqa: E711
     if len(rows) == 0:
         return schemas.PER_TOOL_VIEW.empty_table()
-    sub = t.take(pa.array(rows))
+    sub = t.select(
+        ["tenant_id", "conv_id", "turn_idx", "backend_id", "tool", "op",
+         "status_code", "api_status", "ts", "dur_ms"]
+    ).take(pa.array(rows))
     svc = ctx.col("service_name")
     prev_rows = rows - 1
     valid_prev = (rows > 0) & (
@@ -215,7 +228,10 @@ def errors_view(t: pa.Table, ctx: ConversationContext) -> pa.Table:
     rows = np.flatnonzero(mask)
     if len(rows) == 0:
         return schemas.ERROR_VIEW.empty_table()
-    sub = t.take(pa.array(rows))
+    sub = t.select(
+        ["tenant_id", "conv_id", "turn_idx", "role", "tool", "status_code",
+         "status_message", "text", "ts"]
+    ).take(pa.array(rows))
     summary = pc.utf8_slice_codeunits(sub["text"], 0, SUMMARY_LEN)
     return pa.table(
         {
