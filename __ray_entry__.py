@@ -530,15 +530,17 @@ FROM enriched GROUP BY ALL
     sql["lineitem_pricing_summary"] = """
 SELECT l_returnflag, l_linestatus,
   CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
-  SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS sum_base_price_cents,
-  SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
-      AS sum_disc_price_cents,
+  CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      AS sum_base_price_cents,
+  CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+      AS BIGINT) AS sum_disc_price_cents,
   COUNT(*) AS count_order
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
     sql["revenue_by_nation"] = """
 SELECT n_name,
-  SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS revenue_cents,
+  CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      AS revenue_cents,
   COUNT(*) AS num_orders
 FROM orders
 JOIN customer ON o_custkey = c_custkey
@@ -551,7 +553,7 @@ FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
 """
     sql["events_hourly"] = """
 SELECT date_trunc('hour', ts) AS hour_ts, event_type,
-  SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS sum_value_cents,
+  CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents,
   COUNT(*) AS num_events
 FROM events GROUP BY hour_ts, event_type
 """
@@ -622,7 +624,8 @@ FROM transcripts
 """
     sql["order_priority_revenue"] = """
 SELECT o_orderpriority,
-  SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS revenue_cents,
+  CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      AS revenue_cents,
   COUNT(*) AS num_items
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
