@@ -154,10 +154,16 @@ def hot_key_counts(
         )
 
     agg = ds.map_batches(partial, batch_format="pyarrow").groupby(key).sum("n")
+    # Filter DISTRIBUTED, before anything reaches the driver: at 10^12 turns
+    # the per-key histogram has billions of rows, but the hot set (keys above
+    # threshold) is tiny by definition — only it may be materialized.
+    hot_only = agg.map_batches(
+        lambda t: t.filter(pc.greater(t["sum(n)"], threshold)),
+        batch_format="pyarrow",
+    )
     out: Dict[str, int] = {}
-    for row in agg.iter_rows():
-        if row["sum(n)"] > threshold:
-            out[row[key]] = int(row["sum(n)"])
+    for row in hot_only.take_all():
+        out[row[key]] = int(row["sum(n)"])
     return out
 
 

@@ -168,3 +168,20 @@ def test_salted_group_apply_hot_key(ray_session):
     assert res.loc["hot", "s"] == sum(range(5000))
     assert res.loc["cold", "n"] == 20
     assert res.loc["cold", "s"] == sum(range(20))
+
+
+def test_hot_key_counts_filters_distributed(ray_session):
+    """With 10^5 distinct keys the driver must only receive the hot set —
+    the per-key histogram is filtered dataset-side (VERDICT r1 #2)."""
+    import numpy as np
+    import ray.data
+    from hypertrace_ingester_ray.stages.grouping import hot_key_counts
+
+    n_distinct = 100_000
+    keys = [f"k{i}" for i in range(n_distinct)]  # 1 row each: all cold
+    keys += ["whale"] * 500  # one hot key
+    t = pa.table({"k": pa.array(keys, pa.string())})
+    ds = ray.data.from_arrow(t).repartition(8)
+
+    hot = hot_key_counts(ds, "k", threshold=100)
+    assert hot == {"whale": 500}
