@@ -1,0 +1,130 @@
+"""Vectorized text-hash kernels shared by dedup and fingerprinting.
+
+The hot path of the LLM-data operators (MinHash, SimHash, fingerprints) is
+"split every doc into word n-grams and hash each n-gram".  Doing that with a
+per-doc / per-shingle Python loop is the exact anti-pattern this engine bans,
+so the whole batch is processed as flat arrays instead:
+
+1. ``pc.split_pattern`` tokenizes every document in one Arrow kernel call;
+   the result is a flat token array plus per-doc offsets.
+2. Every token is hashed in one vectorized pass (pandas' C SipHash over the
+   flat array — no Python-level loop).
+3. An n-gram (shingle) hash is a rolling polynomial combine of ``k``
+   consecutive token hashes: ``k`` shifted-slice numpy ops over the flat
+   array, independent of document count.
+4. Per-document reductions (min for MinHash/fingerprints, bit votes for
+   SimHash) use ``np.minimum.reduceat`` / ``np.add.reduceat`` over the
+   per-doc segment offsets.
+
+Documents with fewer than ``k`` tokens fall back to a single shingle equal to
+the hash of the whole text (mirrors the scalar fallback the round-1 kernels
+used), so every document always has >= 1 shingle and ``reduceat`` segments
+are never empty.
+
+Reference parity note: the reference has no vectorized analog — its span
+normalization hashes one record at a time on the JVM; these kernels are the
+Ray-Data-native batch equivalent.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# FNV-1a prime as the rolling-combine multiplier; any odd 64-bit constant
+# works — products wrap mod 2^64, which is the hash domain.
+_ROLL_C = np.uint64(0x100000001B3)
+
+
+def _as_array(col) -> pa.Array:
+    if isinstance(col, pa.ChunkedArray):
+        return col.combine_chunks()
+    return col
+
+
+def token_hashes(texts) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Split on spaces and hash every token of every doc, vectorized.
+
+    Returns ``(tok_h, off, text_h)``: flat uint64 token hashes, int64
+    per-doc offsets into ``tok_h`` (len = n_docs + 1), and a uint64 whole-text
+    hash per doc (used as the short-doc fallback shingle).
+    """
+    arr = _as_array(texts)
+    toks = _as_array(pc.split_pattern(arr, " "))
+    flat = toks.flatten()
+    off = np.asarray(toks.offsets, dtype=np.int64)
+    off = off - off[0]  # flatten() already rebased values; rebase offsets too
+    if len(flat):
+        tok_h = pd.util.hash_array(
+            flat.to_numpy(zero_copy_only=False), categorize=False
+        ).astype(np.uint64)
+    else:
+        tok_h = np.empty(0, dtype=np.uint64)
+    if len(arr):
+        text_h = pd.util.hash_array(
+            arr.to_numpy(zero_copy_only=False), categorize=False
+        ).astype(np.uint64)
+    else:
+        text_h = np.empty(0, dtype=np.uint64)
+    return tok_h, off, text_h
+
+
+def shingle_hashes(
+    texts, k: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Word-``k``-gram rolling hashes for a whole batch of texts.
+
+    Returns ``(sh, soff)``: a flat uint64 array of shingle hashes grouped by
+    document, and int64 offsets (len = n_docs + 1).  Every document has at
+    least one shingle (short docs contribute their whole-text hash).
+    """
+    tok_h, off, text_h = token_hashes(texts)
+    n = len(off) - 1
+    total = len(tok_h)
+    m = total - k + 1
+    if n == 0:
+        return np.empty(0, np.uint64), np.zeros(1, np.int64)
+
+    if m > 0:
+        # rolling polynomial over the flat token-hash array: k shifted slices
+        acc = tok_h[:m].copy()
+        for j in range(1, k):
+            acc = acc * _ROLL_C + tok_h[j : j + m]
+        # a window starting at flat position i belongs to doc d and is valid
+        # iff it does not cross the doc boundary: i + k <= off[d+1]
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), np.diff(off))
+        vdoc = doc_idx[:m]
+        valid = (np.arange(m, dtype=np.int64) + k) <= off[vdoc + 1]
+        sh_valid = acc[valid]
+        vdoc = vdoc[valid]
+        counts = np.bincount(vdoc, minlength=n).astype(np.int64)
+    else:
+        sh_valid = np.empty(0, np.uint64)
+        counts = np.zeros(n, dtype=np.int64)
+
+    fallback = counts == 0
+    out_counts = np.where(fallback, 1, counts)
+    soff = np.concatenate([[0], np.cumsum(out_counts)]).astype(np.int64)
+    out = np.empty(soff[-1], dtype=np.uint64)
+    slot_doc = np.repeat(np.arange(n, dtype=np.int64), out_counts)
+    fb_slot = fallback[slot_doc]
+    out[~fb_slot] = sh_valid  # real shingles, already in doc order
+    out[fb_slot] = text_h[slot_doc[fb_slot]]
+    return out, soff
+
+
+def popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized population count of a uint64 array."""
+    x = np.ascontiguousarray(x, dtype=np.uint64)
+    if len(x) == 0:
+        return np.empty(0, dtype=np.int64)
+    return (
+        np.unpackbits(x.view(np.uint8))
+        .reshape(len(x), 8 * 8)
+        .sum(axis=1)
+        .astype(np.int64)
+    )

@@ -26,6 +26,7 @@ import pyarrow.compute as pc
 
 from ray.data import Dataset
 
+from ..functions.hashing import popcount64, shingle_hashes
 from .grouping import group_apply, run_boundaries
 
 # ---------------------------------------------------------------------------
@@ -90,15 +91,23 @@ def _shingle_hashes(text: str, k: int) -> np.ndarray:
 def minhash_signatures_batch(
     batch: pa.Table, *, num_perm: int = 64, shingle_k: int = 3, seed: int = 7
 ) -> pa.Table:
-    """doc → MinHash signature (uint64[num_perm] as FixedSizeList<int64>)."""
+    """doc → MinHash signature (uint64[num_perm] as FixedSizeList<int64>).
+
+    Fully vectorized: one ``shingle_hashes`` pass over the whole batch (flat
+    token-hash array + rolling combine), then per-doc column minima via
+    ``np.minimum.reduceat``.  Permutations are processed in chunks so peak
+    memory is ~(n_shingles x chunk x 8B) regardless of num_perm.
+    """
     a, b = _minhash_params(num_perm, seed)
-    texts = batch["text"].to_pylist()
-    sigs = np.empty((len(texts), num_perm), dtype=np.uint64)
-    for i, t in enumerate(texts):
-        sh = _shingle_hashes(t, shingle_k)  # (S,)
-        # (S, P) permuted hashes → column-min; vectorized over shingles
-        ph = (sh[:, None] * a[None, :] + b[None, :]) % np.uint64(_MERSENNE)
-        sigs[i] = ph.min(axis=0)
+    n = batch.num_rows
+    sh, soff = shingle_hashes(batch["text"], shingle_k)
+    sigs = np.empty((n, num_perm), dtype=np.uint64)
+    starts = soff[:-1]
+    chunk = 8
+    for c0 in range(0, num_perm, chunk):
+        ac, bc = a[c0 : c0 + chunk], b[c0 : c0 + chunk]
+        ph = (sh[:, None] * ac[None, :] + bc[None, :]) % np.uint64(_MERSENNE)
+        sigs[:, c0 : c0 + chunk] = np.minimum.reduceat(ph, starts, axis=0)
     flat = pa.array(sigs.reshape(-1).astype(np.int64))
     return pa.table(
         {
@@ -130,9 +139,20 @@ def _band_explode(batch: pa.Table, *, bands: int, rows_per_band: int) -> pa.Tabl
     )
 
 
-def _bucket_pairs(part: pa.Table, *, sim_threshold: float) -> pa.Table:
+def _bucket_pairs(
+    part: pa.Table, *, sim_threshold: float, allpairs_cap: int = 1000
+) -> pa.Table:
     """Within each LSH bucket, emit candidate pairs with estimated Jaccard
-    (signature agreement rate), deduped by (a, b)."""
+    (signature agreement rate), deduped by (a, b).
+
+    Skew guard — NO silent loss: buckets up to ``allpairs_cap`` members do
+    the exact all-pairs scan; larger buckets (>= cap members sharing a whole
+    band signature are near-certain boilerplate clusters) emit STAR edges to
+    the bucket's min-doc_id representative instead.  Star edges preserve
+    dedup connectivity (union-find still merges the whole cluster) at O(m)
+    instead of O(m^2) pairs.  The number of star-degraded buckets/rows is
+    printed per partition task so nothing is dropped unaccounted.
+    """
     buckets = part["bucket"].to_numpy(zero_copy_only=False)
     ids = part["doc_id"].to_numpy(zero_copy_only=False)
     n = len(ids)
@@ -140,29 +160,49 @@ def _bucket_pairs(part: pa.Table, *, sim_threshold: float) -> pa.Table:
         part["sig_row"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
     ).reshape(n, -1)
     bounds = run_boundaries(buckets)
-    out_a: List[int] = []
-    out_b: List[int] = []
-    out_est: List[float] = []
+    out_a: List[np.ndarray] = []
+    out_b: List[np.ndarray] = []
+    out_est: List[np.ndarray] = []
+    star_buckets = 0
+    star_rows = 0
     for s, e in zip(bounds[:-1], bounds[1:]):
-        if e - s < 2 or e - s > 1000:  # skip degenerate / mega-buckets (skew guard)
+        m = e - s
+        if m < 2:
             continue
         bid = ids[s:e]
         bsig = sig[s:e]
         order = np.argsort(bid)
         bid, bsig = bid[order], bsig[order]
-        m = e - s
+        if m > allpairs_cap:
+            # star edges: every member vs. the min-doc_id representative
+            star_buckets += 1
+            star_rows += m
+            eq = (bsig[1:] == bsig[0][None, :]).mean(axis=1)
+            keep = (eq >= sim_threshold) & (bid[1:] != bid[0])
+            out_a.append(np.full(int(keep.sum()), bid[0], dtype=np.int64))
+            out_b.append(bid[1:][keep])
+            out_est.append(eq[keep])
+            continue
         eq = (bsig[:, None, :] == bsig[None, :, :]).mean(axis=2)
         ia, ib = np.triu_indices(m, k=1)
         keep = eq[ia, ib] >= sim_threshold
         keep &= bid[ia] != bid[ib]
-        out_a.extend(bid[ia[keep]])
-        out_b.extend(bid[ib[keep]])
-        out_est.extend(eq[ia[keep], ib[keep]])
+        out_a.append(bid[ia[keep]])
+        out_b.append(bid[ib[keep]])
+        out_est.append(eq[ia[keep], ib[keep]])
+    if star_buckets:
+        print(
+            f"[minhash-lsh] {star_buckets} mega-bucket(s) "
+            f"({star_rows} rows) degraded to star-representative edges"
+        )
+    cat = lambda xs, dt: (
+        np.concatenate(xs).astype(dt) if xs else np.empty(0, dtype=dt)
+    )
     return pa.table(
         {
-            "doc_a": pa.array(np.array(out_a, dtype=np.int64)),
-            "doc_b": pa.array(np.array(out_b, dtype=np.int64)),
-            "est_jaccard": pa.array(np.array(out_est, dtype=np.float64)),
+            "doc_a": pa.array(cat(out_a, np.int64)),
+            "doc_b": pa.array(cat(out_b, np.int64)),
+            "est_jaccard": pa.array(cat(out_est, np.float64)),
         }
     )
 
@@ -241,17 +281,30 @@ def exact_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
 
 
 def simhash_batch(batch: pa.Table, *, shingle_k: int = 2) -> pa.Table:
-    """64-bit SimHash over word-shingle crc32s (weight 1 each)."""
-    texts = batch["text"].to_pylist()
-    out = np.zeros(len(texts), dtype=np.uint64)
-    bit_idx = np.arange(64, dtype=np.uint64)
-    for i, t in enumerate(texts):
-        sh = _shingle_hashes(t, shingle_k)
-        # spread crc32 to 64 bits deterministically
-        h64 = sh * np.uint64(0x9E3779B97F4A7C15)
-        bits = ((h64[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(np.int64)
-        vote = (2 * bits - 1).sum(axis=0)
-        out[i] = np.uint64(np.sum((vote > 0).astype(np.uint64) << bit_idx))
+    """64-bit SimHash over word-shingle hashes (weight 1 each).
+
+    Vectorized: one ``shingle_hashes`` pass for the batch, bit matrix over
+    the flat shingle array, per-doc votes via ``np.add.reduceat``.  Bits are
+    processed in chunks of 16 to bound peak memory.
+    """
+    n = batch.num_rows
+    sh, soff = shingle_hashes(batch["text"], shingle_k)
+    counts = np.diff(soff)
+    starts = soff[:-1]
+    h64 = sh * np.uint64(0x9E3779B97F4A7C15)  # avalanche spread
+    out = np.zeros(n, dtype=np.uint64)
+    for b0 in range(0, 64, 16):
+        bit_idx = np.arange(b0, b0 + 16, dtype=np.uint64)
+        bits = ((h64[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(
+            np.int32
+        )
+        ones = np.add.reduceat(bits, starts, axis=0) if len(sh) else np.zeros(
+            (n, 16), np.int32
+        )
+        vote = 2 * ones - counts[:, None]  # ones - zeros
+        out |= ((vote > 0).astype(np.uint64) << bit_idx[None, :]).sum(
+            axis=1, dtype=np.uint64
+        )
     return pa.table(
         {"doc_id": batch["doc_id"], "simhash": pa.array(out.astype(np.int64))}
     )
@@ -288,25 +341,48 @@ def simhash_pairs(ds: Dataset, *, max_hamming: int = 3, **kw) -> Dataset:
         h = part["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
         bounds = run_boundaries(buckets)
         A, B, D = [], [], []
+        star_buckets = star_rows = 0
+        cap = 1000
         for s, e in zip(bounds[:-1], bounds[1:]):
             m = e - s
-            if m < 2 or m > 1000:
+            if m < 2:
                 continue
             bid, bh = ids[s:e], h[s:e]
             order = np.argsort(bid)
             bid, bh = bid[order], bh[order]
+            if m > cap:
+                # mega-bucket skew guard: star edges to the min-doc_id rep
+                # (preserves dedup connectivity, O(m) pairs, counted — not
+                # silently dropped)
+                star_buckets += 1
+                star_rows += m
+                dist = popcount64(bh[1:] ^ bh[0])
+                keep = (dist <= max_hamming) & (bid[1:] != bid[0])
+                A.append(np.full(int(keep.sum()), bid[0], dtype=np.int64))
+                B.append(bid[1:][keep])
+                D.append(dist[keep])
+                continue
             ia, ib = np.triu_indices(m, k=1)
-            x = bh[ia] ^ bh[ib]
-            dist = np.array([bin(int(v)).count("1") for v in x])
+            dist = popcount64(bh[ia] ^ bh[ib])
             keep = (dist <= max_hamming) & (bid[ia] != bid[ib])
-            A.extend(bid[ia[keep]])
-            B.extend(bid[ib[keep]])
-            D.extend(dist[keep])
+            A.append(bid[ia[keep]])
+            B.append(bid[ib[keep]])
+            D.append(dist[keep])
+        if star_buckets:
+            print(
+                f"[simhash] {star_buckets} mega-bucket(s) ({star_rows} rows) "
+                "degraded to star-representative edges"
+            )
+        cat = lambda xs: (
+            np.concatenate(xs).astype(np.int64)
+            if xs
+            else np.empty(0, dtype=np.int64)
+        )
         return pa.table(
             {
-                "doc_a": pa.array(np.array(A, dtype=np.int64)),
-                "doc_b": pa.array(np.array(B, dtype=np.int64)),
-                "hamming": pa.array(np.array(D, dtype=np.int64)),
+                "doc_a": pa.array(cat(A)),
+                "doc_b": pa.array(cat(B)),
+                "hamming": pa.array(cat(D)),
             }
         )
 

@@ -104,22 +104,20 @@ def lang_id_batch(batch: pa.Table) -> pa.Table:
 
 def fingerprint_batch(batch: pa.Table, ngram: int = 5) -> pa.Table:
     """Document fingerprint: min rolling hash over word n-grams (winnowing-
-    style content fingerprint for near-dup candidate generation)."""
-    import zlib
+    style content fingerprint for near-dup candidate generation).
 
-    texts = batch["text"].to_pylist()
-    fps = np.zeros(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts):  # per-doc loop; inner hashing is C (zlib)
-        words = t.split(" ")
-        if len(words) < ngram:
-            fps[i] = zlib.crc32(t.encode())
-            continue
-        best = 0xFFFFFFFF
-        for j in range(len(words) - ngram + 1):
-            h = zlib.crc32(" ".join(words[j : j + ngram]).encode())
-            if h < best:
-                best = h
-        fps[i] = best
+    Vectorized: one ``shingle_hashes`` pass over the batch (flat token-hash
+    array + rolling combine), per-doc min via ``np.minimum.reduceat``.
+    Short docs (< ngram words) fingerprint their whole text — the fallback
+    shingle ``shingle_hashes`` already provides.
+    """
+    from ..functions.hashing import shingle_hashes
+
+    sh, soff = shingle_hashes(batch["text"], ngram)
+    if len(sh):
+        fps = np.minimum.reduceat(sh, soff[:-1]).astype(np.int64)
+    else:
+        fps = np.empty(0, dtype=np.int64)
     return pa.table({"doc_id": batch["doc_id"], "fingerprint": pa.array(fps)})
 
 
