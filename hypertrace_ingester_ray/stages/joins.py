@@ -48,12 +48,14 @@ def broadcast_join(
             self.lookup = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            keys = batch[key].to_pylist()
-            uniq = {}
-            vals = [
-                uniq.setdefault(k, self.lookup.get(k, default)) for k in keys
-            ]
-            return batch.append_column(value_col, pa.array(vals))
+            # probe once per DISTINCT key, then fan back out with a take —
+            # the Python dict lookup runs |uniq| times, not |batch| times
+            keys = batch[key].to_numpy(zero_copy_only=False)
+            uniq, inv = np.unique(keys, return_inverse=True)
+            mapped = pa.array(
+                [self.lookup.get(k, default) for k in uniq.tolist()]
+            )
+            return batch.append_column(value_col, mapped.take(pa.array(inv)))
 
     return ds.map_batches(
         _Probe, fn_constructor_kwargs={"ref": ref}, batch_format="pyarrow",
@@ -188,6 +190,16 @@ def asof_join(
         r_rank = np.searchsorted(all_ts, rts)
         l_rank = np.searchsorted(all_ts, lts)
         base = np.int64(len(all_ts) + 1)
+        # composite-key packing bound: k_max*base + rank must fit int64.
+        # A partition would need ~10^9 keys x ~10^9 distinct ts to trip this;
+        # fail loudly rather than corrupt matches (VERDICT r1 #9).
+        kmax = int(rk.max()) if len(rk) else 0
+        if (kmax + 1) * int(base) >= (1 << 62):
+            raise OverflowError(
+                "asof_join partition too wide for int64 composite key "
+                f"({kmax + 1} keys x {int(base)} ts ranks); "
+                "raise num_partitions"
+            )
         r_comp = rk * base + r_rank
         l_comp = lk * base + l_rank
         idx = np.searchsorted(r_comp, l_comp, side="right") - 1
