@@ -220,8 +220,11 @@ class PartitionProcessor:
             root_exit_exclusions=cfg.root_exit_exclusions,
             latency_sample_pct=cfg.latency_sample_pct,
         )
+        checksums = {}
         for name, tbl in views.items():
-            lineage.write_view_part(self.out_dir, name, part_id, tbl)
+            _, checksums[name] = lineage.write_view_part(
+                self.out_dir, name, part_id, tbl
+            )
         lineage.commit_manifest(
             self.out_dir,
             part_id,
@@ -229,6 +232,7 @@ class PartitionProcessor:
             rows_deduped=stats["rows_deduped"],
             rows_capped=stats["rows_capped"],
             view_counts=stats["view_counts"],
+            view_checksums=checksums,
         )
         return self._stats_row(part_id, stats, resumed=False)
 

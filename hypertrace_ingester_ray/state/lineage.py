@@ -38,25 +38,30 @@ def manifest_path(out_dir: str, part_id: int) -> str:
     return os.path.join(out_dir, MANIFEST_DIR, f"part-{part_id:05d}.json")
 
 
-def write_view_part(out_dir: str, view: str, part_id: int, table: pa.Table) -> int:
-    """Atomically write one view partition file; returns row count."""
+def checksum_file(path: str) -> int:
+    """Streaming CRC32 of the rendered part file — the content checksum the
+    manifest commits to.  File-level (not row-level) on purpose: it detects
+    torn/corrupted-but-present sink files on resume, is dtype-agnostic (map
+    and list columns included), and costs one sequential read only on the
+    resume path."""
+    acc = 0
+    with open(path, "rb") as f:
+        while True:
+            chunk = f.read(1 << 20)
+            if not chunk:
+                return acc
+            acc = zlib.crc32(chunk, acc)
+
+
+def write_view_part(out_dir: str, view: str, part_id: int, table: pa.Table):
+    """Atomically write one view partition file; returns (rows, checksum)."""
     path = part_file(out_dir, view, part_id)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = path + ".tmp"
     pq.write_table(table, tmp)
+    crc = checksum_file(tmp)
     os.rename(tmp, path)
-    return table.num_rows
-
-
-def checksum_table(table: pa.Table, columns) -> int:
-    """Cheap order-insensitive content checksum over selected columns."""
-    acc = 0
-    for name in columns:
-        col = table[name]
-        for chunk in col.chunks if isinstance(col, pa.ChunkedArray) else [col]:
-            for s in chunk.to_pylist():
-                acc ^= zlib.crc32(repr(s).encode())
-    return acc
+    return table.num_rows, crc
 
 
 def load_manifest(out_dir: str, part_id: int) -> Optional[dict]:
@@ -68,10 +73,16 @@ def load_manifest(out_dir: str, part_id: int) -> Optional[dict]:
             m = json.load(f)
     except (OSError, json.JSONDecodeError):
         return None
-    # validate: every referenced sink file must exist (a manifest without its
-    # data files is invalid and forces recompute)
+    # validate: every referenced sink file must exist AND match its committed
+    # checksum (a manifest whose data files are missing or corrupted is
+    # invalid and forces recompute)
+    checksums = m.get("view_checksums", {})
     for view in m.get("view_counts", {}):
-        if not os.path.exists(part_file(out_dir, view, part_id)):
+        fp = part_file(out_dir, view, part_id)
+        if not os.path.exists(fp):
+            return None
+        want = checksums.get(view)
+        if want is not None and checksum_file(fp) != want:
             return None
     return m
 
@@ -84,6 +95,7 @@ def commit_manifest(
     rows_deduped: int,
     rows_capped: int,
     view_counts: Dict[str, int],
+    view_checksums: Optional[Dict[str, int]] = None,
     extra: Optional[dict] = None,
 ) -> dict:
     m = {
@@ -92,6 +104,7 @@ def commit_manifest(
         "rows_deduped": rows_deduped,
         "rows_capped": rows_capped,
         "view_counts": view_counts,
+        "view_checksums": view_checksums or {},
         **(extra or {}),
     }
     path = manifest_path(out_dir, part_id)
