@@ -30,9 +30,11 @@ def main(argv=None):
     src.add_argument("--input", help="transcript parquet file/dir")
     src.add_argument("--events", help="sf dir: derive transcripts from events.parquet")
     run.add_argument("--out", required=True)
-    run.add_argument("--num-partitions", type=int, default=64)
+    # None sentinels so a --config file's values are only overridden when a
+    # flag was explicitly passed (defaults applied after config merge below)
+    run.add_argument("--num-partitions", type=int, default=None)
     run.add_argument("--concurrency", type=int, default=None)
-    run.add_argument("--max-turns-per-conv", type=int, default=100_000)
+    run.add_argument("--max-turns-per-conv", type=int, default=None)
     run.add_argument("--session-gap-sec", type=float, default=None)
     run.add_argument("--num-cpus", type=int, default=None)
     run.add_argument(
@@ -73,20 +75,36 @@ def main(argv=None):
         from .pipelines.ingest import PipelineConfig, run_pipeline
         from .sources.transcripts import transcripts_from_events
 
+        session_gap_us = (
+            int(args.session_gap_sec * 1e6)
+            if args.session_gap_sec is not None
+            else None
+        )
         if args.config:
             from .config import load_pipeline_config
 
             cfg = load_pipeline_config(args.config)
-            cfg.num_partitions = args.num_partitions
-            cfg.concurrency = args.concurrency
+            # explicit CLI flags override the config file; unset flags don't
+            if args.num_partitions is not None:
+                cfg.num_partitions = args.num_partitions
+            if args.concurrency is not None:
+                cfg.concurrency = args.concurrency
+            if args.max_turns_per_conv is not None:
+                cfg.max_turns_per_conv = args.max_turns_per_conv
+            if session_gap_us is not None:
+                cfg.session_gap_us = session_gap_us
         else:
             cfg = PipelineConfig(
-                num_partitions=args.num_partitions,
-                concurrency=args.concurrency,
-                max_turns_per_conv=args.max_turns_per_conv,
-                session_gap_us=(
-                    int(args.session_gap_sec * 1e6) if args.session_gap_sec else None
+                num_partitions=(
+                    64 if args.num_partitions is None else args.num_partitions
                 ),
+                concurrency=args.concurrency,
+                max_turns_per_conv=(
+                    100_000
+                    if args.max_turns_per_conv is None
+                    else args.max_turns_per_conv
+                ),
+                session_gap_us=session_gap_us,
             )
         source = (
             transcripts_from_events(args.events) if args.events else args.input

@@ -123,15 +123,45 @@ def build_peer_index(normalized_ds, *, max_entries: int = 1_000_000) -> Dict[str
     (per-batch distinct pairs, tiny global combine)."""
 
     def pairs(batch: pa.Table) -> pa.Table:
-        t = pa.table(
+        # The CALLER of a tool turn is the preceding turn's service in the
+        # same conversation (the client span publishing its identity) — not
+        # the tool row itself (which would make the index an identity map,
+        # ADVICE r1).  Lag-1 within the batch after an in-batch sort; pairs
+        # whose caller falls in another block are simply not observed, which
+        # is fine for a first-writer-wins identity map.
+        need = batch.select(["conv_id", "turn_idx", "tool", "role"])
+        idx = pa.compute.sort_indices(
+            need,
+            sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")],
+        )
+        t = need.take(idx)
+        conv = t["conv_id"].to_numpy(zero_copy_only=False)
+        # same derivation ServiceNamer uses (coalesce(tool, role)); computed
+        # here because the light-normalized pre-shuffle rows are narrow
+        svc = (
+            pa.compute.coalesce(t["tool"], t["role"])
+            .to_numpy(zero_copy_only=False)
+        )
+        is_tool = pa.compute.is_valid(t["tool"]).to_numpy(zero_copy_only=False)
+        n = len(conv)
+        if n == 0:
+            return pa.table(
+                {"tool": pa.array([], pa.string()),
+                 "service": pa.array([], pa.string())}
+            )
+        same_conv = np.concatenate([[False], conv[1:] == conv[:-1]])
+        keep = is_tool & same_conv
+        prev_svc = np.concatenate([[None], svc[:-1]])
+        out = pa.table(
             {
-                "tool": batch["tool"],
-                "service": pa.compute.coalesce(batch["tool"], batch["role"]),
+                "tool": t["tool"].filter(pa.array(keep)),
+                "service": pa.array(prev_svc[keep], pa.string()),
             }
         )
-        t = t.filter(pa.compute.is_valid(t["tool"]))
-        return t.group_by(["tool"]).aggregate([("service", "min")]).rename_columns(
-            ["tool", "service"]
+        return (
+            out.group_by(["tool"])
+            .aggregate([("service", "min")])
+            .rename_columns(["tool", "service"])
         )
 
     partial = normalized_ds.map_batches(pairs, batch_format="pyarrow")
