@@ -652,7 +652,40 @@ FROM documents
 WHERE len(string_split(text, ' ')) >= 10
 GROUP BY text
 """
-    # doc_lang_id / doc_fingerprint / doc_minhash_pairs / doc_simhash_pairs /
+    # doc_lang_id: deterministic stopword-count argmax, ties broken by
+    # language-code order — mirrored exactly with list_filter counts and a
+    # cascading CASE (first max wins in sorted-language order).
+    langs = sorted(text_analysis.STOPWORDS)
+    per_lang = ",\n    ".join(
+        "len(list_filter(string_split(text, ' '), x -> x IN ({words}))) "
+        "AS s_{lang}".format(
+            words=", ".join(f"'{w}'" for w in text_analysis.STOPWORDS[lang]),
+            lang=lang,
+        )
+        for lang in langs
+    )
+    score_cols = ", ".join(f"s_{lang}" for lang in langs)
+    cases = "\n       ".join(
+        "WHEN s_{l} >= GREATEST({rest}) THEN '{l}'".format(
+            l=lang,
+            rest=", ".join(f"s_{o}" for o in langs[i + 1 :]) or "0",
+        )
+        for i, lang in enumerate(langs[:-1])
+    )
+    sql["doc_lang_id"] = f"""
+WITH s AS (
+  SELECT doc_id,
+    {per_lang}
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN GREATEST({score_cols}) = 0 THEN 'unknown'
+       {cases}
+       ELSE '{langs[-1]}' END AS pred_lang,
+  CAST(GREATEST({score_cols}) AS BIGINT) AS stopword_hits
+FROM s
+"""
+    # doc_fingerprint / doc_minhash_pairs / doc_simhash_pairs /
     # knn_ivf_top5 (approximate) / media_features (stubbed decode):
     # not SQL-expressible → rows-only checks.
     return sql
