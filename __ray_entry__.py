@@ -49,7 +49,9 @@ NORMALIZED_CTE = (
 n0 AS (
   SELECT 'default-tenant' AS tenant_id, conv_id, turn_idx, role, text, tool, ts,
     regexp_extract(text, '^([A-Z]+) ', 1) AS http_method,
-    regexp_extract(text, '^[A-Z]+ (\\S+) HTTP', 1) AS api_path,
+    regexp_extract(text, '^[A-Z]+ ([^?\\s]+)', 1) AS api_path,
+    NULLIF(regexp_extract(text, '^[A-Z]+ [^?\\s]+\\?(\\S+) HTTP', 1), '')
+        AS http_query,
     CAST(regexp_extract(text, ' status=(\\d+)', 1) AS INTEGER) AS status_code,
     CAST(regexp_extract(text, ' dur_ms=(\\d+)', 1) AS BIGINT) AS dur_ms,
     CAST(regexp_extract(text, ' bytes=(\\d+)', 1) AS BIGINT) AS bytes
@@ -69,6 +71,15 @@ ENRICHED_CTE = (
     + """,
 e0 AS (
   SELECT *,
+    -- E8 HttpAttributeEnricher mirror: URL-decode is replace('%20',' ')
+    -- because %20 is the only escape the synthetic corpus generates
+    replace(regexp_extract(http_query, '(?:^|&)page=([^&]*)', 1), '%20', ' ')
+        AS query_param_page,
+    replace(regexp_extract(http_query, '(?:^|&)q=([^&]*)', 1), '%20', ' ')
+        AS query_param_q,
+    array_to_string(list_transform(
+        regexp_extract_all(http_query, '(?:^|&)tag=([^&]*)', 1),
+        x -> replace(x, '%20', ' ')), ',') AS query_param_tag,
     CASE WHEN role='user' THEN 'ENTRY' WHEN role='tool' THEN 'EXIT'
          ELSE 'INTERNAL' END AS span_kind,
     CASE WHEN tool='db' THEN 'SQL' WHEN tool='code' THEN 'GRPC'
@@ -100,6 +111,11 @@ e1 AS (
 ),
 enriched AS (
   SELECT *,
+    CASE WHEN http_query IS NULL THEN ''
+         ELSE 'http.request.query.param.page=' || query_param_page
+           || ';http.request.query.param.q=' || query_param_q
+           || ';http.request.query.param.tag=' || query_param_tag
+         END AS tags_kv,
     (lag(episode_id) OVER (PARTITION BY conv_id ORDER BY turn_idx)
         IS DISTINCT FROM episode_id) AS episode_head,
     CAST(SUM(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END)
@@ -114,10 +130,11 @@ enriched AS (
 
 ENRICHED_COLS = (
     "tenant_id, conv_id, turn_idx, role, text, tool, ts, http_method, api_path,"
-    " op, status_code, dur_ms, bytes, service_name, is_error, span_kind,"
-    " protocol, api_status, status_message, is_boundary, episode_id,"
+    " http_query, op, status_code, dur_ms, bytes, service_name, is_error,"
+    " span_kind, protocol, api_status, status_message, is_boundary, episode_id,"
     " episode_head, service_id, api_id, api_name, backend_id, exit_call_count,"
-    " transaction_name, conv_has_error, session_id"
+    " transaction_name, conv_has_error, session_id, tags_kv,"
+    " query_param_page, query_param_q, query_param_tag"
 )
 
 # ---------------------------------------------------------------------------
@@ -147,6 +164,21 @@ def _pipeline_out(sf_dir: str) -> str:
 
 def _view(sf_dir: str, name: str):
     return view_dataset(_pipeline_out(sf_dir), name)
+
+
+def _per_turn_hashable(sf_dir: str):
+    """per_turn with the open ``tags`` map rendered as a deterministic
+    ``tags_kv`` string (key-sorted ``k=v;...``) so the driver can
+    value-hash it against the SQL oracle without map-type coercion."""
+    import pyarrow as pa
+
+    from hypertrace_ingester_ray.functions.maps import serialize_map
+
+    def project(t: pa.Table) -> pa.Table:
+        kv = serialize_map(t["tags"])
+        return t.drop_columns(["tags"]).append_column("tags_kv", kv)
+
+    return _view(sf_dir, "per_turn").map_batches(project, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -396,7 +428,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q: dict[str, Callable[[str], Any]] = {
         # --- transcript topology (parse → group → enrich → route → aggregate)
         "transcripts": lambda sf: transcripts_from_events(sf),
-        "view_per_turn": lambda sf: _view(sf, "per_turn"),
+        "view_per_turn": lambda sf: _per_turn_hashable(sf),
         "view_per_role": lambda sf: _view(sf, "per_role"),
         "view_per_conversation": lambda sf: _view(sf, "per_conversation"),
         "view_call_edges": lambda sf: _view(sf, "call_edges"),

@@ -262,8 +262,56 @@ class ErrorRollupEnricher(Enricher):
         return table.append_column("conv_has_error", pa.array(has))
 
 
+class HttpAttributeEnricher(Enricher):
+    """HttpAttributeEnricher analog (HttpAttributeEnricher.java:38-81):
+    parse the request query string into the open attributes map —
+    multi-value, URL-decoded ``http.request.query.param.<k>`` entries — plus
+    scalar convenience columns for the hot keys.  The map is passed through
+    ``filter_map_keys`` (TagsFilter.java:65-100) so the flagship pipeline
+    exercises the prefix allow/deny kernels in production, and lands in the
+    ``per_turn`` sink as ``tags`` (SpanEventViewGenerator.java:205)."""
+
+    name = "http_attributes"
+    depends_on = ("span_kind",)
+
+    #: scalar param columns surfaced beside the map (oracle-checkable)
+    PARAM_KEYS = ("page", "q", "tag")
+
+    def __init__(
+        self,
+        denied_prefixes: tuple = ("http.request.query.param.internal",),
+        allow_list: tuple = (),
+    ):
+        self.denied_prefixes = denied_prefixes
+        self.allow_list = allow_list
+
+    def enrich(self, table: pa.Table, ctx: ConversationContext) -> pa.Table:
+        from ..functions.maps import (
+            QUERY_PARAM_PREFIX,
+            filter_map_keys,
+            map_get,
+            parse_query_params,
+        )
+
+        tags = parse_query_params(table["http_query"])
+        if self.denied_prefixes or self.allow_list:
+            tags = filter_map_keys(
+                pa.chunked_array([tags]),
+                denied_prefixes=self.denied_prefixes,
+                allow_list=self.allow_list,
+            )
+        table = table.append_column("tags", tags)
+        chunked = pa.chunked_array([tags])
+        for k in self.PARAM_KEYS:
+            table = table.append_column(
+                f"query_param_{k}", map_get(chunked, QUERY_PARAM_PREFIX + k)
+            )
+        return table
+
+
 DEFAULT_ENRICHERS = (
     SpanKindEnricher,
+    HttpAttributeEnricher,
     ApiStatusEnricher,
     BoundaryEnricher,
     EpisodeEnricher,

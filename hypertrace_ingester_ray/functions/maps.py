@@ -73,5 +73,121 @@ def map_get(col: pa.ChunkedArray, key: str) -> pa.Array:
         first = np.unique(rows, return_index=True)[1]
         out_idx[rows[first]] = hit_pos[first]
     matched = out_idx >= 0
+    if len(arr.items) == 0:
+        return pa.nulls(n, arr.items.type)
     values = arr.items.take(pa.array(np.where(matched, out_idx, 0)))
     return pc.if_else(pa.array(matched), values, pa.nulls(n, arr.items.type))
+
+
+# ---------------------------------------------------------------------------
+# E8 — HTTP query-string parsing (HttpAttributeEnricher analog)
+# ---------------------------------------------------------------------------
+
+QUERY_PARAM_PREFIX = "http.request.query.param."
+
+
+def _url_decode_unique(vals: pa.Array) -> pa.Array:
+    """URL-decode a string array; the Python ``unquote`` runs once per
+    DISTINCT value (dictionary-encode → decode uniques → take)."""
+    from urllib.parse import unquote
+
+    enc = vals.dictionary_encode()
+    decoded = pa.array(
+        [None if v is None else unquote(v) for v in enc.dictionary.to_pylist()],
+        pa.string(),
+    )
+    return decoded.take(enc.indices)
+
+
+def parse_query_params(
+    query_col, *, key_prefix: str = QUERY_PARAM_PREFIX
+) -> pa.MapArray:
+    """Parse ``k=v&k2=v2`` query strings into a ``map<string,string>`` column
+    (HttpAttributeEnricher.java:38-81 semantics): keys lower-cased and
+    prefixed, values URL-decoded, repeated keys joined with ``,`` (the
+    multi-value param list).  Fully vectorized: one split per level, run-
+    boundary grouping, ``pc.binary_join`` for the multi-value merge.
+    """
+    arr = query_col.combine_chunks() if isinstance(query_col, pa.ChunkedArray) else query_col
+    n = len(arr)
+    parts = pc.split_pattern(pc.fill_null(arr, ""), "&")
+    if isinstance(parts, pa.ChunkedArray):
+        parts = parts.combine_chunks()
+    flat = parts.flatten()
+    off = np.asarray(parts.offsets, dtype=np.int64)
+    off = off - off[0]
+    keep = (
+        pc.and_(pc.not_equal(flat, ""), pc.match_substring(flat, "="))
+        .to_numpy(zero_copy_only=False)
+        .astype(bool)
+    )
+    pos = np.flatnonzero(keep)
+    if len(pos) == 0:
+        empty_off = pa.array(np.zeros(n + 1, dtype=np.int32))
+        return pa.MapArray.from_arrays(
+            empty_off, pa.array([], pa.string()), pa.array([], pa.string())
+        )
+    rows = np.searchsorted(off, pos, side="right") - 1
+
+    def _arr(x):
+        return x.combine_chunks() if isinstance(x, pa.ChunkedArray) else x
+
+    kv = pc.split_pattern(flat.take(pa.array(pos)), "=", max_splits=1)
+    keys = _arr(pc.utf8_lower(pc.list_element(kv, 0)))
+    vals = _url_decode_unique(_arr(pc.list_element(kv, 1)))
+
+    # group (row, key) runs → comma-join multi-values, vectorized
+    keys_codes = keys.dictionary_encode()
+    kc = keys_codes.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((kc, rows))
+    rows_s, kc_s = rows[order], kc[order]
+    vals_s = _arr(vals.take(pa.array(order)))
+    keys_s = _arr(keys.take(pa.array(order)))
+    grp = np.ones(len(order), dtype=bool)
+    if len(order):
+        grp[1:] = (rows_s[1:] != rows_s[:-1]) | (kc_s[1:] != kc_s[:-1])
+    gstart = np.flatnonzero(grp)
+    gbounds = np.concatenate([gstart, [len(order)]])
+    joined = pc.binary_join(
+        pa.ListArray.from_arrays(pa.array(gbounds.astype(np.int32)), vals_s),
+        ",",
+    )
+    gkeys = keys_s.take(pa.array(gstart))
+    if key_prefix:
+        gkeys = pc.binary_join_element_wise(key_prefix, gkeys, "")
+    grow = rows_s[gstart]
+    per_row = np.bincount(grow, minlength=n)
+    map_off = np.concatenate([[0], np.cumsum(per_row)]).astype(np.int32)
+    return pa.MapArray.from_arrays(pa.array(map_off), gkeys, joined)
+
+
+def query_param_columns(
+    query_col, keys: Sequence[str]
+) -> dict:
+    """Scalar convenience columns: for each requested key, the comma-joined
+    URL-decoded value(s), null when absent."""
+    m = parse_query_params(query_col, key_prefix="")
+    return {k: map_get(pa.chunked_array([m]), k) for k in keys}
+
+
+def serialize_map(col, *, entry_sep: str = ";", kv_sep: str = "=") -> pa.Array:
+    """Deterministic string rendering of a map column: entries key-sorted
+    within each row, ``k=v`` joined by ``;``.  Used to hash-compare map
+    columns against SQL oracles without cross-engine map-type coercion."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    keys = arr.keys
+    items = arr.items
+    offsets = np.asarray(arr.offsets, dtype=np.int64)
+    rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(offsets))
+    knp = keys.to_numpy(zero_copy_only=False)
+    order = np.lexsort((knp, rows))
+    kv = pc.binary_join_element_wise(
+        keys.take(pa.array(order)), items.take(pa.array(order)), kv_sep
+    )
+    if isinstance(kv, pa.ChunkedArray):
+        kv = kv.combine_chunks()
+    return pc.binary_join(
+        pa.ListArray.from_arrays(pa.array(offsets.astype(np.int32)), kv),
+        entry_sep,
+    )

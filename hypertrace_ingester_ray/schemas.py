@@ -44,6 +44,7 @@ NORMALIZED_TURNS = pa.schema(
         # grok-extracted first-class fields (HttpFieldsGenerator analog)
         pa.field("http_method", pa.string()),
         pa.field("api_path", pa.string()),
+        pa.field("http_query", pa.string()),
         pa.field("op", pa.string()),
         pa.field("status_code", pa.int32()),
         pa.field("dur_ms", pa.int64()),
@@ -72,6 +73,11 @@ ENRICHED_EXTRA = [
     pa.field("transaction_name", pa.string()),  # conv-level, repeated      (E10)
     pa.field("conv_has_error", pa.bool_()),  # (E6 trace rollup)
     pa.field("session_id", pa.int32()),  # ts-gap sessionization     (G2)
+    # E8 HttpAttributeEnricher: open attributes map + scalar query params
+    pa.field("tags", pa.map_(pa.string(), pa.string())),
+    pa.field("query_param_page", pa.string()),
+    pa.field("query_param_q", pa.string()),
+    pa.field("query_param_tag", pa.string()),
 ]
 
 ENRICHED_TURNS = pa.schema(list(NORMALIZED_TURNS) + ENRICHED_EXTRA)

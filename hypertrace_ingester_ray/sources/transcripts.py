@@ -70,6 +70,8 @@ transcripts AS (
          WHEN event_type IN ('signup','purchase') THEN 'assistant'
          ELSE 'tool' END AS role,
     method || ' /api/v1/' || event_type || '/' || CAST(k AS VARCHAR)
+      || '?page=' || CAST(k % 7 AS VARCHAR) || '&q=' || event_type
+      || '&tag=alpha&tag=beta%20' || CAST(k % 3 AS VARCHAR)
       || ' HTTP/1.1 status=' || CAST(status AS VARCHAR)
       || ' dur_ms=' || CAST(dur_ms AS VARCHAR)
       || ' bytes=' || CAST(bytes AS VARCHAR) AS text,
@@ -131,6 +133,12 @@ def derive_turns_batch(batch: pa.Table) -> pa.Table:
         etype,
         "/",
         _str(k),
+        "?page=",
+        _str(pa.array(k_np % 7)),
+        "&q=",
+        etype,
+        "&tag=alpha&tag=beta%20",
+        _str(pa.array(k_np % 3)),
         " HTTP/1.1 status=",
         _str(pa.array(status)),
         " dur_ms=",

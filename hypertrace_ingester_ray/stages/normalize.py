@@ -35,7 +35,8 @@ from ray.data import Dataset
 # first-class columns (the FieldsGenerator dispatch analog,
 # FieldsGenerator.java:69-105).
 GROK_PATTERN = (
-    r"^(?P<http_method>[A-Z]+) (?P<api_path>\S+) HTTP/1\.1"
+    r"^(?P<http_method>[A-Z]+) (?P<api_path>[^?\s]+)(?:\?(?P<http_query>\S*))?"
+    r" HTTP/1\.1"
     r" status=(?P<status_code>\d+) dur_ms=(?P<dur_ms>\d+) bytes=(?P<bytes>\d+)$"
 )
 OP_PATTERN = r"^/api/v1/(?P<op>[a-z]+)"
@@ -169,6 +170,12 @@ def extract_batch(batch: pa.Table) -> pa.Table:
     extracted = pc.extract_regex(batch["text"], GROK_PATTERN)
     http_method = pc.struct_field(extracted, "http_method")
     api_path = pc.struct_field(extracted, "api_path")
+    # optional group: unmatched → "" from RE2; normalize to null
+    http_query = pc.if_else(
+        pc.equal(pc.struct_field(extracted, "http_query"), ""),
+        pa.nulls(batch.num_rows, pa.string()),
+        pc.struct_field(extracted, "http_query"),
+    )
     status_code = pc.cast(pc.struct_field(extracted, "status_code"), pa.int32())
     dur_ms = pc.cast(pc.struct_field(extracted, "dur_ms"), pa.int64())
     bytes_ = pc.cast(pc.struct_field(extracted, "bytes"), pa.int64())
@@ -186,6 +193,7 @@ def extract_batch(batch: pa.Table) -> pa.Table:
             "ts": batch["ts"],
             "http_method": http_method,
             "api_path": api_path,
+            "http_query": http_query,
             "op": op,
             "status_code": status_code,
             "dur_ms": dur_ms,
@@ -207,6 +215,11 @@ def normalize_batch(batch: pa.Table, config: NormalizeConfig = NormalizeConfig()
     extracted = pc.extract_regex(batch["text"], GROK_PATTERN)
     http_method = pc.struct_field(extracted, "http_method")
     api_path = pc.struct_field(extracted, "api_path")
+    http_query = pc.if_else(
+        pc.equal(pc.struct_field(extracted, "http_query"), ""),
+        pa.nulls(n, pa.string()),
+        pc.struct_field(extracted, "http_query"),
+    )
     status_code = pc.cast(pc.struct_field(extracted, "status_code"), pa.int32())
     dur_ms = pc.cast(pc.struct_field(extracted, "dur_ms"), pa.int64())
     bytes_ = pc.cast(pc.struct_field(extracted, "bytes"), pa.int64())
@@ -225,6 +238,7 @@ def normalize_batch(batch: pa.Table, config: NormalizeConfig = NormalizeConfig()
         "ts": batch["ts"],
         "http_method": http_method,
         "api_path": api_path,
+        "http_query": http_query,
         "op": op,
         "status_code": status_code,
         "dur_ms": dur_ms,

@@ -24,8 +24,15 @@ VIEWS = [
 ]
 
 
+import numpy as np
+
+
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
-    sortable = [c for c in df.columns if not df[c].map(lambda v: isinstance(v, (list,))).any()]
+    sortable = [
+        c
+        for c in df.columns
+        if not df[c].map(lambda v: isinstance(v, (list, np.ndarray))).any()
+    ]
     return df.sort_values(sortable, kind="mergesort").reset_index(drop=True)
 
 
