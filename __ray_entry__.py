@@ -123,7 +123,12 @@ enriched AS (
     MAX(CASE WHEN turn_idx = min_user_idx THEN op END)
         OVER (PARTITION BY conv_id) AS transaction_name,
     BOOL_OR(is_error) OVER (PARTITION BY conv_id) AS conv_has_error,
-    CAST(0 AS INTEGER) AS session_id
+    CAST(0 AS INTEGER) AS session_id,
+    CASE WHEN tool IS NOT NULL THEN
+      CAST(MIN(CASE WHEN user_head = 1 THEN turn_idx END) OVER
+        (PARTITION BY conv_id ORDER BY turn_idx
+         ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS INTEGER)
+    END AS callee_entry_turn_idx
   FROM e1
 )"""
 )
@@ -133,8 +138,8 @@ ENRICHED_COLS = (
     " http_query, op, status_code, dur_ms, bytes, service_name, is_error,"
     " span_kind, protocol, api_status, status_message, is_boundary, episode_id,"
     " episode_head, service_id, api_id, api_name, backend_id, exit_call_count,"
-    " transaction_name, conv_has_error, session_id, tags_kv,"
-    " query_param_page, query_param_q, query_param_tag"
+    " transaction_name, conv_has_error, session_id, callee_entry_turn_idx,"
+    " tags_kv, query_param_page, query_param_q, query_param_tag"
 )
 
 # ---------------------------------------------------------------------------
@@ -478,9 +483,16 @@ def oracle_sql() -> dict[str, str]:
         f"WITH {TRANSCRIPTS_CTE} SELECT conv_id, turn_idx, role, text, tool, ts"
         " FROM transcripts"
     )
-    sql["view_per_turn"] = (
-        f"WITH {ENRICHED_CTE} SELECT {ENRICHED_COLS} FROM enriched"
-    )
+    sql["view_per_turn"] = f"""
+WITH {ENRICHED_CTE}
+SELECT {', '.join('e.' + c.strip() for c in ENRICHED_COLS.split(','))},
+  x.api_callee_name
+FROM enriched e
+LEFT JOIN (
+  SELECT conv_id AS c2, turn_idx AS t2, api_name AS api_callee_name
+  FROM enriched
+) x ON e.conv_id = x.c2 AND e.callee_entry_turn_idx = x.t2
+"""
     sql["view_per_role"] = f"""
 WITH {ENRICHED_CTE},
 runs AS (
@@ -520,21 +532,55 @@ FROM enriched GROUP BY conv_id
 """
     sql["view_call_edges"] = f"""
 WITH {ENRICHED_CTE},
-lagged AS (
-  SELECT tenant_id, conv_id, service_name, role, turn_idx, ts, dur_ms, is_error,
-    lag(service_name) OVER w AS caller_service,
-    lag(role) OVER w AS caller_role,
-    lag(turn_idx) OVER w AS caller_turn_idx,
-    lag(is_error) OVER w AS caller_is_error
+w AS (
+  SELECT tenant_id, conv_id, service_name, role, turn_idx, ts, dur_ms,
+    is_error, status_code, tool, protocol, api_path, backend_id, min_user_idx,
+    lag(service_name) OVER win AS prev_service,
+    lag(role) OVER win AS prev_role,
+    lag(turn_idx) OVER win AS prev_turn_idx,
+    lag(is_error) OVER win AS prev_is_error,
+    lead(role) OVER win AS next_role,
+    MIN(turn_idx) OVER (PARTITION BY conv_id) AS first_idx,
+    BOOL_OR(tool IS NOT NULL AND turn_idx <
+        COALESCE(min_user_idx, 9223372036854775807))
+      OVER (PARTITION BY conv_id) AS has_pre_exit
   FROM enriched
-  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+  WINDOW win AS (PARTITION BY conv_id ORDER BY turn_idx)
 )
-SELECT tenant_id, conv_id, caller_service, service_name AS callee_service,
-  caller_role, role AS callee_role, caller_turn_idx,
-  turn_idx AS callee_turn_idx, ts, dur_ms,
-  CAST((CASE WHEN caller_is_error THEN 1 ELSE 0 END)
-     + (CASE WHEN is_error THEN 1 ELSE 0 END) AS BIGINT) AS num_errors
-FROM lagged WHERE caller_role IS NOT NULL AND caller_role <> role
+-- scenario 1: ApiNode edges (adjacent role transitions)
+SELECT tenant_id, conv_id, 'api_edge' AS edge_type,
+  prev_service AS caller_service, service_name AS callee_service,
+  prev_role AS caller_role, role AS callee_role,
+  prev_turn_idx AS caller_turn_idx, turn_idx AS callee_turn_idx,
+  ts, dur_ms,
+  CAST((CASE WHEN prev_is_error THEN 1 ELSE 0 END)
+     + (CASE WHEN is_error THEN 1 ELSE 0 END) AS BIGINT) AS num_errors,
+  status_code, CAST(NULL AS VARCHAR) AS backend_id,
+  CAST(NULL AS VARCHAR) AS request_url
+FROM w WHERE prev_role IS NOT NULL AND prev_role <> role
+UNION ALL
+-- scenario 2: root entries (entry boundary with no incoming edge)
+SELECT tenant_id, conv_id, 'root_entry',
+  NULL, service_name, NULL, role, NULL, turn_idx, ts, dur_ms,
+  CAST(CASE WHEN is_error THEN 1 ELSE 0 END AS BIGINT),
+  status_code, NULL, NULL
+FROM w WHERE turn_idx = first_idx AND role = 'user'
+UNION ALL
+-- scenario 3: backends (exit boundary with no outgoing edge)
+SELECT tenant_id, conv_id, 'backend',
+  service_name, NULL, role, NULL, turn_idx, NULL, ts, dur_ms,
+  CAST(CASE WHEN is_error THEN 1 ELSE 0 END AS BIGINT),
+  status_code, backend_id,
+  lower(protocol) || '://' || tool || api_path
+FROM w WHERE tool IS NOT NULL
+  AND NOT (next_role IS NOT NULL AND next_role <> role)
+UNION ALL
+-- scenario 4: non-root entries (exits before any entry -> root ancestor)
+SELECT tenant_id, conv_id, 'non_root_entry',
+  NULL, service_name, NULL, role, NULL, turn_idx, ts, dur_ms,
+  CAST(CASE WHEN is_error THEN 1 ELSE 0 END AS BIGINT),
+  status_code, NULL, NULL
+FROM w WHERE turn_idx = first_idx AND role <> 'user' AND has_pre_exit
 """
     sql["view_per_tool"] = f"""
 WITH {ENRICHED_CTE},

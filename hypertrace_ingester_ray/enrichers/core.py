@@ -262,6 +262,46 @@ class ErrorRollupEnricher(Enricher):
         return table.append_column("conv_has_error", pa.array(has))
 
 
+class CalleeWalkEnricher(Enricher):
+    """J3 — the exit→callee-entry ancestral walk
+    (SpanEventViewGenerator.java:77-125, getExitSpanToCalleeApiEntrySpanMap):
+    every EXIT (tool) turn is mapped to the next ENTRY (user role-run head)
+    downstream in the same conversation — the API entry its call feeds —
+    yielding ``callee_entry_turn_idx`` and ``api_callee_name``.  Vectorized:
+    one searchsorted over the partition's user-head row indices."""
+
+    name = "callee_walk"
+    depends_on = ("boundary", "endpoint")
+
+    def enrich(self, table: pa.Table, ctx: ConversationContext) -> pa.Table:
+        n = ctx.n
+        roles = ctx.roles
+        heads = np.flatnonzero(ctx.role_run_start() & (roles == "user"))
+        tools = ctx.col("tool")
+        is_exit = np.not_equal(tools, None)
+        if n == 0 or len(heads) == 0:
+            return table.append_column(
+                "callee_entry_turn_idx", pa.nulls(n, pa.int32())
+            ).append_column("api_callee_name", pa.nulls(n, pa.string()))
+        pos = np.searchsorted(heads, np.arange(n), side="right")
+        safe = np.minimum(pos, len(heads) - 1)
+        nxt = heads[safe]
+        valid = (
+            is_exit
+            & (pos < len(heads))
+            & (ctx.conv_codes[nxt] == ctx.conv_codes)
+        )
+        turn_idx = ctx.col("turn_idx")
+        api_name = ctx.col("api_name")
+        callee_idx = pa.array(
+            turn_idx[nxt].astype(np.int32), mask=~valid
+        )
+        callee_api = np.where(valid, api_name[nxt], None)
+        return table.append_column(
+            "callee_entry_turn_idx", callee_idx
+        ).append_column("api_callee_name", pa.array(callee_api, pa.string()))
+
+
 class HttpAttributeEnricher(Enricher):
     """HttpAttributeEnricher analog (HttpAttributeEnricher.java:38-81):
     parse the request query string into the open attributes map —
@@ -312,6 +352,7 @@ class HttpAttributeEnricher(Enricher):
 DEFAULT_ENRICHERS = (
     SpanKindEnricher,
     HttpAttributeEnricher,
+    CalleeWalkEnricher,
     ApiStatusEnricher,
     BoundaryEnricher,
     EpisodeEnricher,

@@ -73,6 +73,9 @@ ENRICHED_EXTRA = [
     pa.field("transaction_name", pa.string()),  # conv-level, repeated      (E10)
     pa.field("conv_has_error", pa.bool_()),  # (E6 trace rollup)
     pa.field("session_id", pa.int32()),  # ts-gap sessionization     (G2)
+    # J3 exit→callee-entry walk (SpanEventViewGenerator.java:77-125)
+    pa.field("callee_entry_turn_idx", pa.int32()),
+    pa.field("api_callee_name", pa.string()),
     # E8 HttpAttributeEnricher: open attributes map + scalar query params
     pa.field("tags", pa.map_(pa.string(), pa.string())),
     pa.field("query_param_page", pa.string()),
@@ -122,10 +125,14 @@ PER_CONVERSATION_VIEW = pa.schema(  # V3 RawTraceView analog: 1 row / conversati
     ]
 )
 
-CALL_EDGE_VIEW = pa.schema(  # V4 ServiceCallView analog: 1 row / role transition
+CALL_EDGE_VIEW = pa.schema(  # V4 ServiceCallView analog: 4 edge scenarios
+    # (ServiceCallViewGenerator.java:58-150): api_edge (ApiNode edge),
+    # root_entry (entry with no incoming edge), backend (exit with no
+    # outgoing edge), non_root_entry (root ancestor of entry-less exits)
     [
         pa.field("tenant_id", pa.string()),
         pa.field("conv_id", pa.string()),
+        pa.field("edge_type", pa.string()),
         pa.field("caller_service", pa.string()),
         pa.field("callee_service", pa.string()),
         pa.field("caller_role", pa.string()),
@@ -135,6 +142,9 @@ CALL_EDGE_VIEW = pa.schema(  # V4 ServiceCallView analog: 1 row / role transitio
         pa.field("ts", pa.timestamp("us")),
         pa.field("dur_ms", pa.int64()),
         pa.field("num_errors", pa.int64()),
+        pa.field("status_code", pa.int32()),
+        pa.field("backend_id", pa.string()),
+        pa.field("request_url", pa.string()),
     ]
 )
 

@@ -149,41 +149,143 @@ def per_conversation_view(t: pa.Table, ctx: ConversationContext) -> pa.Table:
     )
 
 
-def call_edges_view(t: pa.Table, ctx: ConversationContext) -> pa.Table:
-    """One row per adjacent role transition within a conversation — the
-    caller/callee edge join (ServiceCallViewGenerator.java:95-150, 'self-join
-    on span event data' per ServiceCallView.avdl:3-6)."""
-    n = ctx.n
-    if n < 2:
-        return schemas.CALL_EDGE_VIEW.empty_table()
-    same_conv = ctx.conv_codes[1:] == ctx.conv_codes[:-1]
-    role_change = ctx.roles[1:] != ctx.roles[:-1]
-    callee_rows = np.flatnonzero(same_conv & role_change) + 1
-    caller_rows = callee_rows - 1
+def _edge_rows(
+    t: pa.Table,
+    ctx: ConversationContext,
+    *,
+    edge_type: str,
+    caller_rows: np.ndarray = None,
+    callee_rows: np.ndarray = None,
+    event_rows: np.ndarray = None,
+    backend: bool = False,
+) -> pa.Table:
+    """Assemble one edge-scenario slice in the CALL_EDGE_VIEW layout.
 
-    caller = t.select(
-        ["tenant_id", "conv_id", "service_name", "role", "turn_idx"]
-    ).take(pa.array(caller_rows))
-    callee = t.select(["service_name", "role", "turn_idx", "ts", "dur_ms"]).take(
-        pa.array(callee_rows)
-    )
+    Pair scenarios pass (caller_rows, callee_rows); single-event scenarios
+    pass event_rows on exactly one side semantics: root/non-root entries are
+    callee-side (buildEntrySpanView), backends are caller-side
+    (buildExitSpanView)."""
     err = ctx.col("is_error").astype(np.int64)
+    if caller_rows is not None and callee_rows is not None:
+        base = callee_rows
+        num_err = err[caller_rows] + err[callee_rows]
+    else:
+        base = event_rows
+        caller_rows = event_rows if backend else None
+        callee_rows = None if backend else event_rows
+        num_err = err[base]
+    m = len(base)
 
+    def side(rows, col):
+        if rows is None:
+            return pa.nulls(m, t.schema.field(col).type)
+        return t[col].take(pa.array(rows))
+
+    ev = t.select(
+        ["tenant_id", "conv_id", "ts", "dur_ms", "status_code"]
+    ).take(pa.array(base))
+    if backend:
+        # getBackendRequestUrl analog (ServiceCallViewGenerator.java:322-345):
+        # protocol://host+path with host = the tool entity
+        url = pc.binary_join_element_wise(
+            pc.utf8_lower(t["protocol"].take(pa.array(base))),
+            "://",
+            t["tool"].take(pa.array(base)),
+            t["api_path"].take(pa.array(base)),
+            "",
+        )
+        backend_id = t["backend_id"].take(pa.array(base))
+    else:
+        url = pa.nulls(m, pa.string())
+        backend_id = pa.nulls(m, pa.string())
     return pa.table(
         {
-            "tenant_id": caller["tenant_id"],
-            "conv_id": caller["conv_id"],
-            "caller_service": caller["service_name"],
-            "callee_service": callee["service_name"],
-            "caller_role": caller["role"],
-            "callee_role": callee["role"],
-            "caller_turn_idx": caller["turn_idx"],
-            "callee_turn_idx": callee["turn_idx"],
-            "ts": callee["ts"],
-            "dur_ms": callee["dur_ms"],
-            "num_errors": pa.array(err[caller_rows] + err[callee_rows]),
+            "tenant_id": ev["tenant_id"],
+            "conv_id": ev["conv_id"],
+            "edge_type": pa.array([edge_type] * m, pa.string()),
+            "caller_service": side(caller_rows, "service_name"),
+            "callee_service": side(callee_rows, "service_name"),
+            "caller_role": side(caller_rows, "role"),
+            "callee_role": side(callee_rows, "role"),
+            "caller_turn_idx": side(caller_rows, "turn_idx"),
+            "callee_turn_idx": side(callee_rows, "turn_idx"),
+            "ts": ev["ts"],
+            "dur_ms": ev["dur_ms"],
+            "num_errors": pa.array(num_err),
+            "status_code": ev["status_code"],
+            "backend_id": backend_id,
+            "request_url": url,
         }
     )
+
+
+def call_edges_view(t: pa.Table, ctx: ConversationContext) -> pa.Table:
+    """ServiceCallView with the reference's FOUR edge scenarios
+    (ServiceCallViewGenerator.java:58-150), translated to the conversation
+    graph where ApiNode = role-run, entry boundary = user run head, exit
+    boundary = tool turn:
+
+    1. ``api_edge``      — ApiNodeEventEdge: each adjacent role transition;
+                           caller = last turn of the previous run (exit side),
+                           callee = head of the next run (entry side).
+    2. ``root_entry``    — entry boundary with no incoming edge: the first
+                           turn of a conversation when it is a user turn.
+    3. ``backend``       — exit boundary with no outgoing edge: tool turns
+                           that are not an api_edge source (mid-run tools and
+                           conversation-final runs); carries backend_id and
+                           the protocol://host+path request_url concat.
+    4. ``non_root_entry``— ApiNode without an entry boundary but with exits:
+                           conversations that start before any user head and
+                           contain a tool turn there; the root ancestor (the
+                           conversation's first turn) is emitted once.
+    """
+    n = ctx.n
+    if n == 0:
+        return schemas.CALL_EDGE_VIEW.empty_table()
+    roles = ctx.roles
+    tools = ctx.col("tool")
+    idx = np.arange(n, dtype=np.int64)
+
+    # scenario 1: adjacent role transitions
+    if n > 1:
+        same_conv = ctx.conv_codes[1:] == ctx.conv_codes[:-1]
+        role_change = roles[1:] != roles[:-1]
+        callee_rows = np.flatnonzero(same_conv & role_change) + 1
+        caller_rows = callee_rows - 1
+    else:
+        callee_rows = caller_rows = np.zeros(0, dtype=np.int64)
+    s1 = _edge_rows(
+        t, ctx, edge_type="api_edge",
+        caller_rows=caller_rows, callee_rows=callee_rows,
+    )
+
+    # scenario 2: root entries — conversation-first user turns
+    firsts = ctx.bounds[:-1]
+    root_entry_rows = firsts[roles[firsts] == "user"]
+    s2 = _edge_rows(t, ctx, edge_type="root_entry", event_rows=root_entry_rows)
+
+    # scenario 3: backends — tool turns that source no api_edge
+    is_source = np.zeros(n, dtype=bool)
+    is_source[caller_rows] = True
+    backend_rows = np.flatnonzero(np.not_equal(tools, None) & ~is_source)
+    s3 = _edge_rows(
+        t, ctx, edge_type="backend", event_rows=backend_rows, backend=True
+    )
+
+    # scenario 4: non-root entries — convs starting before any user head
+    # with >=1 exit (tool) there; emit the root ancestor once per conv
+    heads = ctx.role_run_start() & (roles == "user")
+    first_head = np.where(heads, idx, np.iinfo(np.int64).max)
+    first_head_per_conv = np.minimum.reduceat(first_head, firsts)
+    tool_pre = np.not_equal(tools, None) & (
+        idx < np.repeat(first_head_per_conv, np.diff(ctx.bounds))
+    )
+    has_pre_exit = np.add.reduceat(tool_pre.astype(np.int64), firsts) > 0
+    non_root = firsts[(roles[firsts] != "user") & has_pre_exit]
+    s4 = _edge_rows(t, ctx, edge_type="non_root_entry", event_rows=non_root)
+
+    out = pa.concat_tables([s1, s2, s3, s4]).combine_chunks()
+    return out.cast(schemas.CALL_EDGE_VIEW)
 
 
 def per_tool_view(t: pa.Table, ctx: ConversationContext) -> pa.Table:

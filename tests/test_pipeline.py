@@ -28,7 +28,7 @@ def test_per_sink_counts(pipeline_out):
         "per_turn": 1000,
         "per_role": 651,
         "per_conversation": 15,
-        "call_edges": 636,
+        "call_edges": 777,  # 636 api_edge + 141 root/backend/non-root rows
         "per_tool": 403,
         "errors": 295,
     }
