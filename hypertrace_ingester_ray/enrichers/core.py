@@ -262,6 +262,27 @@ class ErrorRollupEnricher(Enricher):
         return table.append_column("conv_has_error", pa.array(has))
 
 
+class EntitySpanEnricher(Enricher):
+    """E13 — EntitySpanEnricher analog (EntitySpanEnricher.java:17-23,
+    writeAssociatedEntitiesForSpan): records the entities each turn is
+    associated with.  The association record is the non-null entity ids
+    (service, api, backend) joined with ',' — one vectorized skip-null
+    join, no entity-store side effects needed in a batch engine."""
+
+    name = "entity_span"
+    depends_on = ("service_entity", "endpoint", "backend")
+
+    def enrich(self, table: pa.Table, ctx: ConversationContext) -> pa.Table:
+        joined = pa.compute.binary_join_element_wise(
+            table["service_id"],
+            table["api_id"],
+            table["backend_id"],
+            ",",
+            null_handling="skip",
+        )
+        return table.append_column("associated_entity_ids", joined)
+
+
 class CalleeWalkEnricher(Enricher):
     """J3 — the exit→callee-entry ancestral walk
     (SpanEventViewGenerator.java:77-125, getExitSpanToCalleeApiEntrySpanMap):
@@ -353,6 +374,7 @@ DEFAULT_ENRICHERS = (
     SpanKindEnricher,
     HttpAttributeEnricher,
     CalleeWalkEnricher,
+    EntitySpanEnricher,
     ApiStatusEnricher,
     BoundaryEnricher,
     EpisodeEnricher,
