@@ -125,6 +125,15 @@ enriched AS (
     BOOL_OR(is_error) OVER (PARTITION BY conv_id) AS conv_has_error,
     CAST(0 AS INTEGER) AS session_id,
     concat_ws(',', service_id, api_id, backend_id) AS associated_entity_ids,
+    -- M8 dispatch mirror: priority source keys per protocol
+    CASE protocol
+      WHEN 'SQL' THEN COALESCE(query_param_q, query_param_page)
+      ELSE query_param_q END AS proto_request,
+    CASE protocol
+      WHEN 'SQL' THEN query_param_tag
+      WHEN 'GRPC' THEN COALESCE(query_param_page, query_param_tag)
+      WHEN 'PROC' THEN NULL
+      ELSE query_param_tag END AS proto_params,
     CASE WHEN tool IS NOT NULL THEN
       CAST(MIN(CASE WHEN user_head = 1 THEN turn_idx END) OVER
         (PARTITION BY conv_id ORDER BY turn_idx
@@ -139,8 +148,8 @@ ENRICHED_COLS = (
     " http_query, op, status_code, dur_ms, bytes, service_name, is_error,"
     " span_kind, protocol, api_status, status_message, is_boundary, episode_id,"
     " episode_head, service_id, api_id, api_name, backend_id, exit_call_count,"
-    " transaction_name, conv_has_error, session_id, associated_entity_ids,"
-    " callee_entry_turn_idx,"
+    " transaction_name, conv_has_error, session_id, proto_request,"
+    " proto_params, associated_entity_ids, callee_entry_turn_idx,"
     " tags_kv, query_param_page, query_param_q, query_param_tag"
 )
 

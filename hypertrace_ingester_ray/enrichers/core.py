@@ -262,6 +262,25 @@ class ErrorRollupEnricher(Enricher):
         return table.append_column("conv_has_error", pa.array(has))
 
 
+class ProtocolFieldsEnricher(Enricher):
+    """M8 — the per-protocol field-generator dispatch
+    (ProtocolFieldsGenerator.java dispatch loop; SqlFieldsGenerator.java:24-54,
+    GrpcFieldsGenerator.java, HttpFieldsGenerator.java key maps): each
+    protocol resolves its target fields from priority-ordered source keys in
+    the open ``tags`` map, vectorized via functions/fields.py."""
+
+    name = "protocol_fields"
+    depends_on = ("span_kind", "http_attributes")
+
+    def enrich(self, table: pa.Table, ctx: ConversationContext) -> pa.Table:
+        from ..functions.fields import generate_protocol_fields
+
+        cols = generate_protocol_fields(table["tags"], table["protocol"])
+        for name, arr in cols.items():
+            table = table.append_column(name, arr)
+        return table
+
+
 class EntitySpanEnricher(Enricher):
     """E13 — EntitySpanEnricher analog (EntitySpanEnricher.java:17-23,
     writeAssociatedEntitiesForSpan): records the entities each turn is
@@ -373,6 +392,7 @@ class HttpAttributeEnricher(Enricher):
 DEFAULT_ENRICHERS = (
     SpanKindEnricher,
     HttpAttributeEnricher,
+    ProtocolFieldsEnricher,
     CalleeWalkEnricher,
     EntitySpanEnricher,
     ApiStatusEnricher,

@@ -1,0 +1,90 @@
+"""Per-protocol field-generator dispatch (M8 depth).
+
+The reference normalizes each protocol's span tags through a dispatch table
+of attribute-key → field setters, with several source keys feeding one
+target field in priority order (first writer wins):
+
+- SqlFieldsGenerator.java:24-54   — SQL_QUERY | DB_STATEMENT → query, ...
+- GrpcFieldsGenerator.java        — request body / metadata priority keys
+- HttpFieldsGenerator.java        — url/path/method families
+- ProtocolFieldsGenerator.java    — the shared dispatch loop
+
+Here the same shape is a declarative registry: per protocol, per target
+field, an ordered list of source keys in the open ``tags`` map; extraction
+is vectorized (``map_get`` per unique source key + protocol-masked
+coalesce), not a per-row loop over tag entries.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .maps import QUERY_PARAM_PREFIX, map_get
+
+_P = QUERY_PARAM_PREFIX  # the corpus's open-attribute namespace
+
+#: protocol → target field → priority-ordered source keys (first non-null
+#: wins, mirroring the multiple fieldGeneratorMap entries per setter)
+PROTOCOL_FIELD_PRIORITIES: Dict[str, Dict[str, List[str]]] = {
+    "SQL": {
+        # SQL_QUERY | DB_STATEMENT → query (SqlFieldsGenerator.java:27-33)
+        "proto_request": [_P + "q", _P + "page"],
+        "proto_params": [_P + "tag"],  # SQL_PARAMS
+    },
+    "GRPC": {
+        # request body then metadata (GrpcFieldsGenerator.java)
+        "proto_request": [_P + "q"],
+        "proto_params": [_P + "page", _P + "tag"],
+    },
+    "PROC": {
+        "proto_request": [_P + "q"],
+        "proto_params": [],
+    },
+    "HTTP": {
+        "proto_request": [_P + "q"],
+        "proto_params": [_P + "tag"],
+    },
+}
+
+TARGET_FIELDS = ("proto_request", "proto_params")
+
+
+def generate_protocol_fields(
+    tags_col, protocol_col
+) -> Dict[str, pa.Array]:
+    """Apply the per-protocol dispatch over a batch: for every target field,
+    coalesce the protocol's priority source keys out of the tags map, then
+    select per row by protocol."""
+    tags = (
+        tags_col
+        if isinstance(tags_col, pa.ChunkedArray)
+        else pa.chunked_array([tags_col])
+    )
+    n = len(tags)
+    proto = (
+        protocol_col.combine_chunks()
+        if isinstance(protocol_col, pa.ChunkedArray)
+        else protocol_col
+    )
+    # extract each distinct source key once, share across protocols
+    all_keys = sorted(
+        {k for f in PROTOCOL_FIELD_PRIORITIES.values() for ks in f.values() for k in ks}
+    )
+    extracted = {k: map_get(tags, k) for k in all_keys}
+    out: Dict[str, pa.Array] = {}
+    for field in TARGET_FIELDS:
+        acc = pa.nulls(n, pa.string())
+        for proto_name, fields in PROTOCOL_FIELD_PRIORITIES.items():
+            keys = fields.get(field, [])
+            if not keys:
+                continue
+            val = extracted[keys[0]]
+            for k in keys[1:]:
+                val = pc.coalesce(val, extracted[k])
+            mask = pc.equal(proto, proto_name)
+            acc = pc.if_else(pc.fill_null(mask, False), val, acc)
+        out[field] = acc
+    return out

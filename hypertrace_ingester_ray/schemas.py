@@ -73,6 +73,9 @@ ENRICHED_EXTRA = [
     pa.field("transaction_name", pa.string()),  # conv-level, repeated      (E10)
     pa.field("conv_has_error", pa.bool_()),  # (E6 trace rollup)
     pa.field("session_id", pa.int32()),  # ts-gap sessionization     (G2)
+    # M8 per-protocol field dispatch (Sql/Grpc/HttpFieldsGenerator maps)
+    pa.field("proto_request", pa.string()),
+    pa.field("proto_params", pa.string()),
     # E13 entity-span association record (EntitySpanEnricher.java:17-23)
     pa.field("associated_entity_ids", pa.string()),
     # J3 exit→callee-entry walk (SpanEventViewGenerator.java:77-125)
