@@ -132,7 +132,12 @@ def add_part_column(batch: pa.Table, key, num_partitions: int) -> pa.Table:
         )
         acc = h if acc is None else (acc * np.uint64(1_000_003)) ^ h
     part = (acc % np.uint64(num_partitions)).astype(np.int32)
-    return batch.append_column(PART_COL, pa.array(part))
+    # strip schema metadata (parquet/pandas provenance): schemas WITH
+    # metadata are unhashable, which makes Ray's shuffle log a
+    # "Failed to hash the schemas" warning per block pair at the reduce
+    return batch.append_column(PART_COL, pa.array(part)).replace_schema_metadata(
+        None
+    )
 
 
 def hot_key_counts(
