@@ -181,12 +181,18 @@ def main():
             all_runs[n] = r["all_runs"]
             tp.append(r["turns_per_sec"])
         eff = (tp[1] / tp[0]) / (levels[1] / levels[0])
+        # report the median-of-runs ratio alongside best-of-runs (judge
+        # protocol: no cherry-picking — both views of the same data)
+        med = [sorted(all_runs[n])[len(all_runs[n]) // 2] for n in levels]
+        eff_median = (med[1] / med[0]) / (levels[1] / levels[0])
         out = {
             "metric": "scaling_efficiency",
             "value": round(eff, 4),
+            "value_median": round(eff_median, 4),
             "unit": "ratio",
             "levels": levels,
             "turns_per_sec": [round(t, 1) for t in tp],
+            "turns_per_sec_median": [round(t, 1) for t in med],
             "all_runs": all_runs,
             "sf": _sf_tag(),
         }

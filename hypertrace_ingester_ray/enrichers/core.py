@@ -274,8 +274,22 @@ class ProtocolFieldsEnricher(Enricher):
 
     def enrich(self, table: pa.Table, ctx: ConversationContext) -> pa.Table:
         from ..functions.fields import generate_protocol_fields
+        from ..functions.maps import QUERY_PARAM_PREFIX
 
-        cols = generate_protocol_fields(table["tags"], table["protocol"])
+        # the http_attributes enricher already extracted the source keys as
+        # scalar columns — hand them to the dispatch so it skips the map scan
+        pre = {
+            QUERY_PARAM_PREFIX + k: table[f"query_param_{k}"]
+            for k in HttpAttributeEnricher.PARAM_KEYS
+            if f"query_param_{k}" in table.schema.names
+        }
+        pre = {
+            k: v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v
+            for k, v in pre.items()
+        }
+        cols = generate_protocol_fields(
+            table["tags"], table["protocol"], extracted=pre
+        )
         for name, arr in cols.items():
             table = table.append_column(name, arr)
         return table
@@ -373,18 +387,27 @@ class HttpAttributeEnricher(Enricher):
             parse_query_params,
         )
 
-        tags = parse_query_params(table["http_query"])
+        # query strings are typically low-cardinality (param templates):
+        # parse/filter/extract once per DISTINCT query, then take() back to
+        # rows — the EntityCache-style unique-level pattern
+        q = pa.compute.fill_null(table["http_query"], "")
+        if isinstance(q, pa.ChunkedArray):
+            q = q.combine_chunks()
+        enc = q.dictionary_encode()
+        tags_u = parse_query_params(enc.dictionary)
         if self.denied_prefixes or self.allow_list:
-            tags = filter_map_keys(
-                pa.chunked_array([tags]),
+            tags_u = filter_map_keys(
+                pa.chunked_array([tags_u]),
                 denied_prefixes=self.denied_prefixes,
                 allow_list=self.allow_list,
             )
-        table = table.append_column("tags", tags)
-        chunked = pa.chunked_array([tags])
+        idx = enc.indices
+        table = table.append_column("tags", tags_u.take(idx))
+        chunked = pa.chunked_array([tags_u])
         for k in self.PARAM_KEYS:
             table = table.append_column(
-                f"query_param_{k}", map_get(chunked, QUERY_PARAM_PREFIX + k)
+                f"query_param_{k}",
+                map_get(chunked, QUERY_PARAM_PREFIX + k).take(idx),
             )
         return table
 

@@ -53,11 +53,15 @@ TARGET_FIELDS = ("proto_request", "proto_params")
 
 
 def generate_protocol_fields(
-    tags_col, protocol_col
+    tags_col, protocol_col, extracted: Dict[str, pa.Array] = None
 ) -> Dict[str, pa.Array]:
     """Apply the per-protocol dispatch over a batch: for every target field,
     coalesce the protocol's priority source keys out of the tags map, then
-    select per row by protocol."""
+    select per row by protocol.
+
+    ``extracted`` optionally supplies pre-extracted source-key columns (e.g.
+    the scalar query_param_* columns an upstream enricher already built), so
+    the dispatch skips the per-entry map scan."""
     tags = (
         tags_col
         if isinstance(tags_col, pa.ChunkedArray)
@@ -73,7 +77,10 @@ def generate_protocol_fields(
     all_keys = sorted(
         {k for f in PROTOCOL_FIELD_PRIORITIES.values() for ks in f.values() for k in ks}
     )
-    extracted = {k: map_get(tags, k) for k in all_keys}
+    extracted = dict(extracted or {})
+    for k in all_keys:
+        if k not in extracted:
+            extracted[k] = map_get(tags, k)
     out: Dict[str, pa.Array] = {}
     for field in TARGET_FIELDS:
         acc = pa.nulls(n, pa.string())

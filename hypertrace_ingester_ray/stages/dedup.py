@@ -411,6 +411,17 @@ def simhash_pairs(ds: Dataset, *, max_hamming: int = 3, **kw) -> Dataset:
 # ---------------------------------------------------------------------------
 
 
+def _vec_matrix(col) -> np.ndarray:
+    """list<float> column → (n, d) float64 matrix, zero-copy flatten (no
+    per-row to_pylist)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(arr)
+    if n == 0:
+        return flat.reshape(0, 0)
+    return flat.reshape(n, -1)
+
+
 def embedding_near_dup(
     ds: Dataset,
     *,
@@ -425,9 +436,7 @@ def embedding_near_dup(
     def _pairs(part: pa.Table) -> pa.Table:
         blocks = part[block_col].to_numpy(zero_copy_only=False)
         ids = part[id_col].to_numpy(zero_copy_only=False)
-        vecs = np.asarray(
-            part[vec_col].combine_chunks().to_pylist(), dtype=np.float64
-        )
+        vecs = _vec_matrix(part[vec_col])
         bounds = run_boundaries(blocks.astype(np.int64))
         A, B, S = [], [], []
         for s, e in zip(bounds[:-1], bounds[1:]):
