@@ -255,10 +255,17 @@ def synthesize_batch(
         np.concatenate(([0], np.cumsum(gaps)[np.cumsum(n_turns)[:-1] - 1])), n_turns
     )
 
+    query = np.char.add(
+        np.char.add(
+            np.char.add("?page=", (k % 7).astype(str)),
+            np.char.add("&q=", etype.astype(str)),
+        ),
+        np.char.add("&tag=alpha&tag=beta%20", (k % 3).astype(str)),
+    )
     text = np.char.add(
         np.char.add(
             np.char.add(method.astype(str), np.char.add(" /api/v1/", etype.astype(str))),
-            np.char.add("/", k.astype(str)),
+            np.char.add(np.char.add("/", k.astype(str)), query),
         ),
         np.char.add(
             np.char.add(" HTTP/1.1 status=", status.astype(str)),

@@ -53,15 +53,52 @@ def checksum_file(path: str) -> int:
             acc = zlib.crc32(chunk, acc)
 
 
+class _Crc32Writer:
+    """File wrapper that CRCs bytes as they stream through — the committed
+    checksum costs no second read of the sink file."""
+
+    def __init__(self, f):
+        self._f = f
+        self.crc = 0
+
+    def write(self, data):
+        b = bytes(data)
+        self.crc = zlib.crc32(b, self.crc)
+        return self._f.write(b)
+
+    def flush(self):
+        self._f.flush()
+
+    def close(self):
+        self._f.close()
+
+    @property
+    def closed(self):
+        return self._f.closed
+
+    def tell(self):
+        return self._f.tell()
+
+    def seekable(self):
+        return False
+
+    def writable(self):
+        return True
+
+    def readable(self):
+        return False
+
+
 def write_view_part(out_dir: str, view: str, part_id: int, table: pa.Table):
     """Atomically write one view partition file; returns (rows, checksum)."""
     path = part_file(out_dir, view, part_id)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = path + ".tmp"
-    pq.write_table(table, tmp)
-    crc = checksum_file(tmp)
+    with open(tmp, "wb") as raw:
+        w = _Crc32Writer(raw)
+        pq.write_table(table, w)
     os.rename(tmp, path)
-    return table.num_rows, crc
+    return table.num_rows, w.crc
 
 
 def load_manifest(out_dir: str, part_id: int) -> Optional[dict]:
