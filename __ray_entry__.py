@@ -472,6 +472,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "knn_cosine_top5": _knn,
         "embedding_near_dup": _near_dup,
+        # LSH-blocked variant: the scale path when no exact block key exists
+        # (random-hyperplane buckets; approximate → rows-only)
+        "embedding_near_dup_lsh": lambda sf: __import__(
+            "ray.data", fromlist=["read_parquet"]
+        )
+        and dedup.embedding_near_dup_lsh(
+            __import__("ray.data", fromlist=["read_parquet"]).read_parquet(
+                os.path.join(sf, "embeddings.parquet")
+            ),
+            threshold=0.30,
+            nbits=6,
+            n_tables=8,
+            num_partitions=16,
+        ).select_columns(["id_a", "id_b"]),
         # --- additional operators
         "sessionized": _sessionized,
         "log_tokens": _log_tokens,

@@ -461,3 +461,124 @@ def embedding_near_dup(
         )
 
     return group_apply(ds, block_col, _pairs, sort_by=[id_col], **kw)
+
+
+def embedding_near_dup_lsh(
+    ds: Dataset,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.30,
+    nbits: int = 8,
+    n_tables: int = 4,
+    seed: int = 11,
+    allpairs_cap: int = 2000,
+    **kw,
+) -> Dataset:
+    """Embedding near-dup with RANDOM-HYPERPLANE LSH blocking — the scale
+    path when no exact block key (label) exists.
+
+    Each of ``n_tables`` hash tables projects every vector onto ``nbits``
+    seeded hyperplanes; the sign pattern is the bucket id, so only vectors
+    agreeing on all bits of some table ever meet (cos(theta)^nbits collision
+    prob — near-dups collide in >=1 table w.h.p.).  Within-bucket exact
+    cosine verifies candidates; duplicate pairs from multiple tables are
+    deduped by a second keyed pass.  No all-pairs, no global materialization.
+    """
+    import ray as _ray
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        vecs = _vec_matrix(batch[vec_col])
+        n, d = vecs.shape if vecs.ndim == 2 else (0, 0)
+        if n == 0:
+            return pa.table(
+                {
+                    "bucket": pa.array([], pa.int64()),
+                    id_col: pa.array([], batch.schema.field(id_col).type),
+                    vec_col: batch[vec_col],
+                }
+            )
+        rng = np.random.default_rng(seed)  # same planes in every task
+        planes = rng.standard_normal((d, nbits * n_tables))
+        bits = (vecs @ planes) > 0  # (n, nbits*n_tables)
+        out_b, out_rows = [], []
+        weights = (1 << np.arange(nbits, dtype=np.int64))
+        for ti in range(n_tables):
+            code = bits[:, ti * nbits : (ti + 1) * nbits] @ weights
+            out_b.append(code * np.int64(n_tables) + ti)
+            out_rows.append(np.arange(n, dtype=np.int64))
+        rows = np.concatenate(out_rows)
+        return pa.table(
+            {
+                "bucket": pa.array(np.concatenate(out_b)),
+                id_col: batch[id_col].take(pa.array(rows)),
+                vec_col: batch[vec_col].take(pa.array(rows)),
+            }
+        )
+
+    exploded = ds.map_batches(_assign, batch_format="pyarrow")
+
+    def _pairs(part: pa.Table) -> pa.Table:
+        buckets = part["bucket"].to_numpy(zero_copy_only=False)
+        ids = part[id_col].to_numpy(zero_copy_only=False)
+        vecs = _vec_matrix(part[vec_col])
+        bounds = run_boundaries(buckets)
+        A, B, S = [], [], []
+        star = 0
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            m = e - s
+            if m < 2:
+                continue
+            v = vecs[s:e]
+            norms = np.sqrt((v * v).sum(axis=1))
+            norms[norms == 0] = 1.0
+            vn = v / norms[:, None]
+            bid = ids[s:e]
+            order = np.argsort(bid)
+            bid, vn = bid[order], vn[order]
+            if m > allpairs_cap:
+                # mega-bucket guard: star edges to the min-id representative
+                star += 1
+                sim = vn[1:] @ vn[0]
+                keep = (sim >= threshold) & (bid[1:] != bid[0])
+                A.append(np.full(int(keep.sum()), bid[0], dtype=np.int64))
+                B.append(bid[1:][keep])
+                S.append(sim[keep])
+                continue
+            sim = vn @ vn.T
+            ia, ib = np.triu_indices(m, k=1)
+            keep = (sim[ia, ib] >= threshold) & (bid[ia] != bid[ib])
+            A.append(bid[ia[keep]])
+            B.append(bid[ib[keep]])
+            S.append(sim[ia[keep], ib[keep]])
+        if star:
+            print(f"[emb-lsh] {star} mega-bucket(s) degraded to star edges")
+        cat = lambda xs, dt: (
+            np.concatenate(xs).astype(dt) if xs else np.empty(0, dtype=dt)
+        )
+        return pa.table(
+            {
+                "id_a": pa.array(cat(A, np.int64)),
+                "id_b": pa.array(cat(B, np.int64)),
+                "cosine": pa.array(cat(S, np.float64)),
+            }
+        )
+
+    pairs = group_apply(exploded, "bucket", _pairs, sort_by=[id_col], **kw)
+
+    def _dedup(part: pa.Table) -> pa.Table:
+        key = part["_pk"].to_numpy(zero_copy_only=False)
+        bounds = run_boundaries(key)
+        return part.take(pa.array(bounds[:-1])).drop_columns(["_pk"])
+
+    pairs = pairs.map_batches(
+        lambda t: t.append_column(
+            "_pk",
+            pa.array(
+                t["id_a"].to_numpy(zero_copy_only=False) * np.int64(1 << 32)
+                + t["id_b"].to_numpy(zero_copy_only=False)
+            ),
+        ),
+        batch_format="pyarrow",
+    )
+    return group_apply(pairs, "_pk", _dedup, **kw)

@@ -138,3 +138,23 @@ def test_fingerprint_deterministic(docs):
     assert a.fingerprint.tolist() == b.fingerprint.tolist()
     # identical docs → identical fingerprints
     assert a.iloc[1].fingerprint == a.iloc[4].fingerprint
+
+
+def test_embedding_lsh_near_dup_recall(ray_session):
+    """LSH-blocked near-dup must recover (nearly) all pairs the exact
+    label-blocked variant finds within labels, plus it may add cross-label
+    pairs the label blocking cannot see."""
+    import ray.data
+
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = dedup.embedding_near_dup(
+        ds, threshold=0.30, num_partitions=4
+    ).to_pandas()
+    lsh = dedup.embedding_near_dup_lsh(
+        ds, threshold=0.30, nbits=3, n_tables=16, num_partitions=4
+    ).to_pandas()
+    ex = set(map(tuple, exact[["id_a", "id_b"]].values))
+    ls = set(map(tuple, lsh[["id_a", "id_b"]].values))
+    if ex:
+        recall = len(ex & ls) / len(ex)
+        assert recall >= 0.8, recall
