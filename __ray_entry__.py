@@ -343,6 +343,37 @@ def _asof_last_click(sf_dir: str):
     return j.map_batches(finish, batch_format="pyarrow")
 
 
+def _clicks_before_error(sf_dir: str):
+    """Range (interval) join: ALL clicks of the same user within the hour
+    before each error — the windowed many-to-many companion of the as-of
+    join, same single-shuffle design."""
+    import ray.data
+
+    from hypertrace_ingester_ray.stages.joins import range_join
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    errors = ev.filter(expr="event_type == 'error'").select_columns(
+        ["user_id", "ts", "event_id"]
+    )
+    clicks = ev.filter(expr="event_type == 'click'").select_columns(
+        ["user_id", "ts", "event_id"]
+    )
+    j = range_join(
+        errors, clicks, key="user_id", ts_col="ts",
+        window_us=3_600_000_000, num_partitions=8,
+    )
+
+    def finish(batch):
+        return batch.select(["event_id", "event_id_right"]).rename_columns(
+            ["error_id", "click_id"]
+        )
+
+    return j.map_batches(finish, batch_format="pyarrow")
+
+
 def _conv_rollup_salted(sf_dir: str):
     """Per-conversation rollup via skew-aware SALTED aggregation: hot
     conversations are pre-counted, split across salt_factor sub-groups for
@@ -491,6 +522,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "log_tokens": _log_tokens,
         "order_priority_revenue": _order_priority_revenue,
         "asof_last_click": _asof_last_click,
+        "clicks_before_error": _clicks_before_error,
         "knn_ivf_top5": _knn_ivf,
         "media_features": _media_features,
         "conv_rollup_salted": _conv_rollup_salted,
@@ -738,6 +770,13 @@ SELECT e.event_id AS error_id, c.event_id AS click_id
 FROM (SELECT * FROM events WHERE event_type = 'error') e
 ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
   ON e.user_id = c.user_id AND e.ts >= c.ts
+"""
+    sql["clicks_before_error"] = """
+SELECT e.event_id AS error_id, c.event_id AS click_id
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON e.user_id = c.user_id
+ AND c.ts BETWEEN e.ts - INTERVAL 1 HOUR AND e.ts
 """
     sql["conv_rollup_salted"] = f"""
 WITH {TRANSCRIPTS_CTE}

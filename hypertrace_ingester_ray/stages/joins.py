@@ -221,3 +221,150 @@ def asof_join(
     return group_apply(
         both, key, _match, sort_by=[ts_col], num_partitions=num_partitions
     )
+
+
+def range_join(
+    left: Dataset,
+    right: Dataset,
+    *,
+    key: str,
+    ts_col: str = "ts",
+    window_us: int,
+    left_cols: Optional[Sequence[str]] = None,
+    right_cols: Optional[Sequence[str]] = None,
+    suffix: str = "_right",
+    num_partitions: int = 32,
+) -> Dataset:
+    """Interval (range) join: every (left, right) pair with the same key and
+    ``left.ts - window_us <= right.ts <= left.ts`` (bounds inclusive).
+
+    Same single-shuffle design as ``asof_join``: both sides are tagged and
+    hash-partitioned by key, then each partition resolves its windows
+    vectorized — right side sorted by (key, ts), per-left-row window located
+    with two searchsorted calls over a rank-compressed composite key, and
+    the ragged match ranges expanded with repeat/arange (no per-row loop).
+    Inner semantics: unmatched left rows emit nothing.
+    """
+    left_cols = list(left_cols or left.schema().names)
+    right_cols = list(right_cols or right.schema().names)
+    left_payload = [c for c in left_cols if c not in (key, ts_col)]
+    right_payload = [c for c in right_cols if c not in (key, ts_col)]
+
+    def _tag_side(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            cols = {
+                key: batch[key],
+                ts_col: batch[ts_col],
+                "__side": pa.array(
+                    np.full(batch.num_rows, side, dtype=np.int8)
+                ),
+            }
+            payload = left_payload if side == 0 else right_payload
+            pre = "L_" if side == 0 else "R_"
+            for c in payload:
+                cols[pre + c] = batch[c]
+            return pa.table(cols)
+
+        return fn
+
+    lt = left.map_batches(_tag_side(0), batch_format="pyarrow")
+    rt = right.map_batches(_tag_side(1), batch_format="pyarrow")
+    # unify schemas (nulls for the other side's payload)
+    lsch = {f.name: f.type for f in left.schema().base_schema}
+    rsch = {f.name: f.type for f in right.schema().base_schema}
+
+    def _widen(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            if side == 0:
+                for c in right_payload:
+                    batch = batch.append_column("R_" + c, pa.nulls(n, rsch[c]))
+            else:
+                for c in left_payload:
+                    batch = batch.append_column("L_" + c, pa.nulls(n, lsch[c]))
+            order = (
+                [key, ts_col, "__side"]
+                + ["L_" + c for c in left_payload]
+                + ["R_" + c for c in right_payload]
+            )
+            return batch.select(order)
+
+        return fn
+
+    both = lt.map_batches(_widen(0), batch_format="pyarrow").union(
+        rt.map_batches(_widen(1), batch_format="pyarrow")
+    )
+
+    out_names = (
+        [key, ts_col]
+        + left_payload
+        + [ts_col + suffix]
+        + [c + suffix for c in right_payload]
+    )
+
+    def _match(part: pa.Table) -> pa.Table:
+        side = part["__side"].to_numpy(zero_copy_only=False)
+        kcol = part[key].combine_chunks().dictionary_encode()
+        kcodes = kcol.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = part[ts_col].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        lrows = np.flatnonzero(side == 0)
+        rrows = np.flatnonzero(side == 1)
+        empty = pa.table(
+            {
+                name: pa.array([], t)
+                for name, t in zip(
+                    out_names,
+                    [part.schema.field(key).type, part.schema.field(ts_col).type]
+                    + [lsch[c] for c in left_payload]
+                    + [part.schema.field(ts_col).type]
+                    + [rsch[c] for c in right_payload],
+                )
+            }
+        )
+        if len(lrows) == 0 or len(rrows) == 0:
+            return empty
+        rk, rts = kcodes[rrows], ts[rrows]
+        r_order = np.lexsort((rts, rk))
+        rk, rts = rk[r_order], rts[r_order]
+        r_sorted_rows = rrows[r_order]
+        lk, lts = kcodes[lrows], ts[lrows]
+        lo_ts = lts - np.int64(window_us)
+
+        all_ts = np.unique(np.concatenate([rts, lts, lo_ts]))
+        base = np.int64(len(all_ts) + 1)
+        kmax = int(rk.max()) if len(rk) else 0
+        if (kmax + 1) * int(base) >= (1 << 62):
+            raise OverflowError(
+                "range_join partition too wide for int64 composite key; "
+                "raise num_partitions"
+            )
+        r_comp = rk * base + np.searchsorted(all_ts, rts)
+        lo = np.searchsorted(r_comp, lk * base + np.searchsorted(all_ts, lo_ts), side="left")
+        hi = np.searchsorted(r_comp, lk * base + np.searchsorted(all_ts, lts), side="right")
+        counts = hi - lo
+        total = int(counts.sum())
+        if total == 0:
+            return empty
+        # ragged range expansion: flat right indices for every match pair
+        lrep = np.repeat(np.arange(len(lrows)), counts)
+        flat = np.repeat(lo, counts) + (
+            np.arange(total) - np.repeat(np.concatenate(([0], np.cumsum(counts)[:-1])), counts)
+        )
+        lidx = pa.array(lrows[lrep])
+        ridx = pa.array(r_sorted_rows[flat])
+        cols = {
+            key: part[key].take(lidx),
+            ts_col: part[ts_col].take(lidx),
+        }
+        for c in left_payload:
+            cols[c] = part["L_" + c].take(lidx)
+        cols[ts_col + suffix] = part[ts_col].take(ridx)
+        for c in right_payload:
+            cols[c + suffix] = part["R_" + c].take(ridx)
+        return pa.table(cols).rename_columns(out_names)
+
+    return group_apply(
+        both, key, _match, sort_by=[ts_col], num_partitions=num_partitions
+    )

@@ -96,3 +96,33 @@ def test_asof_join_string_keys(ray_session):
     out = asof_join(left, right, key="key", ts_col="ts", num_partitions=2).to_pandas()
     got = dict(zip(out.key, out.w_right))
     assert got["x"] == 9 and np.isnan(got["y"])
+
+
+def test_range_join_window(ray_session):
+    """Interval join: all right rows within [left.ts - w, left.ts], same key."""
+    import pyarrow as pa
+    import ray.data
+
+    from hypertrace_ingester_ray.stages.joins import range_join
+
+    def t(rows):
+        return pa.table(
+            {
+                "k": pa.array([r[0] for r in rows], pa.string()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "id": pa.array([r[2] for r in rows], pa.int64()),
+            }
+        )
+
+    left = ray.data.from_arrow(t([("a", 100, 1), ("a", 200, 2), ("b", 150, 3)]))
+    right = ray.data.from_arrow(
+        t([("a", 50, 10), ("a", 100, 11), ("a", 199, 12), ("b", 40, 13)])
+    )
+    out = range_join(
+        left, right, key="k", ts_col="ts", window_us=60, num_partitions=4
+    ).to_pandas()
+    pairs = sorted(map(tuple, out[["id", "id_right"]].values))
+    # left 1 (ts100, window [40,100]): right 10 (50), 11 (100)
+    # left 2 (ts200, window [140,200]): right 12 (199)
+    # left 3 (b ts150, window [90,150]): nothing (13 at 40)
+    assert pairs == [(1, 10), (1, 11), (2, 12)]
