@@ -374,6 +374,22 @@ def _clicks_before_error(sf_dir: str):
     return j.map_batches(finish, batch_format="pyarrow")
 
 
+def _events_sliding_1h(sf_dir: str):
+    """Hopping-window aggregate: 1 h sliding windows on a 15 min hop —
+    partial combine inside map_batches, tiny global groupby (A1 sliding
+    companion)."""
+    import ray.data
+
+    from hypertrace_ingester_ray.stages.metrics import hopping_window_counts
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts", "event_type"]
+    )
+    return hopping_window_counts(
+        ds, window_us=3_600_000_000, hop_us=900_000_000
+    )
+
+
 def _conv_rollup_salted(sf_dir: str):
     """Per-conversation rollup via skew-aware SALTED aggregation: hot
     conversations are pre-counted, split across salt_factor sub-groups for
@@ -523,6 +539,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_priority_revenue": _order_priority_revenue,
         "asof_last_click": _asof_last_click,
         "clicks_before_error": _clicks_before_error,
+        "events_sliding_1h": _events_sliding_1h,
         "knn_ivf_top5": _knn_ivf,
         "media_features": _media_features,
         "conv_rollup_salted": _conv_rollup_salted,
@@ -777,6 +794,13 @@ FROM (SELECT * FROM events WHERE event_type = 'error') e
 JOIN (SELECT * FROM events WHERE event_type = 'click') c
   ON e.user_id = c.user_id
  AND c.ts BETWEEN e.ts - INTERVAL 1 HOUR AND e.ts
+"""
+    sql["events_sliding_1h"] = """
+SELECT make_timestamp((CAST(floor(epoch_us(ts)/900000000) AS BIGINT) - i)
+    * 900000000) AS window_start, event_type,
+  COUNT(*) AS num_events
+FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) h
+GROUP BY window_start, event_type
 """
     sql["conv_rollup_salted"] = f"""
 WITH {TRANSCRIPTS_CTE}

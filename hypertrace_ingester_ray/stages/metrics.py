@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import List
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -58,3 +59,56 @@ def windowed_metrics(per_turn: Dataset, window: str = "minute") -> Dataset:
         return b.rename_columns(METRIC_DIMS + ["num_calls"])
 
     return agg.map_batches(_rename, batch_format="pyarrow")
+
+
+def hopping_window_counts(
+    ds: Dataset,
+    *,
+    window_us: int,
+    hop_us: int,
+    dims: List[str] = ["event_type"],
+    ts_col: str = "ts",
+) -> Dataset:
+    """Sliding (hopping) window counts: every row lands in
+    ``window_us / hop_us`` overlapping windows; counts per (window_start,
+    dims).  window_us must be a multiple of hop_us.
+
+    Same partial-aggregation shape as the tumbling-window metrics (A1): the
+    window explosion AND the per-batch combine happen inside ``map_batches``
+    — only (window_start, dims, partial_count) rows reach the tiny global
+    groupby, so the shuffle volume is bounded by distinct windows x dims, not
+    by input rows x hops.
+    """
+    if window_us % hop_us:
+        raise ValueError("window_us must be a multiple of hop_us")
+    n_hops = window_us // hop_us
+    out_cols = ["window_start"] + list(dims) + ["num_events"]
+
+    def explode_partial(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        ts = (
+            batch[ts_col].combine_chunks().cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        smax = (ts // hop_us) * hop_us
+        starts = (
+            smax[:, None]
+            - (np.arange(n_hops, dtype=np.int64) * hop_us)[None, :]
+        ).reshape(-1)
+        rep = pa.array(np.repeat(np.arange(n, dtype=np.int64), n_hops))
+        t = pa.table(
+            {
+                "window_start": pa.array(starts).cast(pa.timestamp("us")),
+                **{d: batch[d].take(rep) for d in dims},
+            }
+        )
+        out = t.group_by(["window_start"] + list(dims)).aggregate(
+            [([], "count_all")]
+        )
+        return out.rename_columns(["window_start"] + list(dims) + ["num_events"])
+
+    partial = ds.map_batches(explode_partial, batch_format="pyarrow")
+    agg = partial.groupby(["window_start"] + list(dims)).sum("num_events")
+    return agg.map_batches(
+        lambda b: b.rename_columns(out_cols), batch_format="pyarrow"
+    )

@@ -158,3 +158,26 @@ def test_embedding_lsh_near_dup_recall(ray_session):
     if ex:
         recall = len(ex & ls) / len(ex)
         assert recall >= 0.8, recall
+
+
+def test_hopping_window_counts(ray_session):
+    """Every row lands in window/hop overlapping windows; totals add up."""
+    import pyarrow as pa
+    import ray.data
+
+    from hypertrace_ingester_ray.stages.metrics import hopping_window_counts
+
+    t = pa.table(
+        {
+            "ts": pa.array([0, 10, 25, 100], pa.timestamp("us")),
+            "event_type": pa.array(["a", "a", "b", "a"], pa.string()),
+        }
+    )
+    out = hopping_window_counts(
+        ray.data.from_arrow(t), window_us=40, hop_us=10
+    ).to_pandas()
+    # each of 4 rows → 4 windows; sum of counts = 16
+    assert out.num_events.sum() == 16
+    # window starting at t=0 contains rows at ts 0,10,25 → a:2, b:1
+    w0 = out[out.window_start.astype("int64") == 0]
+    assert dict(zip(w0.event_type, w0.num_events)) == {"a": 2, "b": 1}
