@@ -108,3 +108,61 @@ def test_metrics_totals(pipeline_out):
     assert set(m.columns) == {
         "window_ts", "tenant_id", "service_name", "api_status", "num_calls",
     }
+
+
+def test_call_edges_four_scenarios(ray_session):
+    """ServiceCallViewGeneratorTest analog: one conversation exercising all
+    four edge scenarios at once."""
+    import pyarrow as pa
+
+    from hypertrace_ingester_ray.enrichers.base import ConversationContext
+    from hypertrace_ingester_ray.enrichers.core import build_default_registry
+    from hypertrace_ingester_ray.stages.grouping import assemble_conversations
+    from hypertrace_ingester_ray.stages.normalize import normalize_batch
+    from hypertrace_ingester_ray.stages.views import call_edges_view
+
+    def turn(conv, idx, role, tool=None):
+        path = f"/api/v1/view/{idx}?page=1&q=view&tag=alpha&tag=beta%200"
+        return (conv, idx, role, f"GET {path} HTTP/1.1 status=200 dur_ms=5 bytes=9", tool, 1000 + idx)
+
+    rows = [
+        # conv A: user entry → assistant → tool,tool (mid-run tool = backend)
+        turn("A", 0, "user"),
+        turn("A", 1, "assistant"),
+        turn("A", 2, "tool", "db"),
+        turn("A", 3, "tool", "http"),   # last turn of conv → backend
+        # conv B: starts with a tool (non-root entry scenario)
+        turn("B", 0, "tool", "shell"),
+        turn("B", 1, "user"),
+    ]
+    t = pa.table(
+        {
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "role": pa.array([r[2] for r in rows], pa.string()),
+            "text": pa.array([r[3] for r in rows], pa.string()),
+            "tool": pa.array([r[4] for r in rows], pa.string()),
+            "ts": pa.array([r[5] for r in rows], pa.timestamp("us")),
+        }
+    )
+    norm = normalize_batch(t)
+    assembled, _, _ = assemble_conversations(norm)
+    enriched = build_default_registry().apply(assembled)
+    ctx = ConversationContext(enriched)
+    edges = call_edges_view(enriched, ctx).to_pandas()
+
+    by_type = edges.groupby("edge_type").size().to_dict()
+    # A: u→a, a→t transitions; B: t→u transition = 3 api edges
+    assert by_type["api_edge"] == 3
+    # A starts with user → 1 root entry (B starts with tool → none)
+    assert by_type["root_entry"] == 1
+    # backends: A2 (mid-run tool) + A3 (conv-final tool) = 2
+    # (B0 is an api_edge source: next role differs)
+    assert by_type["backend"] == 2
+    # B starts with an exit before any user head → 1 non-root entry
+    assert by_type["non_root_entry"] == 1
+    b = edges[edges.edge_type == "backend"].sort_values("caller_turn_idx")
+    assert b.request_url.tolist() == [
+        "sql://db/api/v1/view/2", "http://http/api/v1/view/3",
+    ]
+    assert b.backend_id.notna().all()
