@@ -110,3 +110,33 @@ def test_grok_round_trip(fields):
     assert out["dur_ms"].to_pylist() == [f[4] for f in fields]
     assert out["bytes"].to_pylist() == [f[5] for f in fields]
     assert out["is_error"].to_pylist() == [f[3] >= 400 for f in fields]
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abcde ", min_size=0, max_size=40), min_size=1, max_size=20
+    )
+)
+@settings(max_examples=50, deadline=None)
+def test_shingle_hashes_properties(texts):
+    """Vectorized shingling: per-doc counts match the scalar definition and
+    identical docs share identical shingle sequences."""
+    import numpy as np
+    import pyarrow as pa
+
+    from hypertrace_ingester_ray.functions.hashing import shingle_hashes
+
+    k = 3
+    sh, soff = shingle_hashes(pa.array(texts, pa.string()), k)
+    assert len(soff) == len(texts) + 1
+    for i, t in enumerate(texts):
+        words = t.split(" ")
+        expect = max(len(words) - k + 1, 1)
+        assert soff[i + 1] - soff[i] == expect
+    # identical docs → identical shingle slices
+    for i, a in enumerate(texts):
+        for j, b in enumerate(texts):
+            if a == b:
+                assert np.array_equal(
+                    sh[soff[i]:soff[i + 1]], sh[soff[j]:soff[j + 1]]
+                )
