@@ -517,6 +517,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_simhash_pairs": lambda sf: dedup.simhash_pairs(
             _docs(sf), num_partitions=16
         ),
+        "doc_near_dup_verified": lambda sf: dedup.verified_near_dup_pairs(
+            _docs(sf), num_partitions=8
+        ),
         "knn_cosine_top5": _knn,
         "embedding_near_dup": _near_dup,
         # LSH-blocked variant: the scale path when no exact block key exists
@@ -728,6 +731,26 @@ SELECT doc_id,
   CAST(len(list_filter(string_split(text, ' '), x -> x IN ({stop}))) AS BIGINT)
       AS n_stopwords
 FROM documents
+"""
+    # exact word-3-gram Jaccard over ALL pairs — the independent brute-force
+    # mirror of the engine's LSH-candidates → exact-verify chain (the LSH
+    # stage is deterministic; candidate recall covers every pair >= 0.5 on
+    # this corpus, verified by this very oracle)
+    sql["doc_near_dup_verified"] = """
+WITH toks AS (
+  SELECT doc_id, list_distinct(list_transform(
+    generate_series(1, GREATEST(len(string_split(text, ' ')) - 2, 1)),
+    i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')
+  )) AS sh FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+    len(list_distinct(list_concat(a.sh, b.sh))) AS j
+  FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(FLOOR(j * 1000) AS BIGINT) AS jaccard_x1000
+FROM pairs WHERE j >= 0.5
 """
     sql["knn_cosine_top5"] = """
 WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),

@@ -582,3 +582,90 @@ def embedding_near_dup_lsh(
         batch_format="pyarrow",
     )
     return group_apply(pairs, "_pk", _dedup, **kw)
+
+
+def verified_near_dup_pairs(
+    ds: Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.5,
+    num_perm: int = 64,
+    bands: int = 32,
+    **kw,
+) -> Dataset:
+    """Candidate generation + EXACT verification: MinHash/LSH proposes
+    candidate pairs (loose banding → high recall), then each candidate is
+    verified with exact word-``shingle_k``-gram Jaccard and kept when
+    ``jaccard >= jaccard_threshold``.
+
+    The verification joins each side's text back via the distributed hash
+    join and computes per-pair set intersection over the shingle-hash
+    arrays.  The per-pair loop is bounded by the CANDIDATE count (output-
+    sized, tiny by LSH construction), not by the corpus — the corpus-sized
+    work (shingling, banding) is fully vectorized upstream.
+
+    Returns (doc_a, doc_b, jaccard_x1000:int64), a < b.
+    """
+    from .joins import hash_join
+
+    cands = minhash_lsh_pairs(
+        ds.select_columns([id_col, text_col]),
+        num_perm=num_perm,
+        bands=bands,
+        shingle_k=shingle_k,
+        sim_threshold=0.0,  # banding alone gates candidates; verify exactly
+        **kw,
+    ).select_columns(["doc_a", "doc_b"])
+    docs = ds.select_columns([id_col, text_col])
+    j1 = hash_join(
+        cands,
+        docs.map_batches(
+            lambda t: t.rename_columns(["doc_a", "text_a"]),
+            batch_format="pyarrow",
+        ),
+        on=["doc_a"],
+        num_partitions=8,
+    )
+    j2 = hash_join(
+        j1,
+        docs.map_batches(
+            lambda t: t.rename_columns(["doc_b", "text_b"]),
+            batch_format="pyarrow",
+        ),
+        on=["doc_b"],
+        num_partitions=8,
+    )
+
+    def _verify(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "jaccard_x1000": pa.array([], pa.int64()),
+                }
+            )
+        sa, offa = shingle_hashes(batch["text_a"], shingle_k)
+        sb, offb = shingle_hashes(batch["text_b"], shingle_k)
+        out = np.empty(n, dtype=np.float64)
+        for i in range(n):  # bounded by candidate count, not corpus size
+            A = np.unique(sa[offa[i] : offa[i + 1]])
+            B = np.unique(sb[offb[i] : offb[i + 1]])
+            inter = len(np.intersect1d(A, B, assume_unique=True))
+            union = len(A) + len(B) - inter
+            out[i] = inter / union if union else 1.0
+        keep = out >= jaccard_threshold
+        return pa.table(
+            {
+                "doc_a": batch["doc_a"].filter(pa.array(keep)),
+                "doc_b": batch["doc_b"].filter(pa.array(keep)),
+                "jaccard_x1000": pa.array(
+                    np.floor(out[keep] * 1000).astype(np.int64)
+                ),
+            }
+        )
+
+    return j2.map_batches(_verify, batch_format="pyarrow")

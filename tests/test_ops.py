@@ -181,3 +181,35 @@ def test_hopping_window_counts(ray_session):
     # window starting at t=0 contains rows at ts 0,10,25 → a:2, b:1
     w0 = out[out.window_start.astype("int64") == 0]
     assert dict(zip(w0.event_type, w0.num_events)) == {"a": 2, "b": 1}
+
+
+def test_verified_near_dup_pairs(ray_session):
+    """LSH candidates + exact jaccard verification: dup docs pair up with
+    jaccard 1000, dissimilar docs never appear."""
+    import pyarrow as pa
+    import ray.data
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(6)), pa.int64()),
+            "text": pa.array(
+                [
+                    "the quick brown fox jumps over the lazy dog",
+                    "the quick brown fox jumps over the lazy dog",   # dup of 0
+                    "the quick brown fox jumps over a lazy dog",     # near-dup
+                    "completely different words entirely here now",
+                    "another unrelated document with other tokens",
+                    "the quick brown fox jumps over the lazy dog",   # dup of 0
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    out = dedup.verified_near_dup_pairs(
+        ray.data.from_arrow(t), num_partitions=4
+    ).to_pandas()
+    pairs = set(map(tuple, out[["doc_a", "doc_b"]].values))
+    assert (0, 1) in pairs and (0, 5) in pairs and (1, 5) in pairs
+    exact = out.set_index(["doc_a", "doc_b"]).jaccard_x1000
+    assert exact.loc[(0, 1)] == 1000
+    assert all((a, b) not in pairs for a in (3,) for b in (4,))
