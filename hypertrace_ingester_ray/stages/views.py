@@ -187,12 +187,12 @@ def _edge_rows(
     if backend:
         # getBackendRequestUrl analog (ServiceCallViewGenerator.java:322-345):
         # protocol://host+path with host = the tool entity
-        url = pc.binary_join_element_wise(
-            pc.utf8_lower(t["protocol"].take(pa.array(base))),
-            "://",
+        from ..functions.conventions import build_url
+
+        url = build_url(
+            t["protocol"].take(pa.array(base)),
             t["tool"].take(pa.array(base)),
             t["api_path"].take(pa.array(base)),
-            "",
         )
         backend_id = t["backend_id"].take(pa.array(base))
     else:

@@ -49,3 +49,31 @@ def test_map_get_first_match_and_nulls():
     )
     out = map_get(col, "a")
     assert out.to_pylist() == ["1", None, None]
+
+
+def test_conventions_helpers():
+    """M12 convention helpers: url build, host:port split, status family."""
+    import pyarrow as pa
+
+    from hypertrace_ingester_ray.functions import conventions as cv
+
+    url = cv.build_url(
+        pa.array(["SQL", "HTTP", None]),
+        pa.array(["db", "svc", "x"]),
+        pa.array(["/q", None, "/y"]),
+    )
+    assert url.to_pylist() == ["sql://db/q", "http://svc", None]
+
+    host, port = cv.split_host_port(pa.array(["db:5432", "svc", "a:1"]))
+    assert host.to_pylist() == ["db", "svc", "a"]
+    assert port.to_pylist() == [5432, None, 1]
+
+    sc = cv.status_class(pa.array([200, 404, 503, None], pa.int32()))
+    assert sc.to_pylist() == ["2xx", "4xx", "5xx", None]
+    assert cv.is_client_error(pa.array([400, 200, None], pa.int32())).to_pylist() == [True, False, None]
+    assert cv.is_server_error(pa.array([500, 404], pa.int32())).to_pylist() == [True, False]
+
+    full = cv.full_http_url(
+        pa.array(["GET"]), pa.array(["svc"]), pa.array(["/p"]), pa.array(["a=1"])
+    )
+    assert full.to_pylist() == ["GET http://svc/p?a=1"]
