@@ -88,11 +88,20 @@ def run_headline(num_cpus: int, repeats: int = 1) -> dict:
 
     from hypertrace_ingester_ray.pipelines.ingest import PipelineConfig, run_pipeline
 
-    # 256 partitions beats 128 at 32 CPUs on the 97M corpus (2.2 vs 1.8 M/s
-    # best-of-window): finer tasks overlap the single box's memory-bandwidth
-    # stalls better and cut the straggler tail
+    # partitions scale with corpus size: ~400k rows/partition beats a fixed
+    # 128 on the 97M corpus (2.2 vs 1.8 M/s best-of-window — finer tasks
+    # overlap the single box's memory-bandwidth stalls and cut the straggler
+    # tail) while the small bench corpus keeps 128 (task overhead dominates
+    # below ~50k rows/task)
+    import pyarrow.parquet as _pq
+
+    n_events = _pq.ParquetFile(
+        os.path.join(SF_DIR, "events.parquet")
+    ).metadata.num_rows
+    turns_est = n_events * TURNS_PER_EVENT
+    parts = min(512, max(num_cpus * 4, turns_est // 400_000))
     cfg = PipelineConfig(
-        num_partitions=256,
+        num_partitions=parts,
         read_num_blocks=num_cpus * 2,
         max_turns_per_conv=100_000,
     )
