@@ -459,14 +459,22 @@ def _conv_rollup_salted(sf_dir: str):
 
 
 def _media_features(sf_dir: str):
-    """Multimodal actor-pool stage over a deterministic synthetic media table
-    (decode stubbed — see stages/multimodal.py)."""
+    """Multimodal actor-pool stage over a deterministic synthetic media
+    table.  Half the corpus is REAL 24bpp BMP payloads decoded by the
+    pure-numpy parser (real per-channel stats + histogram features); the
+    other half is a codec format exercising the declared stub path
+    (stages/multimodal.py)."""
+    import pyarrow as pa
     import ray.data
 
     from hypertrace_ingester_ray.stages import multimodal
 
-    media = multimodal.synthesize_media(200, seed=7)
-    ds = ray.data.from_arrow(media)
+    real = multimodal.synthesize_bmp_media(100, seed=7)
+    stub = multimodal.synthesize_media(100, seed=7)
+    stub = stub.set_column(
+        0, "media_id", pa.array(np.arange(100, 200, dtype=np.int64))
+    )
+    ds = ray.data.from_arrow(pa.concat_tables([real, stub], promote_options="default"))
     feats = multimodal.extract_media_features(ds, batch_size=64, concurrency=2)
     return feats.select_columns(["media_id", "mime"])
 

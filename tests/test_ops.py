@@ -213,3 +213,30 @@ def test_verified_near_dup_pairs(ray_session):
     exact = out.set_index(["doc_a", "doc_b"]).jaccard_x1000
     assert exact.loc[(0, 1)] == 1000
     assert all((a, b) not in pairs for a in (3,) for b in (4,))
+
+
+def test_media_real_bmp_decode(ray_session):
+    """BMP payloads go through the REAL pure-numpy decode: features are
+    actual per-channel means, not the stub hash."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from hypertrace_ingester_ray.stages import multimodal as mm
+
+    px = np.full((8, 8, 3), 128, dtype=np.uint8)
+    t = pa.table(
+        {
+            "media_id": pa.array([0], pa.int64()),
+            "payload": pa.array([mm.encode_bmp(px)], pa.binary()),
+            "mime": pa.array(["image/bmp"], pa.string()),
+            "width": pa.array([8], pa.int32()),
+            "height": pa.array([8], pa.int32()),
+        }
+    )
+    out = mm.extract_media_features(
+        ray.data.from_arrow(t), batch_size=4, concurrency=1
+    ).to_pandas()
+    feat = np.asarray(out.feature.iloc[0])
+    assert abs(feat[0] - 128 / 255) < 1e-6  # real channel mean
+    assert abs(feat[3]) < 1e-6  # constant image → zero std
