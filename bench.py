@@ -216,7 +216,9 @@ def main():
         print(json.dumps(r))
         return
 
-    head = run_headline(args.cpus, repeats=2)  # 2nd run = warm workers
+    # 1st run warms workers; best-of-3 rides out the sandbox's external
+    # load spikes (loadavg 8-28 of non-local work in bursts)
+    head = run_headline(args.cpus, repeats=3)
     queries = run_queries()
     out = {
         "metric": "e2e_pipeline",
