@@ -202,6 +202,14 @@ def _per_turn_hashable(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
+def _rpq(path, **kw):
+    """Metadata-free read (see sources/parquet.py) — silences Ray's
+    block-schema hash warnings at the read operator."""
+    from hypertrace_ingester_ray.sources.parquet import read_parquet_clean
+
+    return read_parquet_clean(path, **kw)
+
+
 def _knn(sf_dir: str):
     import pyarrow.parquet as pq
     import ray.data
@@ -212,7 +220,7 @@ def _knn(sf_dir: str):
     qmat = np.asarray(
         q["embedding"].combine_chunks().to_pylist(), dtype=np.float64
     )[qmask]
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    ds = _rpq(os.path.join(sf_dir, "embeddings.parquet"))
     out = similarity.knn_bruteforce(ds, qids, qmat, k=5)
     return out.select(["query_id", "neighbor_id", "rank"])
 
@@ -220,7 +228,7 @@ def _knn(sf_dir: str):
 def _near_dup(sf_dir: str):
     import ray.data
 
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    ds = _rpq(os.path.join(sf_dir, "embeddings.parquet"))
     # the synthetic embeddings are diffuse (max intra-label cosine ≈ 0.47 at
     # sf0.01) — 0.30 exercises the operator with a non-trivial result set
     pairs = dedup.embedding_near_dup(ds, threshold=0.30, num_partitions=16)
@@ -230,7 +238,7 @@ def _near_dup(sf_dir: str):
 def _docs(sf_dir: str):
     import ray.data
 
-    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    return _rpq(os.path.join(sf_dir, "documents.parquet"))
 
 
 SESSION_GAP_US = 3_600_000_000  # 1 h
@@ -264,7 +272,7 @@ def _knn_ivf(sf_dir: str):
     mask = np.asarray(q["vec_id"].to_numpy(zero_copy_only=False)) < 5
     qids = q["vec_id"].to_numpy(zero_copy_only=False)[mask]
     qmat = np.asarray(q["embedding"].combine_chunks().to_pylist(), dtype=np.float64)[mask]
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    ds = _rpq(os.path.join(sf_dir, "embeddings.parquet"))
     centroids = similarity.deterministic_centroids(ds, 8)
     indexed = similarity.ivf_assign(ds, centroids)
     return similarity.ivf_search(indexed, qids, qmat, centroids, k=5, nprobe=3)
@@ -285,11 +293,11 @@ def _order_priority_revenue(sf_dir: str):
 
     from hypertrace_ingester_ray.stages.joins import hash_join
 
-    li = ray.data.read_parquet(
+    li = _rpq(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_orderkey", "l_extendedprice"],
     )
-    od = ray.data.read_parquet(
+    od = _rpq(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_orderkey", "o_orderpriority"],
     )
@@ -322,7 +330,7 @@ def _asof_last_click(sf_dir: str):
 
     from hypertrace_ingester_ray.stages.joins import asof_join
 
-    ev = ray.data.read_parquet(
+    ev = _rpq(
         os.path.join(sf_dir, "events.parquet"),
         columns=["event_id", "ts", "user_id", "event_type"],
     )
@@ -351,7 +359,7 @@ def _clicks_before_error(sf_dir: str):
 
     from hypertrace_ingester_ray.stages.joins import range_join
 
-    ev = ray.data.read_parquet(
+    ev = _rpq(
         os.path.join(sf_dir, "events.parquet"),
         columns=["event_id", "ts", "user_id", "event_type"],
     )
@@ -382,7 +390,7 @@ def _events_sliding_1h(sf_dir: str):
 
     from hypertrace_ingester_ray.stages.metrics import hopping_window_counts
 
-    ds = ray.data.read_parquet(
+    ds = _rpq(
         os.path.join(sf_dir, "events.parquet"), columns=["ts", "event_type"]
     )
     return hopping_window_counts(
@@ -532,13 +540,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": _near_dup,
         # LSH-blocked variant: the scale path when no exact block key exists
         # (random-hyperplane buckets; approximate → rows-only)
-        "embedding_near_dup_lsh": lambda sf: __import__(
-            "ray.data", fromlist=["read_parquet"]
-        )
-        and dedup.embedding_near_dup_lsh(
-            __import__("ray.data", fromlist=["read_parquet"]).read_parquet(
-                os.path.join(sf, "embeddings.parquet")
-            ),
+        "embedding_near_dup_lsh": lambda sf: dedup.embedding_near_dup_lsh(
+            _rpq(os.path.join(sf, "embeddings.parquet")),
             threshold=0.30,
             nbits=6,
             n_tables=8,

@@ -142,8 +142,10 @@ def run_queries() -> dict:
 
     import ray.data
 
+    from hypertrace_ingester_ray.sources.parquet import read_parquet_clean
+
     def docs():
-        return ray.data.read_parquet(os.path.join(SF_DIR, "documents.parquet"))
+        return read_parquet_clean(os.path.join(SF_DIR, "documents.parquet"))
 
     timings = {}
 
@@ -192,10 +194,13 @@ def main():
             r = json.loads(line)
             all_runs[n] = r["all_runs"]
             tp.append(r["turns_per_sec"])
+        import statistics
+
         eff = (tp[1] / tp[0]) / (levels[1] / levels[0])
         # report the median-of-runs ratio alongside best-of-runs (judge
-        # protocol: no cherry-picking — both views of the same data)
-        med = [sorted(all_runs[n])[len(all_runs[n]) // 2] for n in levels]
+        # protocol: no cherry-picking — both views of the same data);
+        # statistics.median averages the middle pair for even run counts
+        med = [statistics.median(all_runs[n]) for n in levels]
         eff_median = (med[1] / med[0]) / (levels[1] / levels[0])
         out = {
             "metric": "scaling_efficiency",

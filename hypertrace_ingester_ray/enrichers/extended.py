@@ -89,26 +89,55 @@ class SpaceEnricher(Enricher):
 
     def enrich(self, table: pa.Table, ctx: ConversationContext) -> pa.Table:
         n = ctx.n
-        per_row: List[List[str]] = [[] for _ in range(n)]
-        for rule in self.rules:
+        n_rules = max(len(self.rules), 1)
+        # one vectorized mask per rule → flat (row, rule) hit pairs; no
+        # Python loop over rows (VERDICT r2 #7)
+        hit_rows: List[np.ndarray] = []
+        hit_rids: List[np.ndarray] = []
+        for ri, rule in enumerate(self.rules):
             mask = rules_mask(table, [rule.conditions])
             if mask is None:
                 continue
-            hit = mask.combine_chunks().to_numpy(zero_copy_only=False)
-            for i in np.flatnonzero(hit):
-                per_row[i].append(rule.space_id)
-        # conv-level union, broadcast back (sorted for determinism)
-        conv_union: List[List[str]] = []
-        for s, e in zip(ctx.bounds[:-1], ctx.bounds[1:]):
-            u = sorted({sid for i in range(s, e) for sid in per_row[i]})
-            conv_union.append(u)
-        conv_ids = [
-            conv_union[si]
-            for si in np.repeat(np.arange(ctx.n_convs), np.diff(ctx.bounds))
-        ]
-        return table.append_column(
-            "space_ids", pa.array(per_row, pa.list_(pa.string()))
-        ).append_column("conv_space_ids", pa.array(conv_ids, pa.list_(pa.string())))
+            rows_r = np.flatnonzero(
+                mask.combine_chunks().to_numpy(zero_copy_only=False)
+            )
+            hit_rows.append(rows_r)
+            hit_rids.append(np.full(len(rows_r), ri, dtype=np.int64))
+        if hit_rows:
+            rows = np.concatenate(hit_rows)
+            rids = np.concatenate(hit_rids)
+            order = np.lexsort((rids, rows))  # per-row lists in rule order
+            rows, rids = rows[order], rids[order]
+        else:
+            rows = np.empty(0, dtype=np.int64)
+            rids = np.empty(0, dtype=np.int64)
+        sid_by_rule = np.array(
+            [r.space_id for r in self.rules] or [""], dtype=object
+        )
+        row_off = np.concatenate(
+            ([0], np.cumsum(np.bincount(rows, minlength=n)))
+        ).astype(np.int32)
+        space_ids = pa.ListArray.from_arrays(
+            pa.array(row_off), pa.array(sid_by_rule[rids], pa.string())
+        )
+        # conv-level union: unique (conv, rule) pairs, sorted by space_id
+        # within each conversation (same determinism as sorted(set(...)))
+        seg = np.repeat(np.arange(ctx.n_convs, dtype=np.int64), np.diff(ctx.bounds))
+        upairs = np.unique(seg[rows] * np.int64(n_rules) + rids)
+        useg, urid = np.divmod(upairs, np.int64(n_rules))
+        usids = sid_by_rule[urid].astype(str)
+        uorder = np.lexsort((usids, useg))
+        useg, usids = useg[uorder], usids[uorder]
+        conv_off = np.concatenate(
+            ([0], np.cumsum(np.bincount(useg, minlength=ctx.n_convs)))
+        ).astype(np.int32)
+        conv_lists = pa.ListArray.from_arrays(
+            pa.array(conv_off), pa.array(usids, pa.string())
+        )
+        conv_ids = conv_lists.take(pa.array(seg))  # broadcast to rows
+        return table.append_column("space_ids", space_ids).append_column(
+            "conv_space_ids", conv_ids
+        )
 
 
 # ---------------------------------------------------------------------------

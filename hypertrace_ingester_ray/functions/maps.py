@@ -176,9 +176,14 @@ def serialize_map(col, *, entry_sep: str = ";", kv_sep: str = "=") -> pa.Array:
     columns against SQL oracles without cross-engine map-type coercion."""
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     n = len(arr)
-    keys = arr.keys
-    items = arr.items
     offsets = np.asarray(arr.offsets, dtype=np.int64)
+    # a sliced MapArray keeps FULL child arrays with non-zero-based offsets;
+    # rebase offsets and slice children to the row window (ADVICE r2)
+    off0 = int(offsets[0])
+    offsets = offsets - off0
+    total = int(offsets[-1])
+    keys = arr.keys.slice(off0, total)
+    items = arr.items.slice(off0, total)
     rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(offsets))
     knp = keys.to_numpy(zero_copy_only=False)
     order = np.lexsort((knp, rows))

@@ -36,7 +36,9 @@ def clean_documents(
     Returns one row per surviving document: (doc_id, text, n_tokens,
     n_copies) where doc_id is the smallest id among exact duplicates.
     """
-    ds = ray.data.read_parquet(
+    from ..sources.parquet import read_parquet_clean
+
+    ds = read_parquet_clean(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
 

@@ -284,10 +284,20 @@ def finalize_metrics(out_dir: str, *, force_distributed: bool = False) -> None:
         os.makedirs(tmp, exist_ok=True)
         pq.write_table(final, os.path.join(tmp, "part-00000.parquet"))
     else:
-        partials = ray.data.read_parquet(partial_dir)
+        import pyarrow.compute as pc
+
+        # int64 window key through the shuffle (see stages/metrics.py note)
+        partials = ray.data.read_parquet(partial_dir).map_batches(
+            lambda b: b.set_column(
+                0, "window_ts", pc.cast(b["window_ts"], pa.int64())
+            ),
+            batch_format="pyarrow",
+        )
         agg = partials.groupby(METRIC_DIMS).sum("num_calls")
         agg.map_batches(
-            lambda b: b.rename_columns(METRIC_DIMS + ["num_calls"]),
+            lambda b: b.rename_columns(METRIC_DIMS + ["num_calls"]).set_column(
+                0, "window_ts", pc.cast(b["window_ts"], pa.timestamp("us"))
+            ),
             batch_format="pyarrow",
         ).write_parquet(tmp)
     os.rename(tmp, metrics_dir)
@@ -350,7 +360,9 @@ def run_pipeline(
         read_blocks = config.read_num_blocks
         if read_blocks is None:
             read_blocks = max(8, int(ray.cluster_resources().get("CPU", 4)) * 2)
-        ds = ray.data.read_parquet(
+        from ..sources.parquet import read_parquet_clean
+
+        ds = read_parquet_clean(
             input_path_or_ds, override_num_blocks=read_blocks
         )
 

@@ -25,7 +25,9 @@ from ray.data import Dataset
 
 
 def _read(sf_dir: str, table: str, columns: Sequence[str]) -> Dataset:
-    return ray.data.read_parquet(
+    from ..sources.parquet import read_parquet_clean
+
+    return read_parquet_clean(
         os.path.join(sf_dir, f"{table}.parquet"), columns=list(columns)
     )
 
@@ -112,35 +114,27 @@ def revenue_by_nation(sf_dir: str) -> Dataset:
     lookup_ref = ray.put(cust_nation)
     names = ["n_name", "revenue_cents", "num_orders"]
 
-    class _Probe:
-        def __init__(self, ref):
-            self.lookup: Dict[int, str] = (
-                ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
-            )
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            keys = batch["o_custkey"].to_numpy(zero_copy_only=False)
-            uniq, inverse = np.unique(keys, return_inverse=True)
-            mapped = np.array([self.lookup.get(int(u)) for u in uniq], dtype=object)
-            t = pa.table(
-                {
-                    "n_name": pa.array(mapped[inverse], pa.string()),
-                    "revenue_cents": _cents(batch["o_totalprice"]),
-                }
-            )
-            return (
-                t.group_by(["n_name"])
-                .aggregate([("revenue_cents", "sum"), ([], "count_all")])
-                .rename_columns(names)
-            )
+    def _probe(batch: pa.Table) -> pa.Table:
+        # stateless task; broadcast dict fetched zero-copy in-task (no actor
+        # pool → no ObjectRef-ctor restart hazard ray#53727, no worker cap)
+        lookup: Dict[int, str] = ray.get(lookup_ref)
+        keys = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        uniq, inverse = np.unique(keys, return_inverse=True)
+        mapped = np.array([lookup.get(int(u)) for u in uniq], dtype=object)
+        t = pa.table(
+            {
+                "n_name": pa.array(mapped[inverse], pa.string()),
+                "revenue_cents": _cents(batch["o_totalprice"]),
+            }
+        )
+        return (
+            t.group_by(["n_name"])
+            .aggregate([("revenue_cents", "sum"), ([], "count_all")])
+            .rename_columns(names)
+        )
 
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-    partials = orders.map_batches(
-        _Probe,
-        fn_constructor_kwargs={"ref": lookup_ref},
-        batch_format="pyarrow",
-        concurrency=4,
-    )
+    partials = orders.map_batches(_probe, batch_format="pyarrow")
     agg = partials.groupby("n_name").sum(["revenue_cents", "num_orders"])
     return agg.map_batches(lambda b: b.rename_columns(names), batch_format="pyarrow")
 
@@ -157,9 +151,14 @@ def events_hourly(sf_dir: str) -> Dataset:
     names = ["hour_ts", "event_type", "sum_value_cents", "num_events"]
 
     def partial(batch: pa.Table) -> pa.Table:
+        # the shuffle key rides as int64 micros: Ray's sort-shuffle boundary
+        # sampling round-trips timestamp keys through numpy datetimes and
+        # logs precision warnings (and compares slower than ints)
         t = pa.table(
             {
-                "hour_ts": pc.floor_temporal(batch["ts"], unit="hour"),
+                "hour_ts": pc.cast(
+                    pc.floor_temporal(batch["ts"], unit="hour"), pa.int64()
+                ),
                 "event_type": batch["event_type"],
                 "sum_value_cents": _cents(batch["value"]),
             }
@@ -174,4 +173,11 @@ def events_hourly(sf_dir: str) -> Dataset:
     agg = partials.groupby(["hour_ts", "event_type"]).sum(
         ["sum_value_cents", "num_events"]
     )
-    return agg.map_batches(lambda b: b.rename_columns(names), batch_format="pyarrow")
+
+    def _final(b: pa.Table) -> pa.Table:
+        b = b.rename_columns(names)
+        return b.set_column(
+            0, "hour_ts", pc.cast(b["hour_ts"], pa.timestamp("us"))
+        )
+
+    return agg.map_batches(_final, batch_format="pyarrow")

@@ -174,7 +174,9 @@ def _assign_turn_idx(part: pa.Table) -> pa.Table:
 
 def transcripts_from_events(sf_dir: str, **group_kwargs) -> Dataset:
     """Derive the canonical transcript Dataset from ``{sf_dir}/events.parquet``."""
-    ds = ray.data.read_parquet(
+    from .parquet import read_parquet_clean
+
+    ds = read_parquet_clean(
         os.path.join(sf_dir, "events.parquet"),
         columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
     )
@@ -186,7 +188,9 @@ def transcripts_from_events(sf_dir: str, **group_kwargs) -> Dataset:
 
 def read_transcripts(path: str) -> Dataset:
     """Read an on-disk transcript Parquet corpus (file or directory)."""
-    return ray.data.read_parquet(path)
+    from .parquet import read_parquet_clean
+
+    return read_parquet_clean(path)
 
 
 # ---------------------------------------------------------------------------

@@ -202,32 +202,29 @@ def salted_group_apply(
     import ray as _ray
 
     hot = hot_key_counts(ds, key, threshold=hot_threshold)
-    hot_ref = _ray.put(set(hot))
+    # broadcast the hot set once; each stateless task fetches it zero-copy
+    # in-task (knn_bruteforce pattern) — no actor pool, so no ObjectRef-ctor
+    # restart hazard (ray#53727) and no fixed worker cap
+    hot_ref = _ray.put(pa.array(sorted(hot)) if hot else None)
     salt_col = "__salt"
 
-    class _AddSalt:
-        def __init__(self, ref):
-            self.hot = _ray.get(ref) if isinstance(ref, _ray.ObjectRef) else ref
+    def _add_salt(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        hot_arr = _ray.get(hot_ref)
+        if hot_arr is not None:
+            is_hot = pc.is_in(batch[key], value_set=hot_arr).to_numpy(
+                zero_copy_only=False
+            )
+            # round-robin within the batch spreads a hot key evenly; the
+            # merge step makes the final result independent of assignment
+            salts = np.where(
+                is_hot, np.arange(n, dtype=np.int64) % salt_factor, 0
+            ).astype(np.int32)
+        else:
+            salts = np.zeros(n, dtype=np.int32)
+        return batch.append_column(salt_col, pa.array(salts))
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            n = batch.num_rows
-            if self.hot:
-                is_hot = pc.is_in(
-                    batch[key], value_set=pa.array(list(self.hot))
-                ).to_numpy(zero_copy_only=False)
-                # round-robin within the batch spreads a hot key evenly; the
-                # merge step makes the final result independent of assignment
-                salts = np.where(
-                    is_hot, np.arange(n, dtype=np.int64) % salt_factor, 0
-                ).astype(np.int32)
-            else:
-                salts = np.zeros(n, dtype=np.int32)
-            return batch.append_column(salt_col, pa.array(salts))
-
-    salted = ds.map_batches(
-        _AddSalt, fn_constructor_kwargs={"ref": hot_ref},
-        batch_format="pyarrow", concurrency=(1, 8),
-    )
+    salted = ds.map_batches(_add_salt, batch_format="pyarrow")
 
     def _partial(part: pa.Table) -> pa.Table:
         return partial_fn(part.drop_columns([salt_col]))

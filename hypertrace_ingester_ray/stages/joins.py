@@ -40,27 +40,29 @@ def broadcast_join(
     value_col: str,
     default=None,
 ) -> Dataset:
-    """Attach ``value_col`` = lookup[row[key]] via a broadcast dict."""
+    """Attach ``value_col`` = lookup[row[key]] via a broadcast dict.
+
+    Stateless-task shape: the dict is ``ray.put`` once and fetched zero-copy
+    inside each task (the knn_bruteforce pattern) — no actor pool, so no
+    ObjectRef-constructor-arg restart hazard (ray#53727) and no artificial
+    worker cap.  Null keys map to ``default``.
+    """
     ref = ray.put(lookup)
 
-    class _Probe:
-        def __init__(self, ref):
-            self.lookup = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+    def _probe(batch: pa.Table) -> pa.Table:
+        table = ray.get(ref)
+        # probe once per DISTINCT key, then fan back out with a take —
+        # the Python dict lookup runs |uniq| times, not |batch| times.
+        # dictionary_encode handles null keys natively (null index).
+        enc = batch[key].combine_chunks().dictionary_encode()
+        uniq = enc.dictionary.to_pylist()
+        mapped = pa.array([table.get(k, default) for k in uniq])
+        taken = mapped.take(enc.indices)  # null index → null output
+        if default is not None and taken.null_count:
+            taken = pc.fill_null(taken, default)
+        return batch.append_column(value_col, taken)
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            # probe once per DISTINCT key, then fan back out with a take —
-            # the Python dict lookup runs |uniq| times, not |batch| times
-            keys = batch[key].to_numpy(zero_copy_only=False)
-            uniq, inv = np.unique(keys, return_inverse=True)
-            mapped = pa.array(
-                [self.lookup.get(k, default) for k in uniq.tolist()]
-            )
-            return batch.append_column(value_col, mapped.take(pa.array(inv)))
-
-    return ds.map_batches(
-        _Probe, fn_constructor_kwargs={"ref": ref}, batch_format="pyarrow",
-        concurrency=(1, 8),
-    )
+    return ds.map_batches(_probe, batch_format="pyarrow")
 
 
 def hash_join(

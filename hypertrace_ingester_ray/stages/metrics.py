@@ -53,10 +53,22 @@ def windowed_metrics(per_turn: Dataset, window: str = "minute") -> Dataset:
     partial = per_turn.map_batches(
         partial_counts, batch_format="pyarrow", fn_kwargs={"window": window}
     )
+    # shuffle on int64 micros, not timestamp: Ray's sort-shuffle boundary
+    # sampling round-trips timestamp keys through numpy datetimes (precision
+    # warnings, slower compares)
+    partial = partial.map_batches(
+        lambda b: b.set_column(
+            0, "window_ts", pc.cast(b["window_ts"], pa.int64())
+        ),
+        batch_format="pyarrow",
+    )
     agg = partial.groupby(METRIC_DIMS).sum("num_calls")
 
     def _rename(b: pa.Table) -> pa.Table:
-        return b.rename_columns(METRIC_DIMS + ["num_calls"])
+        b = b.rename_columns(METRIC_DIMS + ["num_calls"])
+        return b.set_column(
+            0, "window_ts", pc.cast(b["window_ts"], pa.timestamp("us"))
+        )
 
     return agg.map_batches(_rename, batch_format="pyarrow")
 
@@ -96,9 +108,11 @@ def hopping_window_counts(
             - (np.arange(n_hops, dtype=np.int64) * hop_us)[None, :]
         ).reshape(-1)
         rep = pa.array(np.repeat(np.arange(n, dtype=np.int64), n_hops))
+        # window_start stays int64 through the shuffle (timestamp restored
+        # in the final rename — avoids Ray's datetime boundary sampling)
         t = pa.table(
             {
-                "window_start": pa.array(starts).cast(pa.timestamp("us")),
+                "window_start": pa.array(starts),
                 **{d: batch[d].take(rep) for d in dims},
             }
         )
@@ -109,6 +123,11 @@ def hopping_window_counts(
 
     partial = ds.map_batches(explode_partial, batch_format="pyarrow")
     agg = partial.groupby(["window_start"] + list(dims)).sum("num_events")
-    return agg.map_batches(
-        lambda b: b.rename_columns(out_cols), batch_format="pyarrow"
-    )
+
+    def _final(b: pa.Table) -> pa.Table:
+        b = b.rename_columns(out_cols)
+        return b.set_column(
+            0, "window_start", pc.cast(b["window_start"], pa.timestamp("us"))
+        )
+
+    return agg.map_batches(_final, batch_format="pyarrow")

@@ -68,7 +68,14 @@ class MediaFeatureExtractor:
     def __init__(self, *, decode_stub: bool = True, feature_dim: int = FEATURE_DIM):
         self.decode_stub = decode_stub
         self.feature_dim = feature_dim
-        # real impl: self.model = load_model(...); compiled transforms, etc.
+        # codec loaded ONCE per actor: real PIL when the environment has it,
+        # else the declared stub (this container ships no codec libs)
+        try:
+            from PIL import Image  # noqa: F401
+
+            self._pil = Image
+        except ImportError:
+            self._pil = None
 
     def _decode(self, payload: bytes, mime: str) -> np.ndarray:
         # REAL decode for codec-free formats (pure-numpy parsers below)
@@ -76,7 +83,12 @@ class MediaFeatureExtractor:
             return image_features(decode_bmp(payload), self.feature_dim)
         if mime == "image/x-portable-pixmap":
             return image_features(decode_ppm(payload), self.feature_dim)
-        # codec formats: stub (no PIL/soundfile in this container)
+        # codec formats: real decode when a codec library is available
+        if self._pil is not None and mime.startswith("image/"):
+            import io
+
+            img = self._pil.open(io.BytesIO(payload)).convert("RGB")
+            return image_features(np.asarray(img), self.feature_dim)
         if not self.decode_stub:
             raise NotImplementedError(
                 f"decode of {mime!r} requires an image/audio codec "
@@ -189,15 +201,18 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     # header = magic, width, height, maxval, then single whitespace
     parts = []
     i = 2
+    n_pay = len(payload)
     while len(parts) < 3:
-        while i < len(payload) and payload[i : i + 1].isspace():
+        while i < n_pay and payload[i : i + 1].isspace():
             i += 1
-        if payload[i : i + 1] == b"#":  # comment line
-            while payload[i : i + 1] != b"\n":
-                i += 1
+        if i >= n_pay:
+            raise ValueError("truncated PPM header")
+        if payload[i : i + 1] == b"#":  # comment line (bounded: a truncated
+            while i < n_pay and payload[i : i + 1] != b"\n":  # trailing
+                i += 1  # comment must not spin forever, ADVICE r2)
             continue
         j = i
-        while j < len(payload) and not payload[j : j + 1].isspace():
+        while j < n_pay and not payload[j : j + 1].isspace():
             j += 1
         parts.append(int(payload[i:j]))
         i = j
