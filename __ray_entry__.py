@@ -53,6 +53,8 @@ n0 AS (
     NULLIF(regexp_extract(text, '^[A-Z]+ [^?\\s]+\\?(\\S+) HTTP', 1), '')
         AS http_query,
     CAST(regexp_extract(text, ' status=(\\d+)', 1) AS INTEGER) AS status_code,
+    CAST(NULLIF(regexp_extract(text, ' grpc_status=(\\d+)', 1), '')
+        AS INTEGER) AS grpc_status_code,
     CAST(regexp_extract(text, ' dur_ms=(\\d+)', 1) AS BIGINT) AS dur_ms,
     CAST(regexp_extract(text, ' bytes=(\\d+)', 1) AS BIGINT) AS bytes
   FROM transcripts
@@ -66,9 +68,24 @@ normalized AS (
 )"""
 )
 
+# status-message CASE fragments generated from the SAME tables the engine
+# uses (enrichers/status_codes.py) — the SQL mirror can never drift
+from hypertrace_ingester_ray.enrichers.status_codes import (  # noqa: E402
+    GRPC_CODE_NAMES,
+    HTTP_CODE_TO_MESSAGE,
+)
+
+_HTTP_MSG_CASE = " ".join(
+    "WHEN {c} THEN '{m}'".format(c=c, m=m.replace("'", "''"))
+    for c, m in sorted(HTTP_CODE_TO_MESSAGE.items())
+)
+_GRPC_MSG_CASE = " ".join(
+    f"WHEN {c} THEN '{m}'" for c, m in sorted(GRPC_CODE_NAMES.items())
+)
+
 ENRICHED_CTE = (
     NORMALIZED_CTE
-    + """,
+    + f""",
 e0 AS (
   SELECT *,
     -- E8 HttpAttributeEnricher mirror: URL-decode is replace('%20',' ')
@@ -80,15 +97,19 @@ e0 AS (
     array_to_string(list_transform(
         regexp_extract_all(http_query, '(?:^|&)tag=([^&]*)', 1),
         x -> replace(x, '%20', ' ')), ',') AS query_param_tag,
+    -- sparse v4 keys (absent → NULL so priority coalesce cascades)
+    NULLIF(replace(regexp_extract(http_query, '(?:^|&)stmt=([^&]*)', 1),
+        '%20', ' '), '') AS qp_stmt,
+    NULLIF(replace(regexp_extract(http_query, '(?:^|&)body=([^&]*)', 1),
+        '%20', ' '), '') AS qp_body,
+    NULLIF(replace(regexp_extract(http_query, '(?:^|&)proc=([^&]*)', 1),
+        '%20', ' '), '') AS qp_proc,
+    NULLIF(replace(regexp_extract(http_query, '(?:^|&)hdr=([^&]*)', 1),
+        '%20', ' '), '') AS qp_hdr,
     CASE WHEN role='user' THEN 'ENTRY' WHEN role='tool' THEN 'EXIT'
          ELSE 'INTERNAL' END AS span_kind,
     CASE WHEN tool='db' THEN 'SQL' WHEN tool='code' THEN 'GRPC'
          WHEN tool='shell' THEN 'PROC' ELSE 'HTTP' END AS protocol,
-    CASE WHEN status_code IS NULL THEN NULL
-         WHEN status_code >= 400 THEN 'FAIL' ELSE 'SUCCESS' END AS api_status,
-    CASE status_code WHEN 200 THEN 'OK' WHEN 404 THEN 'Not Found'
-         WHEN 429 THEN 'Too Many Requests' WHEN 500 THEN 'Internal Server Error'
-         WHEN 503 THEN 'Service Unavailable' ELSE NULL END AS status_message,
     (lag(role) OVER w IS DISTINCT FROM role) AS is_boundary,
     CASE WHEN role='user' AND (lag(role) OVER w IS DISTINCT FROM 'user')
          THEN 1 ELSE 0 END AS user_head
@@ -97,24 +118,69 @@ e0 AS (
 ),
 e1 AS (
   SELECT *,
+    -- E2: per-protocol mapper dispatch, full code tables
+    CASE WHEN protocol = 'GRPC' AND grpc_status_code IS NOT NULL
+         THEN CASE WHEN grpc_status_code = 0 THEN 'SUCCESS' ELSE 'FAIL' END
+         WHEN status_code IS NULL THEN NULL
+         WHEN status_code >= 200 AND status_code < 400 THEN 'SUCCESS'
+         ELSE 'FAIL' END AS api_status,
+    CASE WHEN protocol = 'GRPC' AND grpc_status_code IS NOT NULL
+         THEN CASE grpc_status_code {_GRPC_MSG_CASE} ELSE NULL END
+         ELSE CASE status_code {_HTTP_MSG_CASE} ELSE NULL END
+         END AS status_message,
+    CASE WHEN status_code IS NULL THEN NULL
+         ELSE CAST(status_code // 100 AS VARCHAR) || 'xx' END AS status_class,
     CAST(GREATEST(SUM(user_head) OVER (PARTITION BY conv_id ORDER BY turn_idx
          ROWS UNBOUNDED PRECEDING) - 1, 0) AS INTEGER) AS episode_id,
     'svc_' || substr(md5(service_name),1,8) AS service_id,
     service_name || ':' || op AS api_name,
     CASE WHEN op IS NULL THEN NULL
          ELSE 'api_' || substr(md5(service_name || ':' || op),1,8) END AS api_id,
+    -- E7 provider chain (enrichers/backend_providers.py mirror)
     CASE WHEN tool IS NULL THEN NULL
-         ELSE 'be_' || substr(md5(tool || ':' || protocol),1,8) END AS backend_id,
+         WHEN protocol='SQL' THEN 'JDBC' WHEN protocol='GRPC' THEN 'GRPC'
+         WHEN protocol='PROC' THEN 'PROC' ELSE 'HTTP' END AS backend_type,
+    CASE WHEN tool IS NULL THEN NULL ELSE tool END AS backend_host,
+    CASE WHEN tool IS NULL THEN NULL
+         WHEN protocol='SQL' THEN 5432 WHEN protocol='GRPC' THEN 50051
+         WHEN protocol='PROC' THEN NULL ELSE 80 END AS backend_port,
+    CASE WHEN tool IS NULL THEN NULL
+         WHEN protocol='HTTP' THEN api_path
+         WHEN protocol='GRPC' THEN '/' || op
+         ELSE NULL END AS backend_path,
     MIN(CASE WHEN role='user' THEN turn_idx END)
         OVER (PARTITION BY conv_id) AS min_user_idx
   FROM e0
 ),
+e2 AS (
+  SELECT *,
+    CASE WHEN tool IS NULL THEN NULL ELSE
+      (CASE protocol WHEN 'SQL' THEN 'jdbc' WHEN 'GRPC' THEN 'grpc'
+            WHEN 'PROC' THEN 'proc' ELSE 'http' END)
+      || '://' || tool
+      || COALESCE(':' || CAST(backend_port AS VARCHAR), '')
+      || COALESCE(backend_path, '') END AS backend_url,
+    CASE WHEN tool IS NULL THEN NULL ELSE
+      'be_' || substr(md5(backend_type || ':' || tool
+        || COALESCE(':' || CAST(backend_port AS VARCHAR), '')
+        || COALESCE(backend_path, '')), 1, 8) END AS backend_id
+  FROM e1
+),
 enriched AS (
   SELECT *,
     CASE WHEN http_query IS NULL THEN ''
-         ELSE 'http.request.query.param.page=' || query_param_page
-           || ';http.request.query.param.q=' || query_param_q
-           || ';http.request.query.param.tag=' || query_param_tag
+         ELSE concat_ws(';',
+           CASE WHEN qp_body IS NOT NULL
+                THEN 'http.request.query.param.body=' || qp_body END,
+           CASE WHEN qp_hdr IS NOT NULL
+                THEN 'http.request.query.param.hdr=' || qp_hdr END,
+           'http.request.query.param.page=' || query_param_page,
+           CASE WHEN qp_proc IS NOT NULL
+                THEN 'http.request.query.param.proc=' || qp_proc END,
+           'http.request.query.param.q=' || query_param_q,
+           CASE WHEN qp_stmt IS NOT NULL
+                THEN 'http.request.query.param.stmt=' || qp_stmt END,
+           'http.request.query.param.tag=' || query_param_tag)
          END AS tags_kv,
     (lag(episode_id) OVER (PARTITION BY conv_id ORDER BY turn_idx)
         IS DISTINCT FROM episode_id) AS episode_head,
@@ -125,29 +191,37 @@ enriched AS (
     BOOL_OR(is_error) OVER (PARTITION BY conv_id) AS conv_has_error,
     CAST(0 AS INTEGER) AS session_id,
     concat_ws(',', service_id, api_id, backend_id) AS associated_entity_ids,
-    -- M8 dispatch mirror: priority source keys per protocol
+    -- M8 dispatch mirror: ≥3-key priority coalesce per protocol
+    -- (functions/fields.py PROTOCOL_FIELD_PRIORITIES)
     CASE protocol
-      WHEN 'SQL' THEN COALESCE(query_param_q, query_param_page)
-      ELSE query_param_q END AS proto_request,
+      WHEN 'SQL' THEN COALESCE(qp_stmt, qp_hdr, query_param_q)
+      WHEN 'GRPC' THEN COALESCE(qp_body, qp_hdr, query_param_q)
+      WHEN 'PROC' THEN COALESCE(qp_proc, qp_hdr, query_param_q)
+      ELSE COALESCE(qp_hdr, query_param_q, query_param_page)
+      END AS proto_request,
     CASE protocol
-      WHEN 'SQL' THEN query_param_tag
+      WHEN 'SQL' THEN COALESCE(query_param_tag, query_param_page)
       WHEN 'GRPC' THEN COALESCE(query_param_page, query_param_tag)
-      WHEN 'PROC' THEN NULL
-      ELSE query_param_tag END AS proto_params,
+      WHEN 'PROC' THEN query_param_tag
+      ELSE COALESCE(query_param_tag, qp_hdr) END AS proto_params,
     CASE WHEN tool IS NOT NULL THEN
       CAST(MIN(CASE WHEN user_head = 1 THEN turn_idx END) OVER
         (PARTITION BY conv_id ORDER BY turn_idx
          ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS INTEGER)
     END AS callee_entry_turn_idx
-  FROM e1
+  FROM e2
 )"""
 )
 
 ENRICHED_COLS = (
     "tenant_id, conv_id, turn_idx, role, text, tool, ts, http_method, api_path,"
-    " http_query, op, status_code, dur_ms, bytes, service_name, is_error,"
-    " span_kind, protocol, api_status, status_message, is_boundary, episode_id,"
-    " episode_head, service_id, api_id, api_name, backend_id, exit_call_count,"
+    " http_query, op, status_code, grpc_status_code, dur_ms, bytes,"
+    " service_name, is_error,"
+    " span_kind, protocol, api_status, status_message, status_class,"
+    " is_boundary, episode_id,"
+    " episode_head, service_id, api_id, api_name,"
+    " backend_type, backend_host, backend_port, backend_path, backend_url,"
+    " backend_id, exit_call_count,"
     " transaction_name, conv_has_error, session_id, proto_request,"
     " proto_params, associated_entity_ids, callee_entry_turn_idx,"
     " tags_kv, query_param_page, query_param_q, query_param_tag"
@@ -622,7 +696,8 @@ FROM enriched GROUP BY conv_id
 WITH {ENRICHED_CTE},
 w AS (
   SELECT tenant_id, conv_id, service_name, role, turn_idx, ts, dur_ms,
-    is_error, status_code, tool, protocol, api_path, backend_id, min_user_idx,
+    is_error, status_code, tool, protocol, api_path, backend_id, backend_url,
+    min_user_idx,
     lag(service_name) OVER win AS prev_service,
     lag(role) OVER win AS prev_role,
     lag(turn_idx) OVER win AS prev_turn_idx,
@@ -659,7 +734,7 @@ SELECT tenant_id, conv_id, 'backend',
   service_name, NULL, role, NULL, turn_idx, NULL, ts, dur_ms,
   CAST(CASE WHEN is_error THEN 1 ELSE 0 END AS BIGINT),
   status_code, backend_id,
-  lower(protocol) || '://' || tool || api_path
+  backend_url
 FROM w WHERE tool IS NOT NULL
   AND NOT (next_role IS NOT NULL AND next_role <> role)
 UNION ALL
@@ -678,7 +753,8 @@ lagged AS (
   FROM enriched
 )
 SELECT tenant_id, conv_id, turn_idx, backend_id, tool, op, status_code,
-  api_status, caller_service, ts, dur_ms
+  api_status, caller_service, ts, dur_ms,
+  backend_type, backend_port, backend_url AS request_url
 FROM lagged WHERE tool IS NOT NULL
 """
     sql["view_errors"] = f"""

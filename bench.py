@@ -45,7 +45,7 @@ def _corpus_dir() -> str:
 
     n_events = pq.ParquetFile(os.path.join(SF_DIR, "events.parquet")).metadata.num_rows
     n_convs = max(200, (n_events * TURNS_PER_EVENT) // MEAN_TURNS)
-    out = f"/tmp/htr_bench_corpus/v3_{_sf_tag()}_{n_convs}"  # v3: query-string text
+    out = f"/tmp/htr_bench_corpus/v4_{_sf_tag()}_{n_convs}"  # v4: grpc/stmt/hdr tokens
     from hypertrace_ingester_ray.sources.transcripts import (
         write_synthetic_transcripts,
     )

@@ -33,15 +33,6 @@ from .base import ConversationContext, Enricher, EnrichmentRegistry
 PROTOCOL_BY_TOOL = {"db": "SQL", "code": "GRPC", "shell": "PROC"}
 DEFAULT_PROTOCOL = "HTTP"
 
-# status_code → message (HttpCodeMapper analog, .../util/HttpCodeMapper.java:1-93)
-STATUS_MESSAGES = {
-    200: "OK",
-    404: "Not Found",
-    429: "Too Many Requests",
-    500: "Internal Server Error",
-    503: "Service Unavailable",
-}
-
 
 def md5_id(prefix: str, value: str) -> str:
     return prefix + hashlib.md5(value.encode()).hexdigest()[:8]
@@ -81,24 +72,69 @@ class SpanKindEnricher(Enricher):
 
 
 class ApiStatusEnricher(Enricher):
-    """ApiStatusEnricher analog (ApiStatusEnricher.java:38-133)."""
+    """ApiStatusEnricher analog (ApiStatusEnricher.java:38-133): per-protocol
+    mapper dispatch — GRPC turns resolve through the full GrpcCodeMapper
+    table, everything else through the full HttpCodeMapper table
+    (util/HttpCodeMapper.java:20-100, GrpcCodeMapper.java:13-38).  Also
+    surfaces ``status_class`` (the 2xx..5xx family,
+    HttpSemanticConventionUtils status family)."""
 
     name = "api_status"
+    depends_on = ("span_kind",)
 
     def enrich(self, table: pa.Table, ctx: ConversationContext) -> pa.Table:
+        from ..functions.conventions import status_class
+        from .status_codes import (
+            API_STATUS_FAIL,
+            API_STATUS_SUCCESS,
+            GRPC_CODE_NAMES,
+            HTTP_CODE_TO_MESSAGE,
+        )
+
+        n = ctx.n
         status = ctx.col("status_code")
         valid = ~pa.compute.is_null(table["status_code"]).to_numpy(
             zero_copy_only=False
         )
+        grpc = ctx.col("grpc_status_code")
+        grpc_valid = np.not_equal(grpc, None) & (ctx.col("protocol") == "GRPC")
+
+        # state: HttpCodeMapper.getState (2xx/3xx SUCCESS, else FAIL) with the
+        # GrpcCodeMapper.getState override (OK==0) on grpc-mapped rows
+        http_ok = valid & (status >= 200) & (status < 400)
         api_status = np.where(
-            valid & (status >= 400), "FAIL", np.where(valid, "SUCCESS", None)
+            valid, np.where(http_ok, API_STATUS_SUCCESS, API_STATUS_FAIL), None
         )
-        msg = np.full(ctx.n, None, dtype=object)
-        for code, m in STATUS_MESSAGES.items():
-            msg[valid & (status == code)] = m
-        return table.append_column(
-            "api_status", pa.array(api_status, pa.string())
-        ).append_column("status_message", pa.array(msg, pa.string()))
+        api_status[grpc_valid] = np.where(
+            grpc[grpc_valid].astype(np.int64) == 0,
+            API_STATUS_SUCCESS,
+            API_STATUS_FAIL,
+        )
+
+        # message: table lookup per distinct code (tiny tables, vectorized
+        # via np.select-free dict indexing on the unique codes)
+        msg = np.full(n, None, dtype=object)
+        if valid.any():
+            codes = status[valid].astype(np.int64)
+            uniq, inv = np.unique(codes, return_inverse=True)
+            mapped = np.array(
+                [HTTP_CODE_TO_MESSAGE.get(int(c)) for c in uniq], dtype=object
+            )
+            msg[valid] = mapped[inv]
+        if grpc_valid.any():
+            gcodes = grpc[grpc_valid].astype(np.int64)
+            guniq, ginv = np.unique(gcodes, return_inverse=True)
+            gmapped = np.array(
+                [GRPC_CODE_NAMES.get(int(c)) for c in guniq], dtype=object
+            )
+            msg[grpc_valid] = gmapped[ginv]
+
+        sclass = status_class(table["status_code"])
+        return (
+            table.append_column("api_status", pa.array(api_status, pa.string()))
+            .append_column("status_message", pa.array(msg, pa.string()))
+            .append_column("status_class", sclass)
+        )
 
 
 class BoundaryEnricher(Enricher):
@@ -187,27 +223,27 @@ class EndpointEnricher(Enricher):
 
 class BackendEntityEnricher(Enricher):
     """BackendEntityEnricher analog (backend/AbstractBackendEntityEnricher.java:96-160):
-    EXIT (tool) turns resolve a backend entity from (tool, protocol)."""
+    EXIT (tool) turns resolve a backend entity through the PROVIDER CHAIN —
+    a declarative ``{protocol → provider}`` registry deriving type / host /
+    port / path / url / id per protocol class (the backend/provider/*.java
+    chain recast as data; see enrichers/backend_providers.py)."""
 
     name = "backend"
     depends_on = ("span_kind",)
 
     def enrich(self, table: pa.Table, ctx: ConversationContext) -> pa.Table:
-        tool_codes, tool_uniq = ctx.dict_codes("tool")
-        proto_codes, proto_uniq = ctx.dict_codes("protocol")
-        k = len(proto_uniq) + 1
-        pair = tool_codes * k + np.where(proto_codes < 0, k - 1, proto_codes)
-        pair = np.where(tool_codes < 0, -1, pair)  # null tool → null backend
-        uniq, inverse = np.unique(pair, return_inverse=True)
-        ids = np.empty(len(uniq), dtype=object)
-        for i, p in enumerate(uniq):
-            if p < 0:
-                ids[i] = None
-            else:
-                tc, pc_ = divmod(int(p), k)
-                key = f"{tool_uniq[tc]}:{proto_uniq[pc_] if pc_ < k - 1 else ''}"
-                ids[i] = md5_id("be_", key)
-        return table.append_column("backend_id", pa.array(ids[inverse], pa.string()))
+        from .backend_providers import resolve_backends
+
+        cols = resolve_backends(
+            ctx.col("tool"),
+            ctx.col("protocol"),
+            ctx.col("api_path"),
+            ctx.col("op"),
+            md5_id,
+        )
+        for name, arr in cols.items():
+            table = table.append_column(name, arr)
+        return table
 
 
 class ExitCallsEnricher(Enricher):

@@ -27,25 +27,32 @@ from .maps import QUERY_PARAM_PREFIX, map_get
 _P = QUERY_PARAM_PREFIX  # the corpus's open-attribute namespace
 
 #: protocol → target field → priority-ordered source keys (first non-null
-#: wins, mirroring the multiple fieldGeneratorMap entries per setter)
+#: wins, mirroring the multiple fieldGeneratorMap entries per setter).
+#: The ≥3-key request families mirror the reference's priority lists
+#: (HttpFieldsGenerator.java FULL_URL_ATTRIBUTES lines 84-130,
+#: SqlFieldsGenerator.java:24-54 SQL_QUERY|DB_STATEMENT, GrpcFieldsGenerator
+#: request-body-then-metadata): the protocol-specific key (stmt/body/proc,
+#: sparse in the corpus) wins over the shared header key (hdr, sparse) over
+#: the always-present fallback (q) — all three priority levels are
+#: exercised and oracle-checked.
 PROTOCOL_FIELD_PRIORITIES: Dict[str, Dict[str, List[str]]] = {
     "SQL": {
-        # SQL_QUERY | DB_STATEMENT → query (SqlFieldsGenerator.java:27-33)
-        "proto_request": [_P + "q", _P + "page"],
-        "proto_params": [_P + "tag"],  # SQL_PARAMS
+        # SQL_QUERY | DB_STATEMENT | fallback (SqlFieldsGenerator.java:27-33)
+        "proto_request": [_P + "stmt", _P + "hdr", _P + "q"],
+        "proto_params": [_P + "tag", _P + "page"],  # SQL_PARAMS
     },
     "GRPC": {
-        # request body then metadata (GrpcFieldsGenerator.java)
-        "proto_request": [_P + "q"],
+        # request body, then metadata, then fallback (GrpcFieldsGenerator)
+        "proto_request": [_P + "body", _P + "hdr", _P + "q"],
         "proto_params": [_P + "page", _P + "tag"],
     },
     "PROC": {
-        "proto_request": [_P + "q"],
-        "proto_params": [],
+        "proto_request": [_P + "proc", _P + "hdr", _P + "q"],
+        "proto_params": [_P + "tag"],
     },
     "HTTP": {
-        "proto_request": [_P + "q"],
-        "proto_params": [_P + "tag"],
+        "proto_request": [_P + "hdr", _P + "q", _P + "page"],
+        "proto_params": [_P + "tag", _P + "hdr"],
     },
 }
 

@@ -47,6 +47,9 @@ NORMALIZED_TURNS = pa.schema(
         pa.field("http_query", pa.string()),
         pa.field("op", pa.string()),
         pa.field("status_code", pa.int32()),
+        # grpc status (0..16) on GRPC turns, null otherwise — feeds the
+        # GrpcCodeMapper dispatch (ApiStatusEnricher.java per-protocol keys)
+        pa.field("grpc_status_code", pa.int32()),
         pa.field("dur_ms", pa.int64()),
         pa.field("bytes", pa.int64()),
         # normalization outputs
@@ -61,13 +64,20 @@ ENRICHED_EXTRA = [
     pa.field("span_kind", pa.string()),  # ENTRY / EXIT / INTERNAL   (E1)
     pa.field("protocol", pa.string()),  # (E1)
     pa.field("api_status", pa.string()),  # SUCCESS / FAIL            (E2)
-    pa.field("status_message", pa.string()),  # (E2)
+    pa.field("status_message", pa.string()),  # full HttpCodeMapper/GrpcCodeMapper tables (E2)
+    pa.field("status_class", pa.string()),  # 2xx/3xx/4xx/5xx family    (E2)
     pa.field("is_boundary", pa.bool_()),  # head of a role-run        (E3)
     pa.field("episode_id", pa.int32()),  # ApiNode analog            (GR2)
     pa.field("episode_head", pa.bool_()),
     pa.field("service_id", pa.string()),  # (E4)
     pa.field("api_id", pa.string()),  # (E5)
     pa.field("api_name", pa.string()),
+    # E7 provider-chain outputs (backend/provider/*.java analogs); tool turns only
+    pa.field("backend_type", pa.string()),  # JDBC / GRPC / HTTP / PROC
+    pa.field("backend_host", pa.string()),
+    pa.field("backend_port", pa.int32()),
+    pa.field("backend_path", pa.string()),
+    pa.field("backend_url", pa.string()),
     pa.field("backend_id", pa.string()),  # (E7) tool turns only
     pa.field("exit_call_count", pa.int32()),  # per-episode tool calls    (E14)
     pa.field("transaction_name", pa.string()),  # conv-level, repeated      (E10)
@@ -166,6 +176,10 @@ PER_TOOL_VIEW = pa.schema(  # V5 BackendEntityView analog: 1 row / tool-call tur
         pa.field("caller_service", pa.string()),
         pa.field("ts", pa.timestamp("us")),
         pa.field("dur_ms", pa.int64()),
+        # E7 provider-chain outputs (BackendEntityView backend attrs)
+        pa.field("backend_type", pa.string()),
+        pa.field("backend_port", pa.int32()),
+        pa.field("request_url", pa.string()),
     ]
 )
 

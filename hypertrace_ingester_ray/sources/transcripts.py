@@ -39,11 +39,16 @@ from ..stages.grouping import (
 )
 
 TOOLS = ["http", "db", "search", "code", "shell"]
-ERROR_STATUSES = [500, 503, 429]
+# v4: the error-status table spans 4xx and 5xx families so the full
+# HttpCodeMapper table (E2 depth) is exercised by the oracles
+ERROR_STATUSES = [500, 503, 429, 502, 504, 401, 403, 410]
 
 # ---------------------------------------------------------------------------
 # DuckDB-side derivation — keep in exact lockstep with derive_turns_batch().
 # Oracle queries do `WITH {TRANSCRIPTS_CTE} SELECT ... FROM transcripts`.
+# v4 text format: wider status set (2xx/3xx/4xx/5xx), per-protocol extra
+# query params (stmt/body/proc/hdr — the M8 priority-key corpus), and a
+# trailing grpc_status token on GRPC (code-tool) turns for GrpcCodeMapper.
 # ---------------------------------------------------------------------------
 TRANSCRIPTS_CTE = """
 ev0 AS (
@@ -55,11 +60,35 @@ ev1 AS (
   SELECT *,
     CASE WHEN event_type IN ('signup','purchase') THEN 'POST' ELSE 'GET' END AS method,
     CASE WHEN event_type = 'error'
-         THEN (CASE k % 3 WHEN 0 THEN 500 WHEN 1 THEN 503 ELSE 429 END)
-         WHEN k % 10 = 0 THEN 404 ELSE 200 END AS status,
+         THEN (CASE k % 8 WHEN 0 THEN 500 WHEN 1 THEN 503 WHEN 2 THEN 429
+               WHEN 3 THEN 502 WHEN 4 THEN 504 WHEN 5 THEN 401
+               WHEN 6 THEN 403 ELSE 410 END)
+         WHEN k % 10 = 0 THEN 404
+         WHEN k % 10 = 7 THEN 301
+         WHEN k % 10 = 3 THEN 201
+         ELSE 200 END AS status,
     CAST(floor(value * 10) AS BIGINT) AS dur_ms,
-    event_id % 4096 AS bytes
+    event_id % 4096 AS bytes,
+    CASE WHEN event_type IN ('purchase','error')
+         THEN (CASE k % 5 WHEN 0 THEN 'http' WHEN 1 THEN 'db'
+               WHEN 2 THEN 'search' WHEN 3 THEN 'code' ELSE 'shell' END)
+         ELSE NULL END AS tool
   FROM ev0
+),
+ev2 AS (
+  SELECT *,
+    COALESCE(CASE WHEN tool = 'db' AND k % 3 > 0
+         THEN '&stmt=select%20' || CAST(k % 9 AS VARCHAR) END, '')
+    || COALESCE(CASE WHEN tool = 'code' AND k % 3 > 0
+         THEN '&body=msg%20' || CAST(k % 9 AS VARCHAR) END, '')
+    || COALESCE(CASE WHEN tool = 'shell' AND k % 3 > 0
+         THEN '&proc=run%20' || CAST(k % 9 AS VARCHAR) END, '')
+    || COALESCE(CASE WHEN k % 4 = 0
+         THEN '&hdr=x%20' || CAST(k % 5 AS VARCHAR) END, '') AS extra_params,
+    COALESCE(CASE WHEN tool = 'code' THEN ' grpc_status='
+         || CAST(CASE WHEN status >= 400 THEN 1 + (k % 16) ELSE 0 END
+                 AS VARCHAR) END, '') AS grpc_tok
+  FROM ev1
 ),
 transcripts AS (
   SELECT
@@ -72,21 +101,49 @@ transcripts AS (
     method || ' /api/v1/' || event_type || '/' || CAST(k AS VARCHAR)
       || '?page=' || CAST(k % 7 AS VARCHAR) || '&q=' || event_type
       || '&tag=alpha&tag=beta%20' || CAST(k % 3 AS VARCHAR)
+      || extra_params
       || ' HTTP/1.1 status=' || CAST(status AS VARCHAR)
       || ' dur_ms=' || CAST(dur_ms AS VARCHAR)
-      || ' bytes=' || CAST(bytes AS VARCHAR) AS text,
-    CASE WHEN event_type IN ('purchase','error')
-         THEN (CASE k % 5 WHEN 0 THEN 'http' WHEN 1 THEN 'db'
-               WHEN 2 THEN 'search' WHEN 3 THEN 'code' ELSE 'shell' END)
-         ELSE NULL END AS tool,
+      || ' bytes=' || CAST(bytes AS VARCHAR)
+      || grpc_tok AS text,
+    tool,
     ts
-  FROM ev1
+  FROM ev2
 )
 """
 
 
 def _str(arr) -> pa.Array:
     return pc.cast(arr, pa.string())
+
+
+def _v4_text_tokens(tool: np.ndarray, k_np: np.ndarray, status: np.ndarray):
+    """The v4 conditional text tokens, shared by both generators (keep in
+    exact lockstep with ev2 in TRANSCRIPTS_CTE):
+
+    - per-protocol extra query params ``stmt``/``body``/``proc`` (present on
+      2/3 of each tool's rows) + ``hdr`` (every 4th row) — the sparse
+      priority-key corpus for the M8 field registry;
+    - trailing `` grpc_status=G`` on GRPC (code-tool) turns: 0 when the
+      http-status family is success, 1..16 otherwise (GrpcCodeMapper corpus).
+    """
+    k9 = (k_np % 9).astype(str)
+    has3 = k_np % 3 > 0
+    stmt = np.where((tool == "db") & has3, np.char.add("&stmt=select%20", k9), "")
+    body = np.where((tool == "code") & has3, np.char.add("&body=msg%20", k9), "")
+    proc = np.where((tool == "shell") & has3, np.char.add("&proc=run%20", k9), "")
+    hdr = np.where(
+        k_np % 4 == 0, np.char.add("&hdr=x%20", (k_np % 5).astype(str)), ""
+    )
+    extra = np.char.add(np.char.add(stmt.astype(str), body.astype(str)),
+                        np.char.add(proc.astype(str), hdr.astype(str)))
+    grpc_code = np.where(status >= 400, 1 + (k_np % 16), 0)
+    grpc_tok = np.where(
+        tool == "code",
+        np.char.add(" grpc_status=", grpc_code.astype(str)),
+        "",
+    )
+    return extra, grpc_tok.astype(str)
 
 
 def derive_turns_batch(batch: pa.Table) -> pa.Table:
@@ -114,8 +171,12 @@ def derive_turns_batch(batch: pa.Table) -> pa.Table:
     tool = np.array(TOOLS, dtype=object)[k_np % 5]
     tool = np.where(has_tool, tool, None)
 
-    status = np.where(k_np % 10 == 0, 404, 200)
-    err_status = np.array(ERROR_STATUSES, dtype=np.int64)[k_np % 3]
+    status = np.select(
+        [k_np % 10 == 0, k_np % 10 == 7, k_np % 10 == 3],
+        [404, 301, 201],
+        default=200,
+    )
+    err_status = np.array(ERROR_STATUSES, dtype=np.int64)[k_np % 8]
     status = np.where(is_error_ev, err_status, status)
 
     value = batch["value"].combine_chunks().to_numpy(zero_copy_only=False)
@@ -126,6 +187,8 @@ def derive_turns_batch(batch: pa.Table) -> pa.Table:
 
     user_id = batch["user_id"].combine_chunks()
     conv_id = pc.binary_join_element_wise("conv_", _str(user_id), "")
+
+    extra_params, grpc_tok = _v4_text_tokens(tool, k_np, status)
 
     text = pc.binary_join_element_wise(
         pa.array(method),
@@ -139,12 +202,14 @@ def derive_turns_batch(batch: pa.Table) -> pa.Table:
         etype,
         "&tag=alpha&tag=beta%20",
         _str(pa.array(k_np % 3)),
+        pa.array(extra_params, pa.string()),
         " HTTP/1.1 status=",
         _str(pa.array(status)),
         " dur_ms=",
         _str(pa.array(dur_ms)),
         " bytes=",
         _str(pa.array(bytes_)),
+        pa.array(grpc_tok, pa.string()),
         "",
     )
 
@@ -244,8 +309,10 @@ def synthesize_batch(
     tool = np.where(has_tool, np.array(TOOLS, dtype=object)[k % 5], None)
 
     is_err = (role == "tool") & (rng.random(total) < 0.25)
-    status = np.where(k % 10 == 0, 404, 200)
-    status = np.where(is_err, np.array(ERROR_STATUSES)[k % 3], status)
+    status = np.select(
+        [k % 10 == 0, k % 10 == 7, k % 10 == 3], [404, 301, 201], default=200
+    )
+    status = np.where(is_err, np.array(ERROR_STATUSES)[k % 8], status)
     dur_ms = rng.integers(1, 2000, total)
     bytes_ = rng.integers(0, 4096, total)
     method = np.where(np.isin(etype, ["signup", "purchase"]), "POST", "GET")
@@ -259,25 +326,32 @@ def synthesize_batch(
         np.concatenate(([0], np.cumsum(gaps)[np.cumsum(n_turns)[:-1] - 1])), n_turns
     )
 
+    extra_params, grpc_tok = _v4_text_tokens(tool, k, status)
     query = np.char.add(
         np.char.add(
-            np.char.add("?page=", (k % 7).astype(str)),
-            np.char.add("&q=", etype.astype(str)),
+            np.char.add(
+                np.char.add("?page=", (k % 7).astype(str)),
+                np.char.add("&q=", etype.astype(str)),
+            ),
+            np.char.add("&tag=alpha&tag=beta%20", (k % 3).astype(str)),
         ),
-        np.char.add("&tag=alpha&tag=beta%20", (k % 3).astype(str)),
+        extra_params,
     )
     text = np.char.add(
         np.char.add(
-            np.char.add(method.astype(str), np.char.add(" /api/v1/", etype.astype(str))),
-            np.char.add(np.char.add("/", k.astype(str)), query),
-        ),
-        np.char.add(
-            np.char.add(" HTTP/1.1 status=", status.astype(str)),
             np.char.add(
-                np.char.add(" dur_ms=", dur_ms.astype(str)),
-                np.char.add(" bytes=", bytes_.astype(str)),
+                np.char.add(method.astype(str), np.char.add(" /api/v1/", etype.astype(str))),
+                np.char.add(np.char.add("/", k.astype(str)), query),
+            ),
+            np.char.add(
+                np.char.add(" HTTP/1.1 status=", status.astype(str)),
+                np.char.add(
+                    np.char.add(" dur_ms=", dur_ms.astype(str)),
+                    np.char.add(" bytes=", bytes_.astype(str)),
+                ),
             ),
         ),
+        grpc_tok,
     )
 
     tbl = pa.table(

@@ -37,7 +37,8 @@ from ray.data import Dataset
 GROK_PATTERN = (
     r"^(?P<http_method>[A-Z]+) (?P<api_path>[^?\s]+)(?:\?(?P<http_query>\S*))?"
     r" HTTP/1\.1"
-    r" status=(?P<status_code>\d+) dur_ms=(?P<dur_ms>\d+) bytes=(?P<bytes>\d+)$"
+    r" status=(?P<status_code>\d+) dur_ms=(?P<dur_ms>\d+) bytes=(?P<bytes>\d+)"
+    r"(?: grpc_status=(?P<grpc_status>\d+))?$"
 )
 OP_PATTERN = r"^/api/v1/(?P<op>[a-z]+)"
 
@@ -179,6 +180,13 @@ def extract_batch(batch: pa.Table) -> pa.Table:
     status_code = pc.cast(pc.struct_field(extracted, "status_code"), pa.int32())
     dur_ms = pc.cast(pc.struct_field(extracted, "dur_ms"), pa.int64())
     bytes_ = pc.cast(pc.struct_field(extracted, "bytes"), pa.int64())
+    grpc_raw = pc.struct_field(extracted, "grpc_status")
+    grpc_status_code = pc.cast(
+        pc.if_else(
+            pc.equal(grpc_raw, ""), pa.nulls(batch.num_rows, pa.string()), grpc_raw
+        ),
+        pa.int32(),
+    )
     op = pc.struct_field(pc.extract_regex(api_path, OP_PATTERN), "op")
     service_name = pc.coalesce(batch["tool"], batch["role"])
     is_error = pc.fill_null(pc.greater_equal(status_code, 400), False)
@@ -196,6 +204,7 @@ def extract_batch(batch: pa.Table) -> pa.Table:
             "http_query": http_query,
             "op": op,
             "status_code": status_code,
+            "grpc_status_code": grpc_status_code,
             "dur_ms": dur_ms,
             "bytes": bytes_,
             "service_name": service_name,
@@ -223,6 +232,11 @@ def normalize_batch(batch: pa.Table, config: NormalizeConfig = NormalizeConfig()
     status_code = pc.cast(pc.struct_field(extracted, "status_code"), pa.int32())
     dur_ms = pc.cast(pc.struct_field(extracted, "dur_ms"), pa.int64())
     bytes_ = pc.cast(pc.struct_field(extracted, "bytes"), pa.int64())
+    grpc_raw = pc.struct_field(extracted, "grpc_status")
+    grpc_status_code = pc.cast(
+        pc.if_else(pc.equal(grpc_raw, ""), pa.nulls(n, pa.string()), grpc_raw),
+        pa.int32(),
+    )
     op = pc.struct_field(pc.extract_regex(api_path, OP_PATTERN), "op")
 
     service_name = pc.coalesce(batch["tool"], batch["role"])
@@ -241,6 +255,7 @@ def normalize_batch(batch: pa.Table, config: NormalizeConfig = NormalizeConfig()
         "http_query": http_query,
         "op": op,
         "status_code": status_code,
+        "grpc_status_code": grpc_status_code,
         "dur_ms": dur_ms,
         "bytes": bytes_,
         "service_name": service_name,

@@ -186,14 +186,9 @@ def _edge_rows(
     ).take(pa.array(base))
     if backend:
         # getBackendRequestUrl analog (ServiceCallViewGenerator.java:322-345):
-        # protocol://host+path with host = the tool entity
-        from ..functions.conventions import build_url
-
-        url = build_url(
-            t["protocol"].take(pa.array(base)),
-            t["tool"].take(pa.array(base)),
-            t["api_path"].take(pa.array(base)),
-        )
+        # the provider-chain display url (scheme://host[:port][path],
+        # enrichers/backend_providers.py)
+        url = t["backend_url"].take(pa.array(base))
         backend_id = t["backend_id"].take(pa.array(base))
     else:
         url = pa.nulls(m, pa.string())
@@ -297,7 +292,8 @@ def per_tool_view(t: pa.Table, ctx: ConversationContext) -> pa.Table:
         return schemas.PER_TOOL_VIEW.empty_table()
     sub = t.select(
         ["tenant_id", "conv_id", "turn_idx", "backend_id", "tool", "op",
-         "status_code", "api_status", "ts", "dur_ms"]
+         "status_code", "api_status", "ts", "dur_ms",
+         "backend_type", "backend_port", "backend_url"]
     ).take(pa.array(rows))
     svc = ctx.col("service_name")
     prev_rows = rows - 1
@@ -319,6 +315,9 @@ def per_tool_view(t: pa.Table, ctx: ConversationContext) -> pa.Table:
             "caller_service": pa.array(caller, pa.string()),
             "ts": sub["ts"],
             "dur_ms": sub["dur_ms"],
+            "backend_type": sub["backend_type"],
+            "backend_port": sub["backend_port"],
+            "request_url": sub["backend_url"],
         }
     )
 

@@ -110,7 +110,9 @@ def test_entity_ids_deterministic(enriched):
     assert api[0] == "user:view"
     be = enriched["backend_id"].to_pylist()
     assert be[0] is None
-    assert be[1] == "be_" + hashlib.md5(b"db:SQL").hexdigest()[:8]
+    # provider-chain identity: (backend_type, host:port, path) — SQL rows
+    # resolve through the JDBC provider (enrichers/backend_providers.py)
+    assert be[1] == "be_" + hashlib.md5(b"JDBC:db:5432").hexdigest()[:8]
 
 
 def test_exit_calls_per_episode(enriched):
@@ -143,3 +145,102 @@ def test_service_registry_override():
     norm = normalize_batch(raw).append_column("session_id", pa.array([0], pa.int32()))
     out = reg.apply(norm)
     assert out["service_id"].to_pylist() == ["svc_custom"]
+
+
+# ---------------------------------------------------------------------------
+# round-3 depth: full code-mapper tables, provider chain, 3-key priorities
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def enriched_v4():
+    """Conversation exercising the full HttpCodeMapper table (3xx/4xx/5xx),
+    the GrpcCodeMapper dispatch (grpc_status token), the provider chain
+    (4 protocol classes), and the sparse stmt/body/proc/hdr priority keys."""
+    raw = pa.table(
+        {
+            "conv_id": pa.array(["c"] * 6, pa.string()),
+            "turn_idx": pa.array(list(range(6)), pa.int32()),
+            "role": pa.array(
+                ["user", "tool", "tool", "tool", "tool", "assistant"], pa.string()
+            ),
+            "text": pa.array(
+                [
+                    # 301 → SUCCESS per HttpCodeMapper.getState (3xx prefix)
+                    "GET /api/v1/view/1?page=1&q=view&tag=a&hdr=x%201 HTTP/1.1 status=301 dur_ms=5 bytes=1",
+                    # SQL: stmt wins the 3-key priority
+                    "GET /api/v1/error/2?page=1&q=error&tag=a&stmt=select%202 HTTP/1.1 status=502 dur_ms=5 bytes=1",
+                    # GRPC with grpc_status=4 → DEADLINE_EXCEEDED / FAIL
+                    "GET /api/v1/error/3?page=1&q=error&tag=a HTTP/1.1 status=500 dur_ms=5 bytes=1 grpc_status=4",
+                    # GRPC success: grpc_status=0 → OK / SUCCESS
+                    "GET /api/v1/purchase/4?page=1&q=purchase&tag=a&body=m%204 HTTP/1.1 status=418 dur_ms=5 bytes=1 grpc_status=0",
+                    # PROC: no proc key, no hdr → falls through to q
+                    "GET /api/v1/error/5?page=1&q=error&tag=a HTTP/1.1 status=511 dur_ms=5 bytes=1",
+                    # hdr key wins for HTTP protocol
+                    "POST /api/v1/signup/6?page=1&q=signup&tag=a&hdr=x%206 HTTP/1.1 status=204 dur_ms=5 bytes=1",
+                ],
+                pa.string(),
+            ),
+            "tool": pa.array(
+                [None, "db", "code", "code", "shell", None], pa.string()
+            ),
+            "ts": pa.array([10, 20, 30, 40, 50, 60], pa.timestamp("us")),
+        }
+    )
+    norm = normalize_batch(raw).append_column(
+        "session_id", pa.array([0] * 6, pa.int32())
+    )
+    return build_default_registry().apply(norm)
+
+
+def test_full_http_code_table(enriched_v4):
+    assert enriched_v4["status_message"].to_pylist()[:2] == [
+        "Moved Permanently", "Bad Gateway",
+    ]
+    assert enriched_v4["status_message"].to_pylist()[4:] == [
+        "Network Authentication Required", "No Content",
+    ]
+    # 3xx → SUCCESS (HttpCodeMapper.getState 2xx/3xx prefix rule)
+    assert enriched_v4["api_status"].to_pylist()[0] == "SUCCESS"
+    assert enriched_v4["api_status"].to_pylist()[1] == "FAIL"
+
+
+def test_grpc_code_mapper_dispatch(enriched_v4):
+    # protocol=GRPC rows resolve through the GrpcCodeMapper table
+    assert enriched_v4["status_message"].to_pylist()[2] == "DEADLINE_EXCEEDED"
+    assert enriched_v4["api_status"].to_pylist()[2] == "FAIL"
+    # grpc_status=0 → OK/SUCCESS even though the http status is 418
+    assert enriched_v4["status_message"].to_pylist()[3] == "OK"
+    assert enriched_v4["api_status"].to_pylist()[3] == "SUCCESS"
+
+
+def test_status_class(enriched_v4):
+    assert enriched_v4["status_class"].to_pylist() == [
+        "3xx", "5xx", "5xx", "4xx", "5xx", "2xx",
+    ]
+
+
+def test_backend_provider_chain(enriched_v4):
+    # one distinct provider output per protocol class
+    assert enriched_v4["backend_type"].to_pylist() == [
+        None, "JDBC", "GRPC", "GRPC", "PROC", None,
+    ]
+    assert enriched_v4["backend_port"].to_pylist() == [
+        None, 5432, 50051, 50051, None, None,
+    ]
+    urls = enriched_v4["backend_url"].to_pylist()
+    assert urls[1] == "jdbc://db:5432"
+    assert urls[2] == "grpc://code:50051/error"
+    assert urls[4] == "proc://shell"  # PROC: no port, no path
+
+
+def test_protocol_field_priorities(enriched_v4):
+    """≥3-key priority coalesce per protocol (PROTOCOL_FIELD_PRIORITIES):
+    protocol-specific key > shared hdr key > always-present q fallback."""
+    req = enriched_v4["proto_request"].to_pylist()
+    assert req[1] == "select 2"  # SQL: stmt (key 1) wins
+    assert req[3] == "m 4"  # GRPC: body (key 1) wins
+    assert req[2] == "error"  # GRPC without body/hdr → q (key 3)
+    assert req[4] == "error"  # PROC without proc/hdr → q (key 3)
+    assert req[0] == "x 1"  # HTTP: hdr (key 1) wins
+    assert req[5] == "x 6"  # HTTP: hdr present again

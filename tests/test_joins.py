@@ -126,3 +126,26 @@ def test_range_join_window(ray_session):
     # left 2 (ts200, window [140,200]): right 12 (199)
     # left 3 (b ts150, window [90,150]): nothing (13 at 40)
     assert pairs == [(1, 10), (1, 11), (2, 12)]
+
+
+def test_broadcast_join_null_keys(ray_session):
+    """Null keys must map to the default, not crash the unique-level probe
+    (ADVICE r2)."""
+    import ray.data
+    from hypertrace_ingester_ray.stages.joins import broadcast_join
+
+    tbl = pa.table(
+        {
+            "k": pa.array(["a", None, "b", None], pa.string()),
+            "v": pa.array([1, 2, 3, 4], pa.int64()),
+        }
+    )
+    out = (
+        broadcast_join(
+            ray.data.from_arrow(tbl), {"a": "A", "b": "B"},
+            key="k", value_col="mapped", default="?",
+        )
+        .to_pandas()
+        .sort_values("v")
+    )
+    assert out["mapped"].tolist() == ["A", "?", "B", "?"]

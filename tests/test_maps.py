@@ -77,3 +77,20 @@ def test_conventions_helpers():
         pa.array(["GET"]), pa.array(["svc"]), pa.array(["/p"]), pa.array(["a=1"])
     )
     assert full.to_pylist() == ["GET http://svc/p?a=1"]
+
+
+def test_serialize_map_sliced_offsets():
+    """serialize_map must rebase offsets for a SLICED MapArray (non-zero
+    offset keeps full child arrays, ADVICE r2)."""
+    import pyarrow as pa
+    from hypertrace_ingester_ray.functions.maps import serialize_map
+
+    m = pa.array(
+        [[("b", "2"), ("a", "1")], [("c", "3")], [("d", "4"), ("e", "5")]],
+        pa.map_(pa.string(), pa.string()),
+    )
+    sliced = m.slice(1, 2)
+    out = serialize_map(sliced).to_pylist()
+    assert out == ["c=3", "d=4;e=5"]
+    # full array still key-sorts within rows
+    assert serialize_map(m).to_pylist() == ["a=1;b=2", "c=3", "d=4;e=5"]

@@ -240,3 +240,29 @@ def test_media_real_bmp_decode(ray_session):
     feat = np.asarray(out.feature.iloc[0])
     assert abs(feat[0] - 128 / 255) < 1e-6  # real channel mean
     assert abs(feat[3]) < 1e-6  # constant image → zero std
+
+
+def test_pair_dedup_huge_doc_ids(ray_session):
+    """doc ids above 2^32 must dedup correctly — the pair-key passes dedup on
+    the (doc_a, doc_b) columns directly, with no packed int64 key that could
+    silently collide (VERDICT r2 #1)."""
+    import ray.data
+    from hypertrace_ingester_ray.stages import dedup
+
+    base = 1 << 40  # far beyond the old 32-bit packing range
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "the quick brown fox jumps over the lazy dog again and again",
+        "a completely different document about distributed dataflow systems",
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([base + 1, base + 2, base + 3], pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    pairs = dedup.minhash_lsh_pairs(ds, num_partitions=4).to_pandas()
+    assert len(pairs) == 1
+    assert pairs.iloc[0]["doc_a"] == base + 1
+    assert pairs.iloc[0]["doc_b"] == base + 2

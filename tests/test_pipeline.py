@@ -162,7 +162,9 @@ def test_call_edges_four_scenarios(ray_session):
     # B starts with an exit before any user head → 1 non-root entry
     assert by_type["non_root_entry"] == 1
     b = edges[edges.edge_type == "backend"].sort_values("caller_turn_idx")
+    # provider-chain urls (enrichers/backend_providers.py): JDBC resolves
+    # host:port with no path; HTTP resolves host:port + request path
     assert b.request_url.tolist() == [
-        "sql://db/api/v1/view/2", "http://http/api/v1/view/3",
+        "jdbc://db:5432", "http://http:80/api/v1/view/3",
     ]
     assert b.backend_id.notna().all()
