@@ -52,86 +52,93 @@ BACKEND_PROVIDERS: Dict[str, BackendProviderSpec] = {
 }
 
 
+#: sentinels for the packed identity key (never appear in corpus strings)
+_SEP = "\x1f"
+_NUL = "\x00"
+
+
 def resolve_backends(
-    tools: np.ndarray,
-    protocols: np.ndarray,
-    api_paths: np.ndarray,
-    ops: np.ndarray,
+    tools,
+    protocols,
+    api_paths,
+    ops,
     md5_id,
 ) -> Dict[str, pa.Array]:
-    """Vectorized provider resolution for one partition.
+    """Unique-level provider resolution for one partition.
 
-    ``tools``/``protocols``/``api_paths``/``ops`` are object ndarrays (null =
-    None).  Rows without a tool resolve to null backends (only EXIT spans
-    reach the provider chain, AbstractBackendEntityEnricher.java:96-104).
-    Returns the five backend_* columns; md5 work runs once per DISTINCT
-    identity (EntityCache analog), not per row.
+    Inputs are Arrow string arrays (ChunkedArray or Array).  Rows without a
+    tool resolve to null backends (only EXIT spans reach the provider chain,
+    AbstractBackendEntityEnricher.java:96-104).
+
+    The backend identity space is tiny (tools × protocols × templated
+    paths), so ALL provider work — port/path/url formatting and the md5
+    entity id — runs once per DISTINCT (tool, protocol, path, op) identity
+    (the EntityCache analog, .../enrichers/cache/EntityCache.java) and is
+    broadcast back with one dictionary ``take``.  This replaces the per-row
+    ``np.char`` object-array formatting that dominated the enricher stage.
     """
-    n = len(tools)
-    has_tool = np.not_equal(tools, None)
+    import pyarrow.compute as pc
 
-    btype = np.full(n, None, dtype=object)
-    port = np.full(n, None, dtype=object)
-    path = np.full(n, None, dtype=object)
-    scheme = np.full(n, None, dtype=object)
-    for proto, spec in BACKEND_PROVIDERS.items():
-        m = has_tool & (protocols == proto)
-        if not m.any():
+    def _pa(a):
+        if isinstance(a, np.ndarray):  # legacy callers / tests
+            a = pa.array(a, pa.string())
+        return a
+
+    tools, protocols, api_paths, ops = map(_pa, (tools, protocols, api_paths, ops))
+    key = pc.binary_join_element_wise(
+        pc.fill_null(tools, _NUL),
+        pc.fill_null(protocols, _NUL),
+        pc.fill_null(api_paths, _NUL),
+        pc.fill_null(ops, _NUL),
+        _SEP,
+    )
+    if isinstance(key, pa.ChunkedArray):
+        key = key.combine_chunks()
+    enc = key.dictionary_encode()
+    idx = enc.indices
+    uniq = enc.dictionary.to_pylist()
+
+    u_btype, u_host, u_port, u_path, u_url, u_bid = [], [], [], [], [], []
+    for u in uniq:
+        t, proto, ap, o = u.split(_SEP)
+        if t == _NUL:
+            u_btype.append(None)
+            u_host.append(None)
+            u_port.append(None)
+            u_path.append(None)
+            u_url.append(None)
+            u_bid.append(None)
             continue
-        btype[m] = spec.backend_type
-        scheme[m] = spec.scheme
-        if spec.port is not None:
-            port[m] = spec.port
-        if spec.path_source == "api_path":
-            path[m] = api_paths[m]
-        elif spec.path_source == "op_slash":
-            pm = m & np.not_equal(ops, None)
-            path[pm] = np.char.add("/", ops[pm].astype(str))
-        elif spec.path_source == "op":
-            pm = m & np.not_equal(ops, None)
-            path[pm] = ops[pm]
+        spec = BACKEND_PROVIDERS.get(proto)
+        if spec is None:  # unreachable via SpanKindEnricher; legacy parity
+            btype, scheme, port, path = None, "None", None, None
+        else:
+            btype, scheme, port = spec.backend_type, spec.scheme, spec.port
+            if spec.path_source == "api_path":
+                path = None if ap == _NUL else ap
+            elif spec.path_source == "op_slash":
+                path = None if o == _NUL else "/" + o
+            elif spec.path_source == "op":
+                path = None if o == _NUL else o
+            else:
+                path = None
+        authority = t if port is None else f"{t}:{port}"
+        path_s = path or ""
+        u_btype.append(btype)
+        u_host.append(t)
+        u_port.append(port)
+        u_path.append(path)
+        u_url.append(f"{scheme}://{authority}{path_s}")
+        u_bid.append(md5_id("be_", f"{btype}:{authority}{path_s}"))
 
-    # host[:port] authority + scheme://authority[path] display url
-    authority = np.full(n, None, dtype=object)
-    url = np.full(n, None, dtype=object)
-    rows = np.flatnonzero(has_tool)
-    if len(rows):
-        host_s = tools[rows].astype(str)
-        port_s = np.where(
-            np.not_equal(port[rows], None),
-            np.char.add(":", np.where(port[rows] == None, 0, port[rows]).astype(str)),  # noqa: E711
-            "",
-        )
-        path_s = np.where(np.not_equal(path[rows], None), path[rows], "").astype(str)
-        auth = np.char.add(host_s, port_s)
-        authority[rows] = auth
-        url[rows] = np.char.add(
-            np.char.add(scheme[rows].astype(str), "://"),
-            np.char.add(auth, path_s),
-        )
+    def _take(values, typ):
+        return pa.array(values, typ).take(idx)
 
-    # backend_id: md5 once per distinct (type, authority, path) identity
-    ident = np.full(n, None, dtype=object)
-    if len(rows):
-        ident[rows] = np.char.add(
-            np.char.add(btype[rows].astype(str), ":"),
-            np.char.add(
-                authority[rows].astype(str),
-                np.where(np.not_equal(path[rows], None), path[rows], "").astype(str),
-            ),
-        )
-    bid = np.full(n, None, dtype=object)
-    if len(rows):
-        uniq, inverse = np.unique(ident[rows].astype(str), return_inverse=True)
-        mapped = np.array([md5_id("be_", u) for u in uniq], dtype=object)
-        bid[rows] = mapped[inverse]
-
-    port_i32 = pa.array(port, pa.int32())
     return {
-        "backend_type": pa.array(btype, pa.string()),
-        "backend_host": pa.array(np.where(has_tool, tools, None), pa.string()),
-        "backend_port": port_i32,
-        "backend_path": pa.array(path, pa.string()),
-        "backend_url": pa.array(url, pa.string()),
-        "backend_id": pa.array(bid, pa.string()),
+        "backend_type": _take(u_btype, pa.string()),
+        "backend_host": _take(u_host, pa.string()),
+        "backend_port": _take(u_port, pa.int32()),
+        "backend_path": _take(u_path, pa.string()),
+        "backend_url": _take(u_url, pa.string()),
+        "backend_id": _take(u_bid, pa.string()),
     }

@@ -58,17 +58,28 @@ class SpanKindEnricher(Enricher):
     name = "span_kind"
 
     def enrich(self, table: pa.Table, ctx: ConversationContext) -> pa.Table:
-        roles = ctx.roles
-        kind = np.where(
-            roles == "user", "ENTRY", np.where(roles == "tool", "EXIT", "INTERNAL")
+        import pyarrow.compute as pc
+
+        role = table["role"]
+        kind = pc.if_else(
+            pc.fill_null(pc.equal(role, "user"), False),
+            pa.scalar("ENTRY"),
+            pc.if_else(
+                pc.fill_null(pc.equal(role, "tool"), False),
+                pa.scalar("EXIT"),
+                pa.scalar("INTERNAL"),
+            ),
         )
-        tools = ctx.col("tool")
-        protocol = np.full(ctx.n, DEFAULT_PROTOCOL, dtype=object)
-        for t, p in PROTOCOL_BY_TOOL.items():
-            protocol[tools == t] = p
-        return table.append_column(
-            "span_kind", pa.array(kind, pa.string())
-        ).append_column("protocol", pa.array(protocol, pa.string()))
+        # tool → protocol once per DISTINCT tool (dictionary take)
+        enc = table["tool"].combine_chunks().dictionary_encode()
+        mapped = pa.array(
+            [PROTOCOL_BY_TOOL.get(t, DEFAULT_PROTOCOL) for t in enc.dictionary.to_pylist()],
+            pa.string(),
+        )
+        protocol = pc.fill_null(mapped.take(enc.indices), DEFAULT_PROTOCOL)
+        return table.append_column("span_kind", kind).append_column(
+            "protocol", protocol
+        )
 
 
 class ApiStatusEnricher(Enricher):
@@ -91,48 +102,48 @@ class ApiStatusEnricher(Enricher):
             HTTP_CODE_TO_MESSAGE,
         )
 
-        n = ctx.n
-        status = ctx.col("status_code")
-        valid = ~pa.compute.is_null(table["status_code"]).to_numpy(
-            zero_copy_only=False
+        import pyarrow.compute as pc
+
+        status = table["status_code"].combine_chunks()
+        grpc = table["grpc_status_code"].combine_chunks()
+        grpc_mask = pc.fill_null(
+            pc.and_(pc.is_valid(grpc), pc.equal(table["protocol"], "GRPC")), False
         )
-        grpc = ctx.col("grpc_status_code")
-        grpc_valid = np.not_equal(grpc, None) & (ctx.col("protocol") == "GRPC")
 
         # state: HttpCodeMapper.getState (2xx/3xx SUCCESS, else FAIL) with the
-        # GrpcCodeMapper.getState override (OK==0) on grpc-mapped rows
-        http_ok = valid & (status >= 200) & (status < 400)
-        api_status = np.where(
-            valid, np.where(http_ok, API_STATUS_SUCCESS, API_STATUS_FAIL), None
+        # GrpcCodeMapper.getState override (OK==0) on grpc-mapped rows;
+        # null status → null state (nulls propagate through the comparisons)
+        http_ok = pc.and_(pc.greater_equal(status, 200), pc.less(status, 400))
+        api_status = pc.if_else(
+            http_ok, pa.scalar(API_STATUS_SUCCESS), pa.scalar(API_STATUS_FAIL)
         )
-        api_status[grpc_valid] = np.where(
-            grpc[grpc_valid].astype(np.int64) == 0,
-            API_STATUS_SUCCESS,
-            API_STATUS_FAIL,
+        api_status = pc.if_else(
+            grpc_mask,
+            pc.if_else(
+                pc.equal(grpc, 0),
+                pa.scalar(API_STATUS_SUCCESS),
+                pa.scalar(API_STATUS_FAIL),
+            ),
+            api_status,
         )
 
-        # message: table lookup per distinct code (tiny tables, vectorized
-        # via np.select-free dict indexing on the unique codes)
-        msg = np.full(n, None, dtype=object)
-        if valid.any():
-            codes = status[valid].astype(np.int64)
-            uniq, inv = np.unique(codes, return_inverse=True)
-            mapped = np.array(
-                [HTTP_CODE_TO_MESSAGE.get(int(c)) for c in uniq], dtype=object
+        # message: table lookup once per DISTINCT code (dictionary take)
+        def _code_messages(col, lookup):
+            enc = col.dictionary_encode()
+            mapped = pa.array(
+                [None if c is None else lookup.get(int(c)) for c in enc.dictionary.to_pylist()],
+                pa.string(),
             )
-            msg[valid] = mapped[inv]
-        if grpc_valid.any():
-            gcodes = grpc[grpc_valid].astype(np.int64)
-            guniq, ginv = np.unique(gcodes, return_inverse=True)
-            gmapped = np.array(
-                [GRPC_CODE_NAMES.get(int(c)) for c in guniq], dtype=object
-            )
-            msg[grpc_valid] = gmapped[ginv]
+            return mapped.take(enc.indices)
+
+        msg = _code_messages(status, HTTP_CODE_TO_MESSAGE)
+        if pc.any(grpc_mask).as_py():
+            msg = pc.if_else(grpc_mask, _code_messages(grpc, GRPC_CODE_NAMES), msg)
 
         sclass = status_class(table["status_code"])
         return (
-            table.append_column("api_status", pa.array(api_status, pa.string()))
-            .append_column("status_message", pa.array(msg, pa.string()))
+            table.append_column("api_status", api_status)
+            .append_column("status_message", msg)
             .append_column("status_class", sclass)
         )
 
@@ -182,9 +193,12 @@ class ServiceEntityEnricher(Enricher):
         return sid
 
     def enrich(self, table: pa.Table, ctx: ConversationContext) -> pa.Table:
-        svc = ctx.col("service_name")
-        ids = _map_unique(svc, self._lookup)
-        return table.append_column("service_id", pa.array(ids, pa.string()))
+        enc = table["service_name"].combine_chunks().dictionary_encode()
+        mapped = pa.array(
+            [None if v is None else self._lookup(v) for v in enc.dictionary.to_pylist()],
+            pa.string(),
+        )
+        return table.append_column("service_id", mapped.take(enc.indices))
 
 
 class EndpointEnricher(Enricher):
@@ -235,10 +249,10 @@ class BackendEntityEnricher(Enricher):
         from .backend_providers import resolve_backends
 
         cols = resolve_backends(
-            ctx.col("tool"),
-            ctx.col("protocol"),
-            ctx.col("api_path"),
-            ctx.col("op"),
+            table["tool"],
+            table["protocol"],
+            table["api_path"],
+            table["op"],
             md5_id,
         )
         for name, arr in cols.items():

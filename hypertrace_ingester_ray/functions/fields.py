@@ -22,7 +22,7 @@ from typing import Dict, List
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .maps import QUERY_PARAM_PREFIX, map_get
+from .maps import QUERY_PARAM_PREFIX, map_get_many
 
 _P = QUERY_PARAM_PREFIX  # the corpus's open-attribute namespace
 
@@ -85,9 +85,9 @@ def generate_protocol_fields(
         {k for f in PROTOCOL_FIELD_PRIORITIES.values() for ks in f.values() for k in ks}
     )
     extracted = dict(extracted or {})
-    for k in all_keys:
-        if k not in extracted:
-            extracted[k] = map_get(tags, k)
+    missing = [k for k in all_keys if k not in extracted]
+    if missing:
+        extracted.update(map_get_many(tags, missing))
     out: Dict[str, pa.Array] = {}
     for field in TARGET_FIELDS:
         acc = pa.nulls(n, pa.string())

@@ -60,23 +60,44 @@ def filter_map_keys(
 
 def map_get(col: pa.ChunkedArray, key: str) -> pa.Array:
     """Vectorized ``attributes[key]`` extraction (first match per row)."""
-    arr = col.combine_chunks()
+    return map_get_many(col, [key])[key]
+
+
+def map_get_many(col: pa.ChunkedArray, wanted) -> dict:
+    """Extract several map keys in ONE pass over the entries.
+
+    Map keys are low-cardinality, so the entry keys are dictionary-encoded
+    once and each wanted key costs an integer-code compare instead of a
+    string scan — k keys share one child traversal."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     keys = arr.keys
-    hit = pc.equal(keys, key).to_numpy(zero_copy_only=False)
-    offsets = arr.offsets.to_numpy(zero_copy_only=False)
     n = len(arr)
-    out_idx = np.full(n, -1, dtype=np.int64)
-    hit_pos = np.flatnonzero(hit)
-    if len(hit_pos):
-        # row of each hit = searchsorted into offsets; keep FIRST hit per row
-        rows = np.searchsorted(offsets, hit_pos, side="right") - 1
-        first = np.unique(rows, return_index=True)[1]
-        out_idx[rows[first]] = hit_pos[first]
-    matched = out_idx >= 0
-    if len(arr.items) == 0:
-        return pa.nulls(n, arr.items.type)
-    values = arr.items.take(pa.array(np.where(matched, out_idx, 0)))
-    return pc.if_else(pa.array(matched), values, pa.nulls(n, arr.items.type))
+    items_type = arr.items.type
+    out: dict = {}
+    if len(keys) == 0:
+        return {k: pa.nulls(n, items_type) for k in wanted}
+    enc = keys.dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False)
+    code_of = {v: i for i, v in enumerate(enc.dictionary.to_pylist())}
+    offsets = arr.offsets.to_numpy(zero_copy_only=False)
+    base = offsets[0]
+    for key in wanted:
+        c = code_of.get(key)
+        if c is None:
+            out[key] = pa.nulls(n, items_type)
+            continue
+        out_idx = np.full(n, -1, dtype=np.int64)
+        hit_pos = np.flatnonzero(codes == c)
+        hit_pos = hit_pos[(hit_pos >= base) & (hit_pos < offsets[-1])]
+        if len(hit_pos):
+            # row of each hit = searchsorted into offsets; FIRST hit per row
+            rows = np.searchsorted(offsets, hit_pos, side="right") - 1
+            first = np.unique(rows, return_index=True)[1]
+            out_idx[rows[first]] = hit_pos[first]
+        matched = out_idx >= 0
+        values = arr.items.take(pa.array(np.where(matched, out_idx, 0)))
+        out[key] = pc.if_else(pa.array(matched), values, pa.nulls(n, items_type))
+    return out
 
 
 # ---------------------------------------------------------------------------

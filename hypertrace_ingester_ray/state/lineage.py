@@ -89,14 +89,23 @@ class _Crc32Writer:
         return False
 
 
+#: columns worth min/max statistics at the sink: the partition / time keys a
+#: reader prunes row-groups on.  Stats for wide payload columns (text, tag
+#: maps) cost ~25% of the write and prune nothing — skipped.
+_STATS_COLUMNS = frozenset(
+    {"tenant_id", "conv_id", "ts", "turn_idx", "window_ts", "service_name"}
+)
+
+
 def write_view_part(out_dir: str, view: str, part_id: int, table: pa.Table):
     """Atomically write one view partition file; returns (rows, checksum)."""
     path = part_file(out_dir, view, part_id)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = path + ".tmp"
+    stats_cols = [c for c in table.schema.names if c in _STATS_COLUMNS]
     with open(tmp, "wb") as raw:
         w = _Crc32Writer(raw)
-        pq.write_table(table, w)
+        pq.write_table(table, w, write_statistics=stats_cols)
     os.rename(tmp, path)
     return table.num_rows, w.crc
 
