@@ -162,32 +162,115 @@ def normalize_light_batch(
     )
 
 
+def _parse_text_fields(text_col, n: int) -> dict:
+    """Vectorized grok of the request-log text.
+
+    Equivalent to ``pc.extract_regex(text, GROK_PATTERN)`` followed by the
+    ``""``→null normalization of the optional groups, but ~2× cheaper: ONE
+    space-split plus cheap string predicates (``ascii_is_decimal`` ==
+    RE2 ``^\\d+$``) replaces the 7-capture-group regex scan of every text
+    byte.  Rows that fail any structural check come back all-null, exactly
+    like a regex non-match (parity-tested against GROK_PATTERN in
+    tests/test_normalize.py)."""
+    import numpy as np
+
+    txt = text_col.combine_chunks() if isinstance(text_col, pa.ChunkedArray) else text_col
+    sp = pc.split_pattern(txt, " ")
+    offs = sp.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = sp.values
+    counts = offs[1:] - offs[:-1]
+    base = offs[:-1]
+    str_t = flat.type
+
+    def tok(k):
+        present = counts > k
+        got = flat.take(pa.array(np.where(present, base + k, 0)))
+        return pc.if_else(pa.array(present), got, pa.nulls(n, str_t))
+
+    toks = [tok(k) for k in range(7)]
+
+    # url → path [+ '?' + query] (regex: [^?\s]+ then optional \?\S*)
+    usp = pc.split_pattern(toks[1], "?", max_splits=1)
+    uoffs = usp.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    uflat = usp.values
+    ucounts = uoffs[1:] - uoffs[:-1]
+    ubase = uoffs[:-1]
+
+    def utok(k):
+        present = ucounts > k
+        got = uflat.take(pa.array(np.where(present, ubase + k, 0)))
+        return pc.if_else(pa.array(present), got, pa.nulls(n, str_t))
+
+    api_path = utok(0)
+    http_query = utok(1)
+
+    def _prefixed_digits(arr, prefix):
+        digits = pc.utf8_slice_codeunits(arr, len(prefix), 2**31 - 1)
+        ok = pc.and_(pc.starts_with(arr, prefix), pc.ascii_is_decimal(digits))
+        return ok, digits
+
+    ok3, status_s = _prefixed_digits(toks[3], "status=")
+    ok4, dur_s = _prefixed_digits(toks[4], "dur_ms=")
+    ok5, bytes_s = _prefixed_digits(toks[5], "bytes=")
+    ok6, grpc_s = _prefixed_digits(toks[6], "grpc_status=")
+    method_ok = pc.and_(pc.ascii_is_upper(toks[0]), pc.utf8_is_alpha(toks[0]))
+    m = pc.and_kleene(
+        pa.array((counts == 6) | (counts == 7)),
+        pc.and_(
+            pc.and_(method_ok, pc.equal(toks[2], "HTTP/1.1")),
+            pc.and_(pc.and_(ok3, ok4), ok5),
+        ),
+    )
+    m = pc.and_kleene(
+        m, pc.if_else(pa.array(counts == 7), ok6, pa.scalar(True))
+    )
+    m = pc.and_kleene(
+        m, pc.greater(pc.utf8_length(pc.fill_null(api_path, "")), 0)
+    )
+    m = pc.fill_null(m, False)
+    null_s = pa.nulls(n, pa.string())
+
+    def masked(arr, extra_mask=None):
+        cond = m if extra_mask is None else pc.and_(m, extra_mask)
+        return pc.if_else(cond, arr, null_s)
+
+    nonempty_q = pc.fill_null(
+        pc.greater(pc.utf8_length(pc.fill_null(http_query, "")), 0), False
+    )
+    api_path = masked(api_path)
+    # op: second-level extraction once per DISTINCT path (templated paths)
+    enc = api_path.dictionary_encode()
+    op_u = pc.struct_field(pc.extract_regex(enc.dictionary, OP_PATTERN), "op")
+    op = op_u.take(enc.indices)
+    return {
+        "http_method": masked(toks[0]),
+        "api_path": api_path,
+        "http_query": masked(http_query, nonempty_q),
+        "op": op,
+        "status_code": pc.cast(masked(status_s), pa.int32()),
+        "dur_ms": pc.cast(masked(dur_s), pa.int64()),
+        "bytes": pc.cast(masked(bytes_s), pa.int64()),
+        "grpc_status_code": pc.cast(
+            masked(grpc_s, pa.array(counts == 7)), pa.int32()
+        ),
+    }
+
+
 def extract_batch(batch: pa.Table) -> pa.Table:
     """Grok extraction over a (possibly light-normalized) batch → full
     NORMALIZED_TURNS layout.  Vectorized; idempotent on already-extracted
     input (detected by column presence)."""
     if "status_code" in batch.schema.names:
         return batch
-    extracted = pc.extract_regex(batch["text"], GROK_PATTERN)
-    http_method = pc.struct_field(extracted, "http_method")
-    api_path = pc.struct_field(extracted, "api_path")
-    # optional group: unmatched → "" from RE2; normalize to null
-    http_query = pc.if_else(
-        pc.equal(pc.struct_field(extracted, "http_query"), ""),
-        pa.nulls(batch.num_rows, pa.string()),
-        pc.struct_field(extracted, "http_query"),
-    )
-    status_code = pc.cast(pc.struct_field(extracted, "status_code"), pa.int32())
-    dur_ms = pc.cast(pc.struct_field(extracted, "dur_ms"), pa.int64())
-    bytes_ = pc.cast(pc.struct_field(extracted, "bytes"), pa.int64())
-    grpc_raw = pc.struct_field(extracted, "grpc_status")
-    grpc_status_code = pc.cast(
-        pc.if_else(
-            pc.equal(grpc_raw, ""), pa.nulls(batch.num_rows, pa.string()), grpc_raw
-        ),
-        pa.int32(),
-    )
-    op = pc.struct_field(pc.extract_regex(api_path, OP_PATTERN), "op")
+    f = _parse_text_fields(batch["text"], batch.num_rows)
+    http_method = f["http_method"]
+    api_path = f["api_path"]
+    http_query = f["http_query"]
+    status_code = f["status_code"]
+    dur_ms = f["dur_ms"]
+    bytes_ = f["bytes"]
+    grpc_status_code = f["grpc_status_code"]
+    op = f["op"]
     service_name = pc.coalesce(batch["tool"], batch["role"])
     is_error = pc.fill_null(pc.greater_equal(status_code, 400), False)
     return pa.table(
@@ -221,23 +304,15 @@ def normalize_batch(batch: pa.Table, config: NormalizeConfig = NormalizeConfig()
         batch = batch.filter(pc.invert(drop))
 
     n = batch.num_rows
-    extracted = pc.extract_regex(batch["text"], GROK_PATTERN)
-    http_method = pc.struct_field(extracted, "http_method")
-    api_path = pc.struct_field(extracted, "api_path")
-    http_query = pc.if_else(
-        pc.equal(pc.struct_field(extracted, "http_query"), ""),
-        pa.nulls(n, pa.string()),
-        pc.struct_field(extracted, "http_query"),
-    )
-    status_code = pc.cast(pc.struct_field(extracted, "status_code"), pa.int32())
-    dur_ms = pc.cast(pc.struct_field(extracted, "dur_ms"), pa.int64())
-    bytes_ = pc.cast(pc.struct_field(extracted, "bytes"), pa.int64())
-    grpc_raw = pc.struct_field(extracted, "grpc_status")
-    grpc_status_code = pc.cast(
-        pc.if_else(pc.equal(grpc_raw, ""), pa.nulls(n, pa.string()), grpc_raw),
-        pa.int32(),
-    )
-    op = pc.struct_field(pc.extract_regex(api_path, OP_PATTERN), "op")
+    f = _parse_text_fields(batch["text"], n)
+    http_method = f["http_method"]
+    api_path = f["api_path"]
+    http_query = f["http_query"]
+    status_code = f["status_code"]
+    dur_ms = f["dur_ms"]
+    bytes_ = f["bytes"]
+    grpc_status_code = f["grpc_status_code"]
+    op = f["op"]
 
     service_name = pc.coalesce(batch["tool"], batch["role"])
     is_error = pc.fill_null(pc.greater_equal(status_code, 400), False)

@@ -160,3 +160,60 @@ def test_poison_rows_dropped(ray_session, tmp_path):
     )
     assert s["rows_in"] == 1  # only the fully-valid row survives
     assert s["view_counts"]["per_turn"] == 1
+
+
+def test_split_parse_matches_grok_regex():
+    """_parse_text_fields is kernel-for-kernel equivalent to the reference
+    GROK_PATTERN regex (plus the ''->null optional-group normalization) on
+    well-formed AND adversarial texts."""
+    import pyarrow.compute as pc
+
+    from hypertrace_ingester_ray.stages.normalize import (
+        GROK_PATTERN,
+        OP_PATTERN,
+        _parse_text_fields,
+    )
+
+    texts = pa.array(
+        [
+            "GET /api/v1/click/52?page=3&q=click&tag=a%201 HTTP/1.1 status=200 dur_ms=556 bytes=694",
+            "POST /api/v1/buy/3?page=1 HTTP/1.1 status=201 dur_ms=7 bytes=33 grpc_status=0",
+            "DELETE /x HTTP/1.1 status=500 dur_ms=1 bytes=2 grpc_status=14",
+            "",  # empty
+            "GET",  # truncated
+            "get /x HTTP/1.1 status=1 dur_ms=2 bytes=3",  # lowercase method
+            "GET2 /x HTTP/1.1 status=1 dur_ms=2 bytes=3",  # alnum method
+            "GET ?q=1 HTTP/1.1 status=1 dur_ms=2 bytes=3",  # empty path
+            "GET /x HTTP/1.1 status=a dur_ms=2 bytes=3",  # non-digit status
+            "GET /x HTTP/1.1 status=1 dur_ms=2 bytes=3 extra=4",  # bad tail
+            "GET /x HTTP/1.0 status=1 dur_ms=2 bytes=3",  # wrong version
+            "GET /x? HTTP/1.1 status=1 dur_ms=2 bytes=3",  # empty query
+            "GET /a?b?c HTTP/1.1 status=1 dur_ms=2 bytes=3",  # ? in query
+            None,
+        ],
+        pa.string(),
+    )
+    ref = pc.extract_regex(texts, GROK_PATTERN)
+    got = _parse_text_fields(pa.chunked_array([texts]), len(texts))
+
+    def norm_ref(name):
+        v = pc.struct_field(ref, name)
+        return pc.if_else(pc.equal(v, ""), pa.nulls(len(texts), pa.string()), v)
+
+    for name, out_name in [
+        ("http_method", "http_method"),
+        ("api_path", "api_path"),
+        ("http_query", "http_query"),
+        ("status_code", "status_code"),
+        ("dur_ms", "dur_ms"),
+        ("bytes", "bytes"),
+        ("grpc_status", "grpc_status_code"),
+    ]:
+        want = norm_ref(name).to_pylist()
+        have = [None if v is None else str(v) for v in got[out_name].to_pylist()]
+        assert have == want, (name, have, want)
+    # op column parity
+    want_op = pc.struct_field(
+        pc.extract_regex(pc.struct_field(ref, "api_path"), OP_PATTERN), "op"
+    ).to_pylist()
+    assert got["op"].to_pylist() == want_op
