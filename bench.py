@@ -99,7 +99,10 @@ def run_headline(num_cpus: int, repeats: int = 1) -> dict:
         os.path.join(SF_DIR, "events.parquet")
     ).metadata.num_rows
     turns_est = n_events * TURNS_PER_EVENT
-    parts = min(512, max(num_cpus * 4, turns_est // 400_000))
+    # direct-exchange path: ~2 partitions per CPU amortizes the per-reduce
+    # task overhead (64 at 32 CPUs beat 128 by ~0.6s on the 6M corpus);
+    # larger corpora still scale partitions by rows (~400k rows each)
+    parts = min(512, max(num_cpus * 2, turns_est // 400_000))
     cfg = PipelineConfig(
         num_partitions=parts,
         read_num_blocks=num_cpus * 2,

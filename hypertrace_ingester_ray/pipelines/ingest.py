@@ -72,6 +72,11 @@ class PipelineConfig:
     # input read parallelism: ~2 blocks per CPU keeps per-task overhead low
     # while the shuffle stays balanced; None = derive from cluster CPUs
     read_num_blocks: Optional[int] = None
+    # exchange strategy for the one shuffle: None (auto) picks the direct
+    # two-stage hash exchange for the stateless path when num_partitions is
+    # within DIRECT_SHUFFLE_MAX_PARTITIONS, else Ray Data's sort shuffle
+    # (see stages/grouping.py:_direct_group_apply for the rationale)
+    shuffle: Optional[str] = None
     service_registry: Optional[Dict[str, str]] = None
     metrics_window: str = "minute"
     # optional features (off by default, mirroring the reference's config
@@ -411,6 +416,7 @@ def run_pipeline(
             pass_part_id=True,
             sort_by=["turn_idx", "ts"],
             num_partitions=config.num_partitions,
+            shuffle=config.shuffle,
         )
     else:
         stats_ds = group_apply(

@@ -242,6 +242,101 @@ def salted_group_apply(
     )
 
 
+# ---------------------------------------------------------------------------
+# direct two-stage exchange (the fast path for moderate fan-out)
+# ---------------------------------------------------------------------------
+
+# Above this partition count the direct exchange degrades (map_tasks ×
+# partitions tiny objects — the classic quadratic-shuffle problem) and
+# group_apply falls back to Ray Data's sort-based shuffle, which merges
+# map outputs hierarchically.  512 × ~1k map blocks ≈ 500k objects is the
+# comfortable ceiling for one object store director.
+DIRECT_SHUFFLE_MAX_PARTITIONS = int(
+    os.environ.get("HTR_DIRECT_SHUFFLE_MAX_PARTS", "512")
+)
+
+
+def _shuffle_map_fn(block, keys, num_partitions):
+    """Map side of the direct exchange: split one input block into
+    ``num_partitions`` key-complete slices (+ a per-partition row-count
+    vector the driver uses to skip empty partitions without fetching data).
+
+    Slices are zero-copy views; Ray's Arrow serialization trims them to
+    logical bounds on transfer (verified: a 50-row slice of an 11 MB table
+    pickles to ~6 KB), so object-store volume equals data volume."""
+    if not isinstance(block, pa.Table):  # pandas / other block formats
+        from ray.data.block import BlockAccessor
+
+        block = BlockAccessor.for_block(block).to_arrow()
+    t = add_part_column(block, keys, num_partitions)
+    part = t[PART_COL].to_numpy(zero_copy_only=False)
+    order_idx = np.argsort(part, kind="stable")
+    sorted_t = t.take(pa.array(order_idx))
+    bounds = np.searchsorted(part[order_idx], np.arange(num_partitions + 1))
+    counts = np.diff(bounds)
+    out = [
+        sorted_t.slice(lo, hi - lo).drop_columns([PART_COL]) if hi > lo else None
+        for lo, hi in zip(bounds[:-1], bounds[1:])
+    ]
+    out.append(counts)
+    return tuple(out)
+
+
+def _shuffle_reduce_fn(fn, order, pass_part_id, part_id, *tables):
+    """Reduce side: concat this partition's slices from every map task,
+    sort once by the full group/order key, run the user fn."""
+    tables = [t for t in tables if t is not None and t.num_rows]
+    t = pa.concat_tables(tables, promote_options="default").combine_chunks()
+    if order:
+        t = t.sort_by([(c, "ascending") for c in order])
+    return fn(t, part_id) if pass_part_id else fn(t)
+
+
+def _direct_group_apply(ds, keys, fn, *, pass_part_id, order, num_partitions):
+    """Two-stage raw-task hash exchange, bypassing the sort-shuffle machinery.
+
+    Why: Ray Data's sort-based ``groupby().map_groups`` costs ~1.8 s on the
+    6 M-row bench corpus even for a no-op consumer and is NOT byte-bound
+    (dropping 65 % of the bytes saves 7 %) — the overhead is the sort
+    executor itself.  A direct exchange (map tasks emit ``num_partitions``
+    pre-hashed slices, reduce tasks concat + sort + process) runs the same
+    exchange in ~1.1 s.  Kafka's keyed-topic exchange
+    (SpanNormalizer.java:72-80) is exactly this shape: producers write
+    hash-routed slices, one consumer per partition.
+
+    Streaming: map tasks launch as upstream blocks materialize
+    (``iter_internal_ref_bundles`` is a streaming iterator); the reduce
+    barrier is inherent to any hash shuffle.  Fault tolerance: map/reduce
+    are deterministic tasks, so Ray lineage reconstructs lost slices.
+    """
+    import ray as _ray
+
+    map_remote = _ray.remote(num_returns=num_partitions + 1)(_shuffle_map_fn)
+    reduce_remote = _ray.remote(_shuffle_reduce_fn)
+
+    map_refs = []
+    for bundle in ds.iter_internal_ref_bundles():
+        for block_ref in bundle.block_refs:
+            map_refs.append(map_remote.remote(block_ref, keys, num_partitions))
+    if not map_refs:
+        import ray.data as _rd
+
+        return _rd.from_arrow([])
+    # counts are tiny (P int64s per map task); fetching them blocks until all
+    # maps finish — which is exactly when reduces become runnable anyway
+    counts = np.sum(_ray.get([r[num_partitions] for r in map_refs]), axis=0)
+    reduce_refs = [
+        reduce_remote.remote(
+            fn, order, pass_part_id, p, *[r[p] for r in map_refs]
+        )
+        for p in range(num_partitions)
+        if counts[p] > 0
+    ]
+    import ray.data as _rd
+
+    return _rd.from_arrow_refs(reduce_refs)
+
+
 class _PartitionRunner:
     """map_groups callable-class wrapper: sorts the partition, strips the
     partition column, instantiates the user's processor once per actor
@@ -273,6 +368,7 @@ def group_apply(
     pass_part_id: bool = False,
     sort_by: Optional[Sequence[str]] = None,
     num_partitions: int = DEFAULT_NUM_PARTITIONS,
+    shuffle: Optional[str] = None,
     **map_groups_kwargs,
 ) -> Dataset:
     """Apply a partition processor to hash partitions of complete ``key``-groups.
@@ -284,16 +380,42 @@ def group_apply(
 
     Pass either ``fn`` (stateless task) or ``fn_class`` (+ ``concurrency=`` in
     ``map_groups_kwargs``) for an actor-pool stage with per-worker state.
+
+    ``shuffle`` picks the exchange: ``"direct"`` = two-stage raw-task hash
+    exchange (fastest for ≤ DIRECT_SHUFFLE_MAX_PARTITIONS partitions),
+    ``"sort"`` = Ray Data sort-based groupby (scales to unbounded fan-out,
+    required for the ``fn_class`` actor-pool path).  Default (None) =
+    ``"direct"`` for stateless ``fn`` within the partition ceiling, else
+    ``"sort"``.  Both produce identical partitions (same hash, same order).
     """
     keys = [key] if isinstance(key, str) else list(key)
+    order = keys + list(sort_by or [])
+
+    if shuffle is None:
+        shuffle = (
+            "direct"
+            if fn_class is None
+            and not map_groups_kwargs
+            and num_partitions <= DIRECT_SHUFFLE_MAX_PARTITIONS
+            else "sort"
+        )
+    if shuffle == "direct":
+        if fn_class is not None:
+            raise ValueError("shuffle='direct' supports the stateless fn path only")
+        return _direct_group_apply(
+            ds,
+            keys,
+            fn,
+            pass_part_id=pass_part_id,
+            order=order,
+            num_partitions=num_partitions,
+        )
 
     ds = ds.map_batches(
         add_part_column,
         batch_format="pyarrow",
         fn_kwargs={"key": keys, "num_partitions": num_partitions},
     )
-
-    order = keys + list(sort_by or [])
 
     if fn_class is not None:
         return ds.groupby(PART_COL).map_groups(
