@@ -326,9 +326,11 @@ class ProtocolFieldsEnricher(Enricher):
         from ..functions.fields import generate_protocol_fields
         from ..functions.maps import QUERY_PARAM_PREFIX
 
-        # the http_attributes enricher already extracted the source keys as
-        # scalar columns — hand them to the dispatch so it skips the map scan
-        pre = {
+        # the http_attributes enricher extracted every source key at the
+        # unique level (ctx.pre_extracted) — the dispatch then runs no map
+        # scan at all; fall back to the scalar columns when this enricher is
+        # used standalone
+        pre = getattr(ctx, "pre_extracted", None) or {
             QUERY_PARAM_PREFIX + k: table[f"query_param_{k}"]
             for k in HttpAttributeEnricher.PARAM_KEYS
             if f"query_param_{k}" in table.schema.names
@@ -454,10 +456,26 @@ class HttpAttributeEnricher(Enricher):
         idx = enc.indices
         table = table.append_column("tags", tags_u.take(idx))
         chunked = pa.chunked_array([tags_u])
+        # extract EVERY downstream source key while the map is still
+        # unique-level (one entry scan over n_distinct queries, not n rows);
+        # protocol_fields then needs no row-level map pass at all
+        from ..functions.fields import PROTOCOL_FIELD_PRIORITIES
+        from ..functions.maps import map_get_many
+
+        all_keys = sorted(
+            {QUERY_PARAM_PREFIX + k for k in self.PARAM_KEYS}
+            | {
+                k
+                for f in PROTOCOL_FIELD_PRIORITIES.values()
+                for ks in f.values()
+                for k in ks
+            }
+        )
+        extracted_u = map_get_many(chunked, all_keys)
+        ctx.pre_extracted = {k: extracted_u[k].take(idx) for k in all_keys}
         for k in self.PARAM_KEYS:
             table = table.append_column(
-                f"query_param_{k}",
-                map_get(chunked, QUERY_PARAM_PREFIX + k).take(idx),
+                f"query_param_{k}", ctx.pre_extracted[QUERY_PARAM_PREFIX + k]
             )
         return table
 

@@ -88,17 +88,38 @@ def generate_protocol_fields(
     missing = [k for k in all_keys if k not in extracted]
     if missing:
         extracted.update(map_get_many(tags, missing))
+
+    # one pass per field instead of protocols × (coalesce chain + if_else):
+    # memoize each distinct coalesce chain (chains share suffixes across
+    # protocols — [stmt,hdr,q] / [body,hdr,q] / [proc,hdr,q] reuse
+    # coalesce(hdr, q)), compute each protocol mask once, then select with a
+    # single case_when over all protocol branches.
+    chain_cache: Dict[tuple, pa.Array] = {}
+
+    def chain(keys: tuple) -> pa.Array:
+        got = chain_cache.get(keys)
+        if got is None:
+            got = (
+                extracted[keys[0]]
+                if len(keys) == 1
+                else pc.coalesce(extracted[keys[0]], chain(keys[1:]))
+            )
+            chain_cache[keys] = got
+        return got
+
+    masks = {
+        name: pc.fill_null(pc.equal(proto, name), False)
+        for name in PROTOCOL_FIELD_PRIORITIES
+    }
     out: Dict[str, pa.Array] = {}
     for field in TARGET_FIELDS:
-        acc = pa.nulls(n, pa.string())
+        conds, vals = [], []
         for proto_name, fields in PROTOCOL_FIELD_PRIORITIES.items():
             keys = fields.get(field, [])
-            if not keys:
-                continue
-            val = extracted[keys[0]]
-            for k in keys[1:]:
-                val = pc.coalesce(val, extracted[k])
-            mask = pc.equal(proto, proto_name)
-            acc = pc.if_else(pc.fill_null(mask, False), val, acc)
-        out[field] = acc
+            if keys:
+                conds.append(masks[proto_name])
+                vals.append(chain(tuple(keys)))
+        out[field] = pc.case_when(
+            pc.make_struct(*conds), *vals, pa.nulls(n, pa.string())
+        )
     return out

@@ -99,6 +99,7 @@ def process_partition(
     drop_root_exits: bool = False,
     root_exit_exclusions=(),
     latency_sample_pct: Optional[int] = None,
+    tenant_id: Optional[str] = None,
 ):
     """Pure core: normalized partition (sorted by conv_id, turn_idx, ts) →
     (views dict, stats dict).  Shared by the sink-writing actor and tests.
@@ -109,9 +110,11 @@ def process_partition(
     re-reads or re-shuffles the full per-turn data.
     """
     from ..stages.metrics import partial_counts
-    from ..stages.normalize import extract_batch
+    from ..stages.normalize import DEFAULT_TENANT, extract_batch
 
-    table = extract_batch(table)  # no-op if extraction ran pre-shuffle
+    # no-op if extraction ran pre-shuffle; reconstructs the constant
+    # tenant column the light path elided from the exchange
+    table = extract_batch(table, tenant_id=tenant_id or DEFAULT_TENANT)
     rows_in = table.num_rows
     if drop_root_exits:
         from ..stages.filters import root_exit_drop
@@ -224,6 +227,7 @@ class PartitionProcessor:
             drop_root_exits=cfg.drop_root_exits,
             root_exit_exclusions=cfg.root_exit_exclusions,
             latency_sample_pct=cfg.latency_sample_pct,
+            tenant_id=cfg.normalize.tenant_id,
         )
         checksums = {}
         for name, tbl in views.items():
@@ -448,7 +452,11 @@ def run_pipeline(
         if not os.path.exists(bp_dir):
             tmp = bp_dir + "_tmp"
             shutil.rmtree(tmp, ignore_errors=True)
-            bypass.map_batches(extract_batch, batch_format="pyarrow").write_parquet(tmp)
+            bypass.map_batches(
+                extract_batch,
+                batch_format="pyarrow",
+                fn_kwargs={"tenant_id": config.normalize.tenant_id},
+            ).write_parquet(tmp)
             os.rename(tmp, bp_dir)
 
     # metrics stage: final combine over the per-partition partial counts

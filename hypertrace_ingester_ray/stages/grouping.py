@@ -286,9 +286,12 @@ def _shuffle_reduce_fn(fn, order, pass_part_id, part_id, *tables):
     """Reduce side: concat this partition's slices from every map task,
     sort once by the full group/order key, run the user fn."""
     tables = [t for t in tables if t is not None and t.num_rows]
-    t = pa.concat_tables(tables, promote_options="default").combine_chunks()
+    t = pa.concat_tables(tables, promote_options="default")
     if order:
+        # sort_by's take compacts the chunked result — no combine_chunks copy
         t = t.sort_by([(c, "ascending") for c in order])
+    else:
+        t = t.combine_chunks()
     return fn(t, part_id) if pass_part_id else fn(t)
 
 

@@ -145,21 +145,34 @@ def normalize_light_batch(
     exchange moves ~40% fewer bytes per row — extraction output is derived
     data and cheaper to recompute after the move than to ship."""
     batch = drop_poison_rows(batch)
+    # tenant_id is a per-pipeline CONSTANT (M2 tenant resolution): shipping
+    # it as a materialized string column costs ~110 MB per 6M rows through
+    # the exchange for zero information.  It is reconstructed post-shuffle
+    # (extract_batch) and only materialized here when a drop/bypass rule
+    # actually references it.
+    cols = {
+        "conv_id": batch["conv_id"],
+        "turn_idx": pc.cast(batch["turn_idx"], pa.int32()),
+        "role": batch["role"],
+        "text": batch["text"],
+        "tool": batch["tool"],
+        "ts": batch["ts"],
+    }
+    if any(
+        cond.column == "tenant_id"
+        for rules in (config.drop_rules, config.bypass_rules)
+        for rule in rules
+        for cond in rule
+    ):
+        cols = {
+            "tenant_id": pa.array([config.tenant_id] * batch.num_rows, pa.string()),
+            **cols,
+        }
+    batch = pa.table(cols)
     drop = rules_mask(batch, config.drop_rules)
     if drop is not None:
         batch = batch.filter(pc.invert(drop))
-    n = batch.num_rows
-    return pa.table(
-        {
-            "tenant_id": pa.array([config.tenant_id] * n, pa.string()),
-            "conv_id": batch["conv_id"],
-            "turn_idx": pc.cast(batch["turn_idx"], pa.int32()),
-            "role": batch["role"],
-            "text": batch["text"],
-            "tool": batch["tool"],
-            "ts": batch["ts"],
-        }
-    )
+    return batch
 
 
 def _parse_text_fields(text_col, n: int) -> dict:
@@ -256,12 +269,19 @@ def _parse_text_fields(text_col, n: int) -> dict:
     }
 
 
-def extract_batch(batch: pa.Table) -> pa.Table:
+def extract_batch(batch: pa.Table, tenant_id: str = DEFAULT_TENANT) -> pa.Table:
     """Grok extraction over a (possibly light-normalized) batch → full
     NORMALIZED_TURNS layout.  Vectorized; idempotent on already-extracted
-    input (detected by column presence)."""
+    input (detected by column presence).  ``tenant_id`` materializes the
+    constant tenant column the light path elided from the exchange."""
     if "status_code" in batch.schema.names:
         return batch
+    if "tenant_id" not in batch.schema.names:
+        batch = batch.add_column(
+            0,
+            "tenant_id",
+            pa.array([tenant_id] * batch.num_rows, pa.string()),
+        )
     f = _parse_text_fields(batch["text"], batch.num_rows)
     http_method = f["http_method"]
     api_path = f["api_path"]

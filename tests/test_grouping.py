@@ -1,6 +1,7 @@
 """Unit tests for the hash-partitioned grouping primitives (G1-G3 analogs)."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -185,3 +186,89 @@ def test_hot_key_counts_filters_distributed(ray_session):
 
     hot = hot_key_counts(ds, "k", threshold=100)
     assert hot == {"whale": 500}
+
+
+def test_direct_vs_sort_shuffle_parity(ray_session):
+    """The direct two-stage exchange must produce the exact same partitions
+    (same hash assignment, same sorted row order) as the sort shuffle."""
+    import ray.data
+
+    t = pa.table(
+        {
+            "conv_id": pa.array([f"c{i % 53}" for i in range(2000)], pa.string()),
+            "turn_idx": pa.array([i % 11 for i in range(2000)], pa.int32()),
+            "v": pa.array(list(range(2000)), pa.int64()),
+        }
+    )
+
+    def tag(part: pa.Table, part_id: int) -> pa.Table:
+        # record (part_id, row order) so both paths can be compared exactly
+        return part.append_column(
+            "part_id", pa.array([part_id] * part.num_rows, pa.int32())
+        ).append_column(
+            "pos", pa.array(list(range(part.num_rows)), pa.int64())
+        )
+
+    outs = {}
+    for shuffle in ("direct", "sort"):
+        ds = ray.data.from_arrow(t).repartition(6)
+        res = group_apply(
+            ds,
+            "conv_id",
+            tag,
+            pass_part_id=True,
+            sort_by=["turn_idx", "v"],
+            num_partitions=7,
+            shuffle=shuffle,
+        ).to_pandas()
+        outs[shuffle] = res.sort_values(["conv_id", "turn_idx", "v"]).reset_index(
+            drop=True
+        )
+    pd.testing.assert_frame_equal(outs["direct"], outs["sort"])
+
+
+def test_direct_shuffle_multi_key(ray_session):
+    import ray.data
+
+    t = pa.table(
+        {
+            "k1": pa.array(["a", "a", "b", "b", "c"] * 40, pa.string()),
+            "k2": pa.array([1, 2, 1, 2, 1] * 40, pa.int64()),
+            "v": pa.array(list(range(200)), pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+
+    def per_part(part: pa.Table) -> pa.Table:
+        # each (k1,k2) group must be complete: sum v per group
+        return (
+            part.group_by(["k1", "k2"])
+            .aggregate([("v", "sum")])
+            .rename_columns(["k1", "k2", "v_sum"])
+        )
+
+    out = group_apply(
+        ds, ["k1", "k2"], per_part, num_partitions=4, shuffle="direct"
+    ).to_pandas()
+    assert len(out) == 5  # (a,1) (a,2) (b,1) (b,2) (c,1)
+    expect = (
+        t.to_pandas().groupby(["k1", "k2"])["v"].sum().reset_index(name="v_sum")
+    )
+    merged = out.sort_values(["k1", "k2"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        merged, expect.sort_values(["k1", "k2"]).reset_index(drop=True)
+    )
+
+
+def test_direct_shuffle_rejects_fn_class(ray_session):
+    import pytest as _pytest
+    import ray.data
+
+    ds = ray.data.from_arrow(pa.table({"k": ["a"], "v": [1]}))
+
+    class P:
+        def __call__(self, part):
+            return part
+
+    with _pytest.raises(ValueError):
+        group_apply(ds, "k", fn_class=P, num_partitions=2, shuffle="direct")
