@@ -37,7 +37,7 @@ from hypertrace_ingester_ray.pipelines.ingest import (
     view_dataset,
 )
 from hypertrace_ingester_ray.pipelines import relational
-from hypertrace_ingester_ray.stages import dedup, similarity, text_analysis
+from hypertrace_ingester_ray.stages import corpus, dedup, similarity, text_analysis
 
 # ---------------------------------------------------------------------------
 # shared SQL fragments (enrichment chain mirrored with window functions)
@@ -634,8 +634,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_clean": lambda sf: __import__(
             "hypertrace_ingester_ray.pipelines.docs", fromlist=["clean_documents"]
         ).clean_documents(sf),
+        # --- training-corpus preparation (stages/corpus.py, round 3)
+        "doc_split": lambda sf: corpus.hash_split(
+            _docs(sf).select_columns(["doc_id"])
+        ),
+        "vocab_top100": lambda sf: corpus.vocab_top_k(_docs(sf), k=100),
+        "redact_numbers": lambda sf: corpus.redact(
+            transcripts_from_events(sf),
+            text_col="text",
+            keep=["conv_id", "turn_idx"],
+        ),
+        "doc_length_quantiles": lambda sf: corpus.length_quantiles(_docs(sf)),
+        "doc_decontaminate": lambda sf: corpus.decontaminate(
+            _docs(sf), _benchmark_docs(sf), shingle_k=3
+        ),
+        "doc_repetition": lambda sf: corpus.repetition_scores(_docs(sf)),
     }
     return q
+
+
+def _benchmark_docs(sf_dir: str):
+    """Deterministic benchmark/eval subset for decontamination: every 50th
+    doc_id (an eval set is small by definition — this is the broadcast
+    side)."""
+    import pyarrow as pa
+
+    def _mask(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 50 == 0))
+
+    return _docs(sf_dir).map_batches(_mask, batch_format="pyarrow")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -960,6 +988,83 @@ SELECT doc_id,
        ELSE '{langs[-1]}' END AS pred_lang,
   CAST(GREATEST({score_cols}) AS BIGINT) AS stopword_hits
 FROM s
+"""
+    # --- training-corpus preparation (stages/corpus.py, round 3)
+    # multiplicative-hash split: HUGEINT product mod 2^32 equals the
+    # engine's uint64 wraparound for ids < 2^32 (corpus.py note)
+    sql["doc_split"] = """
+WITH b AS (
+  SELECT doc_id,
+    CAST((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 % 100 AS BIGINT)
+      AS bucket
+  FROM documents
+)
+SELECT doc_id, bucket,
+  CASE WHEN bucket < 90 THEN 'train'
+       WHEN bucket < 95 THEN 'val'
+       ELSE 'test' END AS split
+FROM b
+"""
+    sql["vocab_top100"] = """
+WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+SELECT word, CAST(count(*) AS BIGINT) AS cnt
+FROM w GROUP BY word
+ORDER BY cnt DESC, word
+LIMIT 100
+"""
+    # RE2 on both sides (Arrow and DuckDB), so the scrub mirrors exactly
+    sql["redact_numbers"] = f"""
+WITH {TRANSCRIPTS_CTE}
+SELECT conv_id, turn_idx,
+  regexp_replace(text, '[0-9]+', '<NUM>', 'g') AS text_redacted,
+  CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_redactions
+FROM transcripts
+"""
+    # quantile definition: smallest value whose cumulative count reaches
+    # (p*N + 99) // 100 — pure integer math on both sides
+    sql["doc_length_quantiles"] = """
+WITH o AS (SELECT n_chars AS v,
+                  row_number() OVER (ORDER BY n_chars) AS rn
+           FROM documents),
+n AS (SELECT count(*) AS c FROM documents),
+q AS (SELECT unnest([10,20,30,40,50,60,70,80,90]) AS pct)
+SELECT CAST(q.pct AS BIGINT) AS pct, CAST(MIN(o.v) AS BIGINT) AS value
+FROM q CROSS JOIN n JOIN o ON o.rn >= ((q.pct * n.c + 99) // 100)
+GROUP BY q.pct
+"""
+    # string 3-grams mirror the engine's 64-bit shingle hashes (set
+    # cardinalities agree up to 2^-64 collision odds); same n-gram
+    # construction as the doc_near_dup_verified oracle
+    sql["doc_decontaminate"] = """
+WITH toks AS (
+  SELECT doc_id, list_distinct(list_transform(
+    generate_series(1, GREATEST(len(string_split(text, ' ')) - 2, 1)),
+    i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')
+  )) AS sh FROM documents
+),
+bench AS (
+  SELECT list_distinct(flatten(list(sh))) AS bsh FROM toks WHERE doc_id % 50 = 0
+)
+SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles,
+  CAST(len(list_intersect(sh, bsh)) AS BIGINT) AS n_overlap,
+  CAST(len(list_intersect(sh, bsh)) * 1000
+       // GREATEST(len(sh), 1) AS BIGINT) AS overlap_x1000
+FROM toks CROSS JOIN bench
+"""
+    sql["doc_repetition"] = """
+WITH g AS (
+  SELECT doc_id, unnest(list_transform(
+    generate_series(1, GREATEST(len(string_split(text, ' ')) - 1, 1)),
+    i -> array_to_string(string_split(text, ' ')[i:i+1], ' ')
+  )) AS gram FROM documents
+),
+c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram),
+m AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams,
+             CAST(max(cnt) AS BIGINT) AS top_gram_count
+      FROM c GROUP BY doc_id)
+SELECT doc_id, n_grams, top_gram_count,
+  CAST(top_gram_count * 1000 // n_grams AS BIGINT) AS rep_x1000
+FROM m
 """
     # doc_fingerprint / doc_minhash_pairs / doc_simhash_pairs /
     # knn_ivf_top5 (approximate) / media_features (stubbed decode):

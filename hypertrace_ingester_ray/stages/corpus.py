@@ -1,0 +1,303 @@
+"""Training-corpus preparation operators.
+
+Beyond the reference's telemetry-shaped operator set (SURVEY.md §2) and the
+round-1/2 dedup / similarity / text-analysis stages, these are the remaining
+operations a 100 TB LLM training-data pipeline runs before tokenization:
+
+- deterministic train/val/test **hash split** (embarrassingly parallel,
+  reproducible across runs and cluster sizes),
+- **vocabulary build** (word-count top-k with in-batch combining before the
+  small ``groupby`` — the canonical partial-aggregation pattern),
+- **pattern redaction** (PII-style regex scrub, RE2 both here and in the
+  DuckDB oracles),
+- exact **length quantiles** via bounded per-value histogram merge (no
+  global sort),
+- **decontamination**: flag corpus documents sharing word-``k``-gram
+  shingles with a benchmark/eval set (benchmark shingle set broadcast via
+  ``ray.put``; corpus side fully vectorized),
+- Gopher-style **repetition score** (top n-gram fraction per document).
+
+All kernels are flat-array numpy/Arrow over ``map_batches`` batches — no
+per-row Python in any hot path.  Scale assumptions are documented per
+operator.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+from ray.data import Dataset
+
+from ..functions.hashing import shingle_hashes
+
+# Knuth multiplicative hash constant; the split hash is
+# (id * K mod 2^64) mod 2^32 — for ids < 2^32 this equals the exact integer
+# product mod 2^32, which is what the SQL oracle (HUGEINT arithmetic)
+# computes.  For 64-bit ids the uint64 wraparound keeps the split
+# deterministic and uniform; only the SQL mirror assumes ids < 2^32.
+_SPLIT_K = np.uint64(2654435761)
+_MOD32 = np.uint64(1) << np.uint64(32)
+
+
+def hash_split_batch(
+    batch: pa.Table,
+    *,
+    id_col: str = "doc_id",
+    train_pct: int = 90,
+    val_pct: int = 5,
+) -> pa.Table:
+    """Assign each row a deterministic split label from a multiplicative
+    hash of its id: bucket = ((id * K) mod 2^32) mod 100, train/val/test by
+    percentile.  Pure per-row function of the id — the same document lands
+    in the same split on any cluster size, any run, any shard layout."""
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+    bucket = ((ids * _SPLIT_K) % _MOD32 % np.uint64(100)).astype(np.int64)
+    split = np.where(
+        bucket < train_pct,
+        "train",
+        np.where(bucket < train_pct + val_pct, "val", "test"),
+    )
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "bucket": pa.array(bucket, pa.int64()),
+            "split": pa.array(split, pa.string()),
+        }
+    )
+
+
+def hash_split(ds: Dataset, **kw) -> Dataset:
+    return ds.map_batches(
+        lambda b: hash_split_batch(b, **kw), batch_format="pyarrow"
+    )
+
+
+def vocab_top_k(ds: Dataset, *, text_col: str = "text", k: int = 100) -> Dataset:
+    """Corpus vocabulary: the ``k`` most frequent whitespace tokens.
+
+    Scale shape: each batch collapses to its distinct (word, count) pairs
+    BEFORE the shuffle (``value_counts`` in-batch combiner), so the
+    ``groupby("word")`` exchange carries per-block vocabulary size — bounded
+    by the language's vocabulary, not the corpus — and the final sort+limit
+    runs over the global vocabulary only.  Ties break by word ascending so
+    the top-k cut is deterministic."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch[text_col], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        vc = toks.flatten().value_counts()
+        return pa.table(
+            {
+                "word": vc.field("values"),
+                "cnt": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    agg = ds.map_batches(_partial, batch_format="pyarrow").groupby("word").sum("cnt")
+    agg = agg.map_batches(
+        lambda t: t.rename_columns(["word", "cnt"]), batch_format="pyarrow"
+    )
+    return agg.sort(["cnt", "word"], descending=[True, False]).limit(k)
+
+
+def redact_batch(
+    batch: pa.Table,
+    *,
+    text_col: str = "text",
+    patterns: Sequence[Tuple[str, str]] = ((r"[0-9]+", "<NUM>"),),
+    keep: Sequence[str] = (),
+) -> pa.Table:
+    """Apply ordered (regex → replacement) scrubs to a text column; emit the
+    redacted text plus the total match count.  Patterns are RE2 (Arrow's
+    regex engine) — the same engine DuckDB uses, so oracles mirror exactly.
+    Counts are evaluated on the text as each pattern sees it (i.e. after the
+    preceding replacements), matching nested ``regexp_replace`` SQL."""
+    text = batch[text_col]
+    n_red = pa.nulls(len(batch), pa.int64())
+    n_red = pc.fill_null(n_red, 0)
+    for pat, repl in patterns:
+        n_red = pc.add(n_red, pc.cast(pc.count_substring_regex(text, pat), pa.int64()))
+        text = pc.replace_substring_regex(text, pat, repl)
+    cols = {c: batch[c] for c in keep}
+    cols["text_redacted"] = text
+    cols["n_redactions"] = n_red
+    return pa.table(cols)
+
+
+def redact(ds: Dataset, **kw) -> Dataset:
+    return ds.map_batches(lambda b: redact_batch(b, **kw), batch_format="pyarrow")
+
+
+def length_quantiles(
+    ds: Dataset,
+    *,
+    col: str = "n_chars",
+    pcts: Sequence[int] = (10, 20, 30, 40, 50, 60, 70, 80, 90),
+) -> pa.Table:
+    """Exact quantiles of an integer column without a global sort: per-block
+    ``value_counts`` → ``groupby(value).sum`` → driver-side cumulative walk
+    over the merged histogram.  Driver state is bounded by the number of
+    DISTINCT values (document lengths), not rows — fine for any length-like
+    column; for genuinely unbounded domains bin first.
+
+    Quantile definition (mirrored in integer math by the SQL oracle): the
+    p-th percentile is the smallest value whose cumulative count reaches
+    ``ceil(p*N/100)`` = ``(p*N + 99) // 100``."""
+
+    def _hist(batch: pa.Table) -> pa.Table:
+        arr = batch[col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        vc = arr.value_counts()
+        return pa.table(
+            {
+                "value": vc.field("values").cast(pa.int64()),
+                "cnt": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    hist = (
+        ds.map_batches(_hist, batch_format="pyarrow")
+        .groupby("value")
+        .sum("cnt")
+        .take_all()  # bounded: one row per distinct value
+    )
+    vals = np.array([r["value"] for r in hist], dtype=np.int64)
+    cnts = np.array([r["sum(cnt)"] for r in hist], dtype=np.int64)
+    order = np.argsort(vals)
+    vals, cnts = vals[order], cnts[order]
+    cum = np.cumsum(cnts)
+    n = int(cum[-1]) if len(cum) else 0
+    out_p: List[int] = []
+    out_v: List[int] = []
+    for p in pcts:
+        target = (p * n + 99) // 100
+        idx = int(np.searchsorted(cum, target, side="left"))
+        if idx < len(vals):
+            out_p.append(int(p))
+            out_v.append(int(vals[idx]))
+    return pa.table(
+        {"pct": pa.array(out_p, pa.int64()), "value": pa.array(out_v, pa.int64())}
+    )
+
+
+def _distinct_per_segment(
+    sh: np.ndarray, soff: np.ndarray, hit: np.ndarray | None = None
+) -> Tuple[np.ndarray, np.ndarray | None]:
+    """Per-document distinct-shingle counts (and, optionally, distinct
+    counts restricted to a boolean ``hit`` mask), fully vectorized: sort
+    within segments, count first-occurrences with ``add.reduceat``."""
+    n = len(soff) - 1
+    seg = np.repeat(np.arange(n, dtype=np.int64), np.diff(soff))
+    order = np.lexsort((sh, seg))
+    s_sh, s_seg = sh[order], seg[order]
+    new = np.ones(len(s_sh), dtype=bool)
+    if len(s_sh) > 1:
+        new[1:] = (s_sh[1:] != s_sh[:-1]) | (s_seg[1:] != s_seg[:-1])
+    starts = np.searchsorted(s_seg, np.arange(n, dtype=np.int64))
+    # every doc has >= 1 shingle (hashing.py fallback) so segments are
+    # non-empty and reduceat boundaries are strictly valid
+    n_distinct = np.add.reduceat(new.astype(np.int64), starts)
+    if hit is None:
+        return n_distinct, None
+    s_hit = hit[order]
+    n_hit = np.add.reduceat((new & s_hit).astype(np.int64), starts)
+    return n_distinct, n_hit
+
+
+def decontaminate(
+    ds: Dataset,
+    benchmark: Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+) -> Dataset:
+    """Benchmark decontamination: for every corpus document, count its
+    distinct word-``k``-gram shingles and how many also occur in the
+    benchmark/eval set; emit ``overlap_x1000`` for thresholding.
+
+    Scale shape: the benchmark side is small by definition (an eval set) —
+    its distinct shingle-hash set is reduced per-block, unioned once on the
+    driver and **broadcast via ``ray.put``**; every corpus task then does a
+    vectorized ``np.isin`` against the shared sorted array.  The corpus side
+    streams — no join, no shuffle.  Shingle identity is the 64-bit rolling
+    hash (``functions/hashing.py``): set intersections over hashes equal
+    intersections over the n-gram strings themselves up to 2^-64 collision
+    odds, which is what lets the DuckDB oracle mirror this with string
+    n-grams (same construction as the ``doc_near_dup_verified`` oracle)."""
+
+    def _bench_part(batch: pa.Table) -> pa.Table:
+        sh, _ = shingle_hashes(batch[text_col], shingle_k)
+        return pa.table({"h": pa.array(np.unique(sh), pa.uint64())})
+
+    parts = benchmark.map_batches(_bench_part, batch_format="pyarrow").take_all()
+    bench_arr = np.unique(np.array([r["h"] for r in parts], dtype=np.uint64))
+    ref = ray.put(bench_arr)
+
+    def _check(batch: pa.Table) -> pa.Table:
+        bench = ray.get(ref)  # local object store — zero-copy after first task
+        sh, soff = shingle_hashes(batch[text_col], shingle_k)
+        hit = np.isin(sh, bench)
+        n_sh, n_ov = _distinct_per_segment(sh, soff, hit)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_shingles": pa.array(n_sh, pa.int64()),
+                "n_overlap": pa.array(n_ov, pa.int64()),
+                "overlap_x1000": pa.array(
+                    n_ov * 1000 // np.maximum(n_sh, 1), pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(_check, batch_format="pyarrow")
+
+
+def repetition_scores(
+    ds: Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gram_k: int = 2,
+) -> Dataset:
+    """Gopher-style repetition signal: the fraction of a document's word
+    ``k``-grams taken by its single most frequent ``k``-gram
+    (``top_gram_count * 1000 // n_grams``).  Boilerplate and degenerate
+    generations score high.  Per-batch flat-array kernel: sort shingles
+    within documents, run-length the equal runs, per-document max via
+    ``maximum.reduceat`` — no per-row Python."""
+
+    def _rep(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        sh, soff = shingle_hashes(batch[text_col], gram_k)
+        seg = np.repeat(np.arange(n, dtype=np.int64), np.diff(soff))
+        order = np.lexsort((sh, seg))
+        s_sh, s_seg = sh[order], seg[order]
+        new = np.ones(len(s_sh), dtype=bool)
+        if len(s_sh) > 1:
+            new[1:] = (s_sh[1:] != s_sh[:-1]) | (s_seg[1:] != s_seg[:-1])
+        run_starts = np.flatnonzero(new)
+        run_lens = np.diff(np.append(run_starts, len(s_sh)))
+        seg_of_run = s_seg[run_starts]
+        first_run = np.searchsorted(seg_of_run, np.arange(n, dtype=np.int64))
+        top = np.maximum.reduceat(run_lens, first_run)
+        n_grams = np.diff(soff)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_grams": pa.array(n_grams, pa.int64()),
+                "top_gram_count": pa.array(top, pa.int64()),
+                "rep_x1000": pa.array(
+                    top * 1000 // np.maximum(n_grams, 1), pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(_rep, batch_format="pyarrow")

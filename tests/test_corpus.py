@@ -1,0 +1,144 @@
+"""Training-corpus preparation operator tests (stages/corpus.py):
+hash split, vocabulary, redaction, quantiles, decontamination, repetition."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from hypertrace_ingester_ray.stages import corpus
+
+
+@pytest.fixture(scope="module")
+def docs(ray_session):
+    base = [
+        "alpha beta gamma delta epsilon zeta eta theta",   # 0 (benchmark)
+        "alpha beta gamma delta something else entirely",   # 1: shares 3-grams w/ 0
+        "totally disjoint words here none shared at all",   # 2: no overlap
+        "spam spam spam spam spam spam ham",                # 3: repetitive
+        "one two",                                          # 4: short (< k tokens)
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(len(base))), pa.int64()),
+            "text": pa.array(base, pa.string()),
+            "n_chars": pa.array([len(s) for s in base], pa.int64()),
+        }
+    )
+    return ray.data.from_arrow(t)
+
+
+def test_hash_split_deterministic_and_complete(docs, ray_session):
+    out = corpus.hash_split(docs).to_pandas().sort_values("doc_id")
+    assert set(out.columns) == {"doc_id", "bucket", "split"}
+    assert len(out) == 5
+    # pure function of the id: same result regardless of partitioning
+    again = (
+        corpus.hash_split(docs.repartition(3)).to_pandas().sort_values("doc_id")
+    )
+    assert list(out.bucket) == list(again.bucket)
+    assert ((out.bucket >= 0) & (out.bucket < 100)).all()
+    expected = np.where(
+        out.bucket < 90, "train", np.where(out.bucket < 95, "val", "test")
+    )
+    assert list(out.split) == list(expected)
+    # matches the SQL mirror's HUGEINT arithmetic
+    for did, b in zip(out.doc_id, out.bucket):
+        assert b == (did * 2654435761) % (1 << 32) % 100
+
+
+def test_hash_split_uniformity(ray_session):
+    ids = pa.table({"doc_id": pa.array(np.arange(20_000), pa.int64())})
+    out = corpus.hash_split(ray.data.from_arrow(ids)).to_pandas()
+    frac = (out.split == "train").mean()
+    assert 0.88 < frac < 0.92  # 90% ± noise
+
+
+def test_vocab_top_k(docs):
+    out = corpus.vocab_top_k(docs, k=3).to_pandas()
+    assert list(out.columns) == ["word", "cnt"]
+    assert out.iloc[0].word == "spam" and out.iloc[0].cnt == 6
+    # ties broken by word ascending → deterministic cut
+    assert len(out) == 3
+    assert list(out.cnt) == sorted(out.cnt, reverse=True)
+
+
+def test_redact(ray_session):
+    t = pa.table(
+        {
+            "id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(
+                ["call 555 then 1234 end", "no digits at all"], pa.string()
+            ),
+        }
+    )
+    out = (
+        corpus.redact(ray.data.from_arrow(t), keep=["id"])
+        .to_pandas()
+        .sort_values("id")
+    )
+    assert list(out.text_redacted) == [
+        "call <NUM> then <NUM> end",
+        "no digits at all",
+    ]
+    assert list(out.n_redactions) == [2, 0]
+
+
+def test_redact_multi_pattern(ray_session):
+    t = pa.table({"text": pa.array(["mail a@b.co num 77"], pa.string())})
+    out = corpus.redact(
+        ray.data.from_arrow(t),
+        patterns=[(r"[a-z]+@[a-z.]+", "<EMAIL>"), (r"[0-9]+", "<NUM>")],
+    ).to_pandas()
+    assert out.text_redacted[0] == "mail <EMAIL> num <NUM>"
+    assert out.n_redactions[0] == 2
+
+
+def test_length_quantiles_exact(ray_session):
+    vals = pa.table({"n_chars": pa.array([1, 2, 3, 4, 5, 6, 7, 8, 9, 10], pa.int64())})
+    out = corpus.length_quantiles(
+        ray.data.from_arrow(vals), pcts=(10, 50, 90)
+    ).to_pandas()
+    # ceil-based: p=10 → rank 1 → 1; p=50 → rank 5 → 5; p=90 → rank 9 → 9
+    assert dict(zip(out.pct, out.value)) == {10: 1, 50: 5, 90: 9}
+
+
+def test_length_quantiles_duplicates(ray_session):
+    vals = pa.table({"n_chars": pa.array([5] * 99 + [100], pa.int64())})
+    out = corpus.length_quantiles(
+        ray.data.from_arrow(vals), pcts=(50, 90)
+    ).to_pandas()
+    assert dict(zip(out.pct, out.value)) == {50: 5, 90: 5}
+
+
+def test_decontaminate(docs):
+    bench = docs.filter(lambda r: r["doc_id"] == 0)
+    out = (
+        corpus.decontaminate(docs, bench, shingle_k=3)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[0, "overlap_x1000"] == 1000  # benchmark doc itself
+    assert 0 < out.loc[1, "n_overlap"] < out.loc[1, "n_shingles"]
+    assert out.loc[2, "n_overlap"] == 0
+    # short doc: whole-text fallback shingle, no overlap with benchmark
+    assert out.loc[4, "n_shingles"] == 1 and out.loc[4, "n_overlap"] == 0
+
+
+def test_repetition_scores(docs):
+    out = (
+        corpus.repetition_scores(docs)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # doc 3: 6 bigrams, "spam spam" ×5 → 833
+    assert out.loc[3, "n_grams"] == 6
+    assert out.loc[3, "top_gram_count"] == 5
+    assert out.loc[3, "rep_x1000"] == 833
+    # doc 0: all bigrams distinct
+    assert out.loc[0, "top_gram_count"] == 1
+    # short doc: single whole-text gram
+    assert out.loc[4, "n_grams"] == 1 and out.loc[4, "rep_x1000"] == 1000
