@@ -649,6 +649,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs(sf), _benchmark_docs(sf), shingle_k=3
         ),
         "doc_repetition": lambda sf: corpus.repetition_scores(_docs(sf)),
+        "top_docs_per_source": lambda sf: corpus.top_k_per_group(
+            _docs(sf).select_columns(["doc_id", "source", "n_chars"]),
+            group_col="source",
+            order_col="n_chars",
+            k=3,
+        ),
+        "doc_stratified_sample": lambda sf: corpus.stratified_sample(
+            _docs(sf).select_columns(["doc_id", "lang"]),
+            {"en": 300, "es": 1000, "fr": 500, "de": 700, "zh": 1000},
+        ),
+        "doc_shuffle_shards": lambda sf: corpus.shuffle_shards(
+            _docs(sf).select_columns(["doc_id"]), n_shards=8
+        ),
     }
     return q
 
@@ -1065,6 +1078,34 @@ m AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams,
 SELECT doc_id, n_grams, top_gram_count,
   CAST(top_gram_count * 1000 // n_grams AS BIGINT) AS rep_x1000
 FROM m
+"""
+    sql["top_docs_per_source"] = """
+WITH r AS (
+  SELECT doc_id, source, n_chars,
+    row_number() OVER (PARTITION BY source
+                       ORDER BY n_chars DESC, doc_id) - 1 AS rank
+  FROM documents
+)
+SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank < 3
+"""
+    sql["doc_stratified_sample"] = """
+SELECT doc_id, lang FROM documents
+WHERE (CAST(doc_id AS HUGEINT) * 2246822519) % 4294967296 % 1000 <
+  CASE lang WHEN 'en' THEN 300 WHEN 'es' THEN 1000 WHEN 'fr' THEN 500
+            WHEN 'de' THEN 700 WHEN 'zh' THEN 1000 ELSE 0 END
+"""
+    sql["doc_shuffle_shards"] = """
+WITH h AS (
+  SELECT doc_id,
+    CAST((CAST(doc_id AS HUGEINT) * 3266489917) % 4294967296 AS BIGINT) AS pk
+  FROM documents
+)
+SELECT doc_id, CAST(pk % 8 AS BIGINT) AS shard,
+  CAST(row_number() OVER (PARTITION BY pk % 8 ORDER BY pk, doc_id) - 1
+       AS BIGINT) AS pos
+FROM h
 """
     # doc_fingerprint / doc_minhash_pairs / doc_simhash_pairs /
     # knn_ivf_top5 (approximate) / media_features (stubbed decode):

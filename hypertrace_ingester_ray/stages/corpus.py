@@ -34,6 +34,12 @@ import ray
 from ray.data import Dataset
 
 from ..functions.hashing import shingle_hashes
+from .grouping import (
+    group_apply,
+    run_boundaries,
+    segment_ids_from_boundaries,
+    segmented_cumcount,
+)
 
 # Knuth multiplicative hash constant; the split hash is
 # (id * K mod 2^64) mod 2^32 — for ids < 2^32 this equals the exact integer
@@ -258,6 +264,133 @@ def decontaminate(
         )
 
     return ds.map_batches(_check, batch_format="pyarrow")
+
+
+# decorrelated multiplicative constants (xxhash primes) so split / sample /
+# shuffle decisions over the same ids are independent of each other
+_SAMPLE_K = np.uint64(2246822519)
+_SHUFFLE_K = np.uint64(3266489917)
+
+
+def stratified_sample(
+    ds: Dataset,
+    fracs_x1000: dict,
+    *,
+    id_col: str = "doc_id",
+    strata_col: str = "lang",
+) -> Dataset:
+    """Deterministic per-stratum sampling: keep a row iff
+    ``((id * K) mod 2^32) mod 1000 < fracs_x1000[stratum]`` — e.g. rebalance
+    a multilingual corpus by keeping 100‰ of English but 1000‰ of a
+    low-resource language.  Pure per-row function of (id, stratum): the
+    sample is reproducible across runs, cluster sizes and shard layouts,
+    and composes with :func:`hash_split` (decorrelated hash constants).
+    Strata absent from ``fracs_x1000`` are dropped (permille 0)."""
+
+    def _sample(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ticket = ((ids * _SAMPLE_K) % _MOD32 % np.uint64(1000)).astype(np.int64)
+        strata = batch[strata_col].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(strata, return_inverse=True)
+        limits = np.array(
+            [int(fracs_x1000.get(s, 0)) for s in uniq], dtype=np.int64
+        )
+        return batch.filter(pa.array(ticket < limits[inv]))
+
+    return ds.map_batches(_sample, batch_format="pyarrow")
+
+
+def top_k_per_group(
+    ds: Dataset,
+    *,
+    group_col: str,
+    order_col: str,
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_partitions: int = 16,
+) -> Dataset:
+    """Top-``k`` rows per group by ``order_col`` descending (ties broken by
+    ``id_col`` ascending) — e.g. the k longest documents per source.
+
+    Rides the same hash exchange as the flagship (``group_apply``): each
+    partition holds complete groups, and the per-partition kernel is one
+    ``lexsort`` + segmented rank — per-group state never materializes
+    beyond the partition.  Adds a ``rank`` column (0-based)."""
+
+    def _topk(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return part.append_column("rank", pa.array([], pa.int64()))
+        g = part[group_col].to_numpy(zero_copy_only=False)
+        v = part[order_col].to_numpy(zero_copy_only=False)
+        i = part[id_col].to_numpy(zero_copy_only=False)
+        gcodes = np.unique(g, return_inverse=True)[1]
+        order = np.lexsort((i, -v, gcodes))
+        seg = segment_ids_from_boundaries(run_boundaries(gcodes[order]))
+        rank = segmented_cumcount(seg)
+        keep = order[rank < k]
+        out = part.take(pa.array(keep))
+        return out.append_column("rank", pa.array(rank[rank < k], pa.int64()))
+
+    return group_apply(ds, group_col, _topk, num_partitions=num_partitions)
+
+
+def shuffle_shards(
+    ds: Dataset,
+    *,
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    num_partitions: int = 16,
+) -> Dataset:
+    """Deterministic global training shuffle: order every row by a
+    multiplicative hash of its id and cut the ordering into ``n_shards``
+    contiguous shards — the "shuffled shards" layout training loaders
+    consume, with zero random state (re-running or resharding reproduces
+    byte-identical shards).
+
+    Scale shape: shard assignment is per-row arithmetic; the within-shard
+    position needs one hash exchange keyed by shard (complete shards per
+    partition) + a segmented sort — the same single-shuffle pattern as the
+    flagship, no driver materialization.  Emits (id, shard, pos)."""
+
+    def _key(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = ((ids * _SHUFFLE_K) % _MOD32).astype(np.int64)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "shard": pa.array(h % n_shards, pa.int64()),
+                "pos_key": pa.array(h, pa.int64()),
+            }
+        )
+
+    keyed = ds.map_batches(_key, batch_format="pyarrow")
+
+    def _rank(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "shard": pa.array([], pa.int64()),
+                    "pos": pa.array([], pa.int64()),
+                }
+            )
+        shard = part["shard"].to_numpy(zero_copy_only=False)
+        pkey = part["pos_key"].to_numpy(zero_copy_only=False)
+        ids = part[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, pkey, shard))
+        seg = segment_ids_from_boundaries(run_boundaries(shard[order]))
+        pos = segmented_cumcount(seg)
+        inv = np.empty_like(order)
+        inv[order] = np.arange(len(order))
+        return pa.table(
+            {
+                id_col: part[id_col],
+                "shard": part["shard"],
+                "pos": pa.array(pos[inv], pa.int64()),
+            }
+        )
+
+    return group_apply(keyed, "shard", _rank, num_partitions=num_partitions)
 
 
 def repetition_scores(

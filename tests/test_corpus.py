@@ -142,3 +142,69 @@ def test_repetition_scores(docs):
     assert out.loc[0, "top_gram_count"] == 1
     # short doc: single whole-text gram
     assert out.loc[4, "n_grams"] == 1 and out.loc[4, "rep_x1000"] == 1000
+
+
+def test_stratified_sample_deterministic(ray_session):
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(10_000), pa.int64()),
+            "lang": pa.array(["en", "fr"] * 5_000, pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    out = corpus.stratified_sample(
+        ds, {"en": 100, "fr": 1000}, strata_col="lang"
+    ).to_pandas()
+    en = out[out.lang == "en"]
+    fr = out[out.lang == "fr"]
+    assert len(fr) == 5_000  # permille 1000 keeps everything
+    assert 400 < len(en) < 600  # ~10% of 5000
+    # unknown strata drop; repartitioning does not change the sample
+    assert len(corpus.stratified_sample(ds, {}).to_pandas()) == 0
+    again = corpus.stratified_sample(
+        ds.repartition(7), {"en": 100, "fr": 1000}
+    ).to_pandas()
+    assert sorted(again.doc_id) == sorted(out.doc_id)
+
+
+def test_top_k_per_group(ray_session):
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+            "source": pa.array(["a", "a", "a", "b", "b", "b"], pa.string()),
+            "n_chars": pa.array([10, 30, 20, 5, 5, 50], pa.int64()),
+        }
+    )
+    out = (
+        corpus.top_k_per_group(
+            ray.data.from_arrow(t),
+            group_col="source",
+            order_col="n_chars",
+            k=2,
+            num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values(["source", "rank"])
+    )
+    assert list(out.doc_id) == [2, 3, 6, 4]  # b ties (5,5) break by doc_id
+    assert list(out["rank"]) == [0, 1, 0, 1]
+
+
+def test_shuffle_shards(ray_session):
+    ids = pa.table({"doc_id": pa.array(np.arange(1_000), pa.int64())})
+    ds = ray.data.from_arrow(ids)
+    out = corpus.shuffle_shards(ds, n_shards=4, num_partitions=4).to_pandas()
+    assert len(out) == 1_000
+    # each shard's positions are exactly 0..len-1 (a permutation cut)
+    for s, grp in out.groupby("shard"):
+        assert sorted(grp.pos) == list(range(len(grp)))
+    # deterministic across partitioning layouts
+    again = corpus.shuffle_shards(
+        ds.repartition(9), n_shards=4, num_partitions=8
+    ).to_pandas()
+    a = out.sort_values("doc_id").reset_index(drop=True)
+    b = again.sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+    # not the identity order: hash actually shuffles
+    s0 = out[out.shard == 0].sort_values("pos")
+    assert list(s0.doc_id) != sorted(s0.doc_id)
