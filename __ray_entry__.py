@@ -610,6 +610,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_near_dup_verified": lambda sf: dedup.verified_near_dup_pairs(
             _docs(sf), num_partitions=8
         ),
+        # transitive closure of the verified pairs (pair list → clusters):
+        # BSP min-label propagation, oracle = recursive CTE over the same
+        # brute-force pair set
+        "doc_near_dup_components": lambda sf: dedup.connected_components(
+            dedup.verified_near_dup_pairs(_docs(sf), num_partitions=8)
+            .select_columns(["doc_a", "doc_b"]),
+            num_partitions=8,
+        ).map_batches(
+            lambda t: t.rename_columns(["doc_id", "component_id"]),
+            batch_format="pyarrow",
+        ),
+        # dedup finalize: one canonical doc per component + all singletons
+        "docs_near_dup_canonical": lambda sf: dedup.canonical_docs(
+            _docs(sf).select_columns(["doc_id", "source"]),
+            dedup.verified_near_dup_pairs(_docs(sf), num_partitions=8)
+            .select_columns(["doc_a", "doc_b"]),
+            num_partitions=8,
+        ),
         "knn_cosine_top5": _knn,
         "embedding_near_dup": _near_dup,
         # LSH-blocked variant: the scale path when no exact block key exists
@@ -879,6 +897,42 @@ pairs AS (
 )
 SELECT doc_a, doc_b, CAST(FLOOR(j * 1000) AS BIGINT) AS jaccard_x1000
 FROM pairs WHERE j >= 0.5
+"""
+    # transitive closure of the same brute-force pair set: component id =
+    # min doc_id reachable through any chain of verified pairs (recursive
+    # CTE mirrors the engine's BSP min-label propagation exactly)
+    _CC_EDGES = """
+toks AS (
+  SELECT doc_id, list_distinct(list_transform(
+    generate_series(1, GREATEST(len(string_split(text, ' ')) - 2, 1)),
+    i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')
+  )) AS sh FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+cc AS (
+  SELECT u AS node, u AS label FROM edges
+  UNION
+  SELECT e.v, cc.label FROM cc JOIN edges e ON e.u = cc.node
+)"""
+    sql["doc_near_dup_components"] = f"""
+WITH RECURSIVE {_CC_EDGES}
+SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS component_id
+FROM cc GROUP BY node
+"""
+    sql["docs_near_dup_canonical"] = f"""
+WITH RECURSIVE {_CC_EDGES},
+comp AS (SELECT node, min(label) AS component_id FROM cc GROUP BY node)
+SELECT d.doc_id, d.source FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+WHERE c.component_id IS NULL OR c.component_id = d.doc_id
 """
     sql["knn_cosine_top5"] = """
 WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),

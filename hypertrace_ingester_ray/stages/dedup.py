@@ -631,3 +631,162 @@ def verified_near_dup_pairs(
         )
 
     return j2.map_batches(_verify, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# connected components over near-dup pairs → canonical-doc dedup finalize
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: Dataset,
+    *,
+    col_a: str = "doc_a",
+    col_b: str = "doc_b",
+    max_iters: int = 16,
+    num_partitions: int = 16,
+) -> Dataset:
+    """Connected components of the undirected pair graph: every node reachable
+    through any chain of near-dup pairs gets ``component_id`` = the minimum
+    node id in its component.  This is the missing last step between a pair
+    list (what the LSH/minhash/simhash chains emit) and an actual dedup
+    decision: docs A-B and B-C similar ⇒ {A,B,C} is ONE cluster even though
+    (A,C) was never a candidate pair.
+
+    Algorithm: BSP min-label propagation.  Round state is one (node, label)
+    table — node-count-sized, never the corpus — materialized per round (the
+    legitimate use of materialize(): it IS the iteration state, exactly like
+    a Pregel superstep).  Each round is one distributed hash join (edges ⋈
+    labels on the source endpoint: every edge ships its endpoint's current
+    label to the other endpoint) plus one groupby-min; convergence is
+    detected by the monotonically decreasing global label sum, so the
+    driver holds two scalars, never data.
+
+    Rounds needed = graph diameter.  Near-dup graphs are unions of
+    near-cliques (LSH buckets), diameter 2-3, so 3-4 rounds typical; for
+    adversarially long path graphs ``max_iters`` bounds the work and an
+    unconverged exit raises (never silently wrong).  The diameter-hostile
+    upgrade path (large-star/small-star contraction, O(log n) rounds) slots
+    into the same loop shape.
+
+    Returns (node:int64, component_id:int64) for every node that appears in
+    at least one pair — singletons are their own component by definition and
+    are handled by :func:`canonical_docs` without entering the loop.
+    """
+    from .joins import hash_join
+
+    # symmetrize once: (u,v) and (v,u) — each edge pushes labels both ways
+    def _sym(batch: pa.Table) -> pa.Table:
+        a = batch[col_a].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        b = batch[col_b].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"u": np.concatenate([a, b]), "v": np.concatenate([b, a])}
+        )
+
+    edges = pairs.map_batches(_sym, batch_format="pyarrow").materialize()
+
+    # initial labels: each endpoint labels itself (dedup via groupby-min,
+    # which also serves as round 0's combine)
+    def _self_label(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch["u"], "label": batch["u"]})
+
+    labels = _min_combine(
+        edges.map_batches(_self_label, batch_format="pyarrow"), num_partitions
+    ).materialize()
+    prev_sum = labels.sum("label") or 0
+
+    for _ in range(max_iters):
+        # message pass: edge (u,v) ships label[u] to v; v keeps its own too
+        msgs = hash_join(
+            edges,
+            labels,
+            on=("u",),
+            right_on=("node",),
+            num_partitions=num_partitions,
+        ).map_batches(
+            lambda t: pa.table({"node": t["v"], "label": t["label"]}),
+            batch_format="pyarrow",
+        )
+        labels_new = _min_combine(msgs.union(labels), num_partitions).materialize()
+        new_sum = labels_new.sum("label") or 0
+        labels = labels_new
+        if new_sum == prev_sum:  # min-labels can only decrease; fixed point
+            return labels.map_batches(
+                lambda t: t.rename_columns(["node", "component_id"]),
+                batch_format="pyarrow",
+            )
+        prev_sum = new_sum
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iters} rounds "
+        "(graph diameter exceeds max_iters); raise max_iters or switch to "
+        "star-contraction"
+    )
+
+
+def _min_combine(labels: Dataset, num_partitions: int) -> Dataset:
+    """groupby(node).min(label) with a per-batch partial combine first, so
+    the shuffle moves one row per distinct node per block, not per message."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        return (
+            batch.group_by(["node"]).aggregate([("label", "min")])
+            .rename_columns(["node", "label"])
+        )
+
+    def _final(part: pa.Table) -> pa.Table:
+        return _partial(part)
+
+    return group_apply(
+        labels.map_batches(_partial, batch_format="pyarrow"),
+        "node",
+        _final,
+        num_partitions=num_partitions,
+    )
+
+
+def canonical_docs(
+    docs: Dataset,
+    pairs: Dataset,
+    *,
+    id_col: str = "doc_id",
+    col_a: str = "doc_a",
+    col_b: str = "doc_b",
+    max_iters: int = 16,
+    num_partitions: int = 16,
+) -> Dataset:
+    """Dedup finalize: keep exactly one representative (the min-id member)
+    per near-dup component, plus every doc that appears in no pair.
+
+    The left join ships the corpus through one hash shuffle against the
+    (small) component table; the filter is per-row arithmetic.  No driver
+    materialization of anything corpus-sized — the duplicate set at 100 TB
+    can be half the corpus, so it is NEVER collected or broadcast.
+    """
+    from .joins import hash_join
+
+    comp = connected_components(
+        pairs,
+        col_a=col_a,
+        col_b=col_b,
+        max_iters=max_iters,
+        num_partitions=num_partitions,
+    )
+    joined = hash_join(
+        docs,
+        comp,
+        on=(id_col,),
+        right_on=("node",),
+        how="left_outer",
+        num_partitions=num_partitions,
+    )
+
+    def _keep(batch: pa.Table) -> pa.Table:
+        cid = batch["component_id"]
+        keep = pc.or_kleene(
+            pc.is_null(cid), pc.equal(cid, batch[id_col].cast(pa.int64()))
+        )
+        return batch.filter(pc.fill_null(keep, True)).drop_columns(
+            ["component_id"]
+        )
+
+    return joined.map_batches(_keep, batch_format="pyarrow")

@@ -268,6 +268,12 @@ def _shuffle_map_fn(block, keys, num_partitions):
         from ray.data.block import BlockAccessor
 
         block = BlockAccessor.for_block(block).to_arrow()
+    if block.num_rows == 0:
+        # joins/filters can emit zero-row blocks with an EMPTY schema —
+        # hashing the key columns would KeyError; they contribute nothing
+        return tuple([None] * num_partitions) + (
+            np.zeros(num_partitions, dtype=np.int64),
+        )
     t = add_part_column(block, keys, num_partitions)
     part = t[PART_COL].to_numpy(zero_copy_only=False)
     order_idx = np.argsort(part, kind="stable")

@@ -266,3 +266,63 @@ def test_pair_dedup_huge_doc_ids(ray_session):
     assert len(pairs) == 1
     assert pairs.iloc[0]["doc_a"] == base + 1
     assert pairs.iloc[0]["doc_b"] == base + 2
+
+
+def test_connected_components_path_and_clique(ray_session):
+    # path 1-2-3-4 (diameter 3, needs >1 propagation round) + clique 10-12
+    pairs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_a": pa.array([1, 2, 3, 10, 10, 11], pa.int64()),
+                "doc_b": pa.array([2, 3, 4, 11, 12, 12], pa.int64()),
+            }
+        )
+    )
+    out = (
+        dedup.connected_components(pairs, num_partitions=4)
+        .to_pandas()
+        .sort_values("node")
+    )
+    assert list(out.node) == [1, 2, 3, 4, 10, 11, 12]
+    assert list(out.component_id) == [1, 1, 1, 1, 10, 10, 10]
+
+
+def test_connected_components_unconverged_raises(ray_session):
+    # a 5-hop path cannot converge in 1 round
+    pairs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_a": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "doc_b": pa.array([2, 3, 4, 5, 6], pa.int64()),
+            }
+        )
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(pairs, max_iters=1, num_partitions=4)
+
+
+def test_canonical_docs_keeps_one_per_component(ray_session):
+    pairs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_a": pa.array([1, 2, 10], pa.int64()),
+                "doc_b": pa.array([2, 3, 11], pa.int64()),
+            }
+        )
+    )
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 10, 11, 99], pa.int64()),
+                "text": pa.array(["t"] * 6, pa.string()),
+            }
+        )
+    )
+    kept = (
+        dedup.canonical_docs(docs, pairs, num_partitions=4)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    # min-id per component {1,2,3}->1, {10,11}->10; singleton 99 survives
+    assert list(kept.doc_id) == [1, 10, 99]
+    assert list(kept.columns) == ["doc_id", "text"]
