@@ -315,6 +315,66 @@ def _docs(sf_dir: str):
     return _rpq(os.path.join(sf_dir, "documents.parquet"))
 
 
+def _ua_client_info(sf_dir: str):
+    """E11 end-to-end: deterministic UA strings derived from events (template
+    chosen by k%6, versions by k%10 / k%8 / k%4 — 120 distinct strings via
+    k%120), parsed by the engine's UA grammar.  The oracle derives the SIX
+    expected fields directly from k (never touching the strings), so the
+    parser must genuinely parse."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hypertrace_ingester_ray.functions.useragent import UserAgentParser
+
+    class _Parse:
+        def __init__(self):
+            self.parser = UserAgentParser()
+            # build templates per actor in __init__ — nothing closure-
+            # captured from the driver (avoids ray#53727 ctor-ObjectRef)
+            templates = np.empty(120, dtype=object)
+            for r in range(120):
+                t, a, b, c = r % 6, r % 10, r % 8, r % 4
+                templates[r] = [
+                    f"Mozilla/5.0 (Windows NT 10.0; Win64; x64) "
+                    f"AppleWebKit/537.36 (KHTML, like Gecko) "
+                    f"Chrome/1{a}.0.0.0 Safari/537.36",
+                    f"Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_{b}) "
+                    f"AppleWebKit/605.1.15 (KHTML, like Gecko) "
+                    f"Version/17.{a} Safari/605.1.15",
+                    f"Mozilla/5.0 (X11; Linux x86_64; rv:10{a}.0) "
+                    f"Gecko/20100101 Firefox/10{a}.0",
+                    f"Mozilla/5.0 (Linux; Android 1{c}; Pixel 8) "
+                    f"AppleWebKit/537.36 (KHTML, like Gecko) "
+                    f"Chrome/12{a}.0.0.0 Mobile Safari/537.36",
+                    f"curl/8.{a}.0",
+                    "Googlebot/2.1 (+http://www.google.com/bot.html)",
+                ][t]
+            self.tmpl = pa.array(templates, pa.string())
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            k = (
+                pc.struct_field(
+                    pc.extract_regex(batch["props"], r'"k": (?P<k>\d+)'), "k"
+                )
+                .cast(pa.int64())
+                .to_numpy(zero_copy_only=False)
+            )
+            ua = self.tmpl.take(pa.array(k % 120))
+            out = pa.table({"event_id": batch["event_id"]})
+            parsed = self.parser.parse_column(ua)
+            for f in parsed.schema.names:
+                out = out.append_column(f, parsed[f])
+            return out
+
+    ds = _rpq(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "props"]
+    )
+    return ds.map_batches(
+        _Parse, concurrency=(1, 4), batch_format="pyarrow", batch_size=65536
+    )
+
+
 SESSION_GAP_US = 3_600_000_000  # 1 h
 
 
@@ -628,6 +688,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .select_columns(["doc_a", "doc_b"]),
             num_partitions=8,
         ),
+        # E11 full-depth: grammar UA parser over event-derived UA strings
+        "ua_client_info": _ua_client_info,
         "knn_cosine_top5": _knn,
         "embedding_near_dup": _near_dup,
         # LSH-blocked variant: the scale path when no exact block key exists
@@ -933,6 +995,33 @@ WITH RECURSIVE {_CC_EDGES},
 comp AS (SELECT node, min(label) AS component_id FROM cc GROUP BY node)
 SELECT d.doc_id, d.source FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
 WHERE c.component_id IS NULL OR c.component_id = d.doc_id
+"""
+    # independent mirror: expected UA fields derived DIRECTLY from k's
+    # residues (the oracle never builds or parses a UA string, so the
+    # engine's grammar parser is what's under test)
+    sql["ua_client_info"] = """
+WITH e AS (
+  SELECT event_id,
+    CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INTEGER) AS k
+  FROM events
+),
+r AS (SELECT event_id, k % 6 AS t, k % 10 AS a, k % 8 AS b, k % 4 AS c FROM e)
+SELECT event_id,
+  CASE t WHEN 0 THEN 'Chrome' WHEN 1 THEN 'Safari' WHEN 2 THEN 'Firefox'
+         WHEN 3 THEN 'Chrome' WHEN 4 THEN 'curl' ELSE 'Googlebot' END
+    AS ua_name,
+  CASE t WHEN 4 THEN 'library' WHEN 5 THEN 'robot' ELSE 'browser' END
+    AS ua_type,
+  CASE t WHEN 3 THEN 'smartphone' WHEN 4 THEN 'other' WHEN 5 THEN 'robot'
+         ELSE 'personal_computer' END AS ua_device,
+  CASE t WHEN 0 THEN 'Windows' WHEN 1 THEN 'Mac OS X' WHEN 2 THEN 'Linux'
+         WHEN 3 THEN 'Android' ELSE 'unknown' END AS ua_os_name,
+  CASE t WHEN 0 THEN '10.0' WHEN 1 THEN '10.15.' || b
+         WHEN 3 THEN '1' || c ELSE '' END AS ua_os_version,
+  CASE t WHEN 0 THEN '1' || a || '.0.0.0' WHEN 1 THEN '17.' || a
+         WHEN 2 THEN '10' || a || '.0' WHEN 3 THEN '12' || a || '.0.0.0'
+         WHEN 4 THEN '8.' || a || '.0' ELSE '2.1' END AS ua_version
+FROM r
 """
     sql["knn_cosine_top5"] = """
 WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),

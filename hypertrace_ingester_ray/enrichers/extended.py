@@ -69,6 +69,36 @@ class ClientInfoEnricher(Enricher):
         ).append_column("client_type", pa.array(types[inverse], pa.string()))
 
 
+class UserAgentEnricher(Enricher):
+    """Full UserAgentSpanEnricher analog
+    (UserAgentSpanEnricher.java:40-68): when the corpus carries a
+    ``user_agent`` column, parse it with the grammar parser in
+    :mod:`..functions.useragent` and emit the reference's six enriched
+    fields (name/type/device/os name/os version/browser version).  The
+    parser instance lives for the enricher's (= worker's) lifetime — the
+    LoadingCache analog; parsing itself is unique-level per batch.
+
+    No ``user_agent`` column → no-op, mirroring the reference's
+    empty-Optional early return (UserAgentParser.java:58-68).
+    """
+
+    name = "user_agent"
+
+    def __init__(self, ua_col: str = "user_agent"):
+        from ..functions.useragent import UserAgentParser
+
+        self.ua_col = ua_col
+        self._parser = UserAgentParser()
+
+    def enrich(self, table: pa.Table, ctx: ConversationContext) -> pa.Table:
+        if self.ua_col not in table.schema.names:
+            return table
+        parsed = self._parser.parse_column(table[self.ua_col])
+        for f in parsed.schema.names:
+            table = table.append_column(f, parsed[f])
+        return table
+
+
 @dataclass(frozen=True)
 class SpaceRule:
     """One tenant space rule: rows matching the condition set get the space id

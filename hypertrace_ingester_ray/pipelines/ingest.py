@@ -81,7 +81,8 @@ class PipelineConfig:
     metrics_window: str = "minute"
     # optional features (off by default, mirroring the reference's config
     # gating): see enrichers/extended.py and stages/filters.py
-    enable_client_info: bool = False  # E11 UserAgentSpanEnricher analog
+    enable_client_info: bool = False  # E11 client descriptor analog
+    enable_user_agent: bool = False  # E11 full UA-grammar parse (6 fields)
     space_rules: tuple = ()  # E12 SpaceEnricher rules
     peer_correlation: bool = False  # G4/J2 two-pass broadcast KV join
     drop_root_exits: bool = False  # F3 parentless-client-span drop
@@ -155,6 +156,10 @@ def _build_extras(config: "PipelineConfig", peer_index: Optional[Dict[str, str]]
         from ..enrichers.extended import ClientInfoEnricher
 
         extras.append(ClientInfoEnricher())
+    if config.enable_user_agent:
+        from ..enrichers.extended import UserAgentEnricher
+
+        extras.append(UserAgentEnricher())
     if config.space_rules:
         from ..enrichers.extended import SpaceEnricher
 

@@ -184,3 +184,27 @@ def test_media_codec_decode_via_injected_pil():
     feats = ex._decode(b"\x89PNG fake bytes", "image/png")
     expected = multimodal.image_features(pixels)
     assert np.allclose(feats, expected)
+
+
+def test_user_agent_enricher_columns():
+    from hypertrace_ingester_ray.enrichers.extended import UserAgentEnricher
+
+    t = pa.table(
+        {
+            "conv_id": ["c"] * 3,
+            "user_agent": [
+                "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 "
+                "(KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36",
+                "curl/8.4.0",
+                None,
+            ],
+        }
+    )
+    e = UserAgentEnricher()
+    out = e.enrich(t, None)
+    assert out["ua_name"].to_pylist() == ["Chrome", "curl", None]
+    assert out["ua_type"].to_pylist() == ["browser", "library", None]
+    assert out["ua_os_name"].to_pylist() == ["Windows", "unknown", None]
+    # no user_agent column → no-op (reference's empty-Optional early return)
+    plain = pa.table({"conv_id": ["c"]})
+    assert e.enrich(plain, None) is plain
