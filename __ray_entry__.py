@@ -742,6 +742,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_shuffle_shards": lambda sf: corpus.shuffle_shards(
             _docs(sf).select_columns(["doc_id"]), n_shards=8
         ),
+        "doc_remove_common": lambda sf: corpus.remove_common_words(
+            _docs(sf), permille=780
+        ),
     }
     return q
 
@@ -1249,6 +1252,28 @@ SELECT doc_id, CAST(pk % 8 AS BIGINT) AS shard,
   CAST(row_number() OVER (PARTITION BY pk % 8 ORDER BY pk, doc_id) - 1
        AS BIGINT) AS pos
 FROM h
+"""
+    # CCNet-style common-word removal: df over DISTINCT (doc, word), hot set
+    # at >= 780/1000 of docs, order-preserving rewrite. Mirrors
+    # stages/corpus.py remove_common_words exactly (empty text splits to one
+    # '' token on both sides).
+    sql["doc_remove_common"] = """
+WITH n AS (SELECT count(*) AS c FROM documents),
+w AS (SELECT DISTINCT doc_id, word FROM
+        (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         FROM documents)),
+hot AS (SELECT coalesce(list(word ORDER BY word), []) AS hw
+        FROM (SELECT word, count(*) AS d FROM w GROUP BY word) z
+             CROSS JOIN n
+        WHERE d * 1000 >= c * 780)
+SELECT d.doc_id,
+  coalesce(array_to_string(list_filter(string_split(d.text, ' '),
+                                       x -> NOT list_contains(hot.hw, x)),
+                           ' '), '') AS text_filtered,
+  CAST(len(list_filter(string_split(d.text, ' '),
+                       x -> list_contains(hot.hw, x))) AS BIGINT)
+    AS n_removed
+FROM documents d CROSS JOIN hot
 """
     # doc_fingerprint / doc_minhash_pairs / doc_simhash_pairs /
     # knn_ivf_top5 (approximate) / media_features (stubbed decode):

@@ -434,3 +434,99 @@ def repetition_scores(
         )
 
     return ds.map_batches(_rep, batch_format="pyarrow")
+
+
+def common_word_df(
+    ds: Dataset, *, text_col: str = "text", permille: int = 500
+) -> "pa.Array":
+    """Pass 1 of CCNet-style common-word removal: words present in at least
+    ``permille``/1000 of documents.  Per batch, each doc contributes each of
+    its DISTINCT words once (docs are single rows, so in-batch distinct
+    (doc, word) pairs are globally distinct); the groupby then carries
+    vocabulary-sized blocks, never corpus-sized.  The result set is small by
+    Zipf — only words above a sizable document-frequency share — hence safe
+    to collect and broadcast."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch[text_col], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        off = np.asarray(toks.offsets)
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_codes = len(enc.dictionary)
+        doc = np.repeat(np.arange(len(toks), dtype=np.int64), np.diff(off))
+        upair = np.unique(doc * np.int64(max(n_codes, 1)) + codes)
+        ucode = (upair % np.int64(max(n_codes, 1))).astype(np.int64)
+        cnt = np.bincount(ucode, minlength=n_codes).astype(np.int64)
+        return pa.table({"word": enc.dictionary, "df": pa.array(cnt)})
+
+    n_docs = ds.count()
+    agg = (
+        ds.map_batches(_partial, batch_format="pyarrow").groupby("word").sum("df")
+    )
+    hot = agg.map_batches(
+        lambda t: t.filter(
+            pc.greater_equal(
+                pc.multiply(t["sum(df)"].cast(pa.int64()), pa.scalar(1000)),
+                pa.scalar(int(n_docs) * permille),
+            )
+        ).select(["word"]),
+        batch_format="pyarrow",
+    )
+    out = hot.take_all()
+    return pa.array(sorted(r["word"] for r in out), pa.string())
+
+
+def remove_common_words(
+    ds: Dataset, *, text_col: str = "text", id_col: str = "doc_id",
+    permille: int = 500,
+) -> Dataset:
+    """CCNet-style boilerplate filter: drop every word whose document
+    frequency is ≥ ``permille``/1000 of the corpus, preserving the order of
+    the remaining words.  Two passes: a vocabulary-sized df aggregate whose
+    above-threshold slice (Zipf-small) is broadcast via ``ray.put``, then a
+    fully vectorized per-batch rewrite (split → membership mask on
+    dictionary codes → kept-word ListArray → ``binary_join``) — no Python
+    loop, no corpus-sized driver state.
+
+    Emits (id_col, text_filtered, n_removed:int64)."""
+    common = common_word_df(ds, text_col=text_col, permille=permille)
+    common_ref = ray.put(common)
+
+    def _rewrite(batch: pa.Table) -> pa.Table:
+        hot = ray.get(common_ref)
+        toks = pc.split_pattern(batch[text_col], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        enc = flat.dictionary_encode()
+        # membership decided once per DISTINCT word, fanned out via codes
+        uniq_hot = pc.is_in(enc.dictionary, value_set=hot).to_numpy(
+            zero_copy_only=False
+        )
+        keep = ~uniq_hot[enc.indices.to_numpy(zero_copy_only=False)]
+        off = np.asarray(toks.offsets)
+        kept_per_doc = (
+            np.add.reduceat(keep.astype(np.int64), off[:-1])
+            if len(flat)
+            else np.zeros(0, dtype=np.int64)
+        )
+        kept_per_doc[np.diff(off) == 0] = 0  # reduceat artifact on empty docs
+        new_off = np.concatenate(([0], np.cumsum(kept_per_doc)))
+        kept_list = pa.ListArray.from_arrays(
+            pa.array(new_off, pa.int32()), flat.filter(pa.array(keep))
+        )
+        text_filtered = pc.binary_join(kept_list, " ")
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "text_filtered": text_filtered,
+                "n_removed": pa.array(
+                    np.diff(off) - kept_per_doc, pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(_rewrite, batch_format="pyarrow")

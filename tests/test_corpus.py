@@ -208,3 +208,82 @@ def test_shuffle_shards(ray_session):
     # not the identity order: hash actually shuffles
     s0 = out[out.shard == 0].sort_values("pos")
     assert list(s0.doc_id) != sorted(s0.doc_id)
+
+
+def test_remove_common_words(ray_session):
+    # "the" and "a" appear in 3/4 docs (750 permille); "rare" in 1/4
+    texts = [
+        "the quick a fox",
+        "the lazy a dog",
+        "the a",
+        "rare words only",
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+    out = (
+        corpus.remove_common_words(ds, permille=700)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(out.text_filtered) == [
+        "quick fox",
+        "lazy dog",
+        "",  # every word common -> empty string, not null
+        "rare words only",
+    ]
+    assert list(out.n_removed) == [2, 2, 2, 0]
+
+
+def test_remove_common_words_counts_occurrences(ray_session):
+    # removal counts token OCCURRENCES, not distinct words
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": pa.array(["hot hot hot cold", "hot warm"], pa.string()),
+            }
+        )
+    )
+    out = (
+        corpus.remove_common_words(ds, permille=1000)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # "hot" is in 2/2 docs -> removed everywhere; others are 1/2
+    assert list(out.text_filtered) == ["cold", "warm"]
+    assert list(out.n_removed) == [3, 1]
+
+
+def test_remove_common_words_partition_invariant(ray_session):
+    # document frequency is global, not per-block
+    texts = ["x y", "x z", "x w", "q r"]
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(4)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    one = (
+        corpus.remove_common_words(ray.data.from_arrow(t), permille=700)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    many = (
+        corpus.remove_common_words(
+            ray.data.from_arrow(t).repartition(4), permille=700
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(one.text_filtered) == list(many.text_filtered)
+    assert list(one.n_removed) == list(many.n_removed)
