@@ -20,6 +20,7 @@ production path: parse → group → enrich → route → aggregate.
 
 from __future__ import annotations
 
+import functools as _functools
 import os
 import shutil
 from collections.abc import Callable
@@ -315,63 +316,69 @@ def _docs(sf_dir: str):
     return _rpq(os.path.join(sf_dir, "documents.parquet"))
 
 
+@_functools.lru_cache(maxsize=1)
+def _ua_parse_state():
+    """Per-worker-process UA parse state (parser memo + the 120 deterministic
+    templates).  Module-level lru_cache = built once per worker process and
+    reused across stateless map tasks — same amortization as an actor pool
+    without the ray#53727 ctor-in-object-store restart warning."""
+    import numpy as np
+    import pyarrow as pa
+
+    from hypertrace_ingester_ray.functions.useragent import UserAgentParser
+
+    templates = np.empty(120, dtype=object)
+    for r in range(120):
+        t, a, b, c = r % 6, r % 10, r % 8, r % 4
+        templates[r] = [
+            f"Mozilla/5.0 (Windows NT 10.0; Win64; x64) "
+            f"AppleWebKit/537.36 (KHTML, like Gecko) "
+            f"Chrome/1{a}.0.0.0 Safari/537.36",
+            f"Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_{b}) "
+            f"AppleWebKit/605.1.15 (KHTML, like Gecko) "
+            f"Version/17.{a} Safari/605.1.15",
+            f"Mozilla/5.0 (X11; Linux x86_64; rv:10{a}.0) "
+            f"Gecko/20100101 Firefox/10{a}.0",
+            f"Mozilla/5.0 (Linux; Android 1{c}; Pixel 8) "
+            f"AppleWebKit/537.36 (KHTML, like Gecko) "
+            f"Chrome/12{a}.0.0.0 Mobile Safari/537.36",
+            f"curl/8.{a}.0",
+            "Googlebot/2.1 (+http://www.google.com/bot.html)",
+        ][t]
+    return UserAgentParser(), pa.array(templates, pa.string())
+
+
+def _ua_parse_batch(batch):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    parser, tmpl = _ua_parse_state()
+    k = (
+        pc.struct_field(
+            pc.extract_regex(batch["props"], r'"k": (?P<k>\d+)'), "k"
+        )
+        .cast(pa.int64())
+        .to_numpy(zero_copy_only=False)
+    )
+    ua = tmpl.take(pa.array(k % 120))
+    out = pa.table({"event_id": batch["event_id"]})
+    parsed = parser.parse_column(ua)
+    for f in parsed.schema.names:
+        out = out.append_column(f, parsed[f])
+    return out
+
+
 def _ua_client_info(sf_dir: str):
     """E11 end-to-end: deterministic UA strings derived from events (template
     chosen by k%6, versions by k%10 / k%8 / k%4 — 120 distinct strings via
     k%120), parsed by the engine's UA grammar.  The oracle derives the SIX
     expected fields directly from k (never touching the strings), so the
     parser must genuinely parse."""
-    import numpy as np
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
-    from hypertrace_ingester_ray.functions.useragent import UserAgentParser
-
-    class _Parse:
-        def __init__(self):
-            self.parser = UserAgentParser()
-            # build templates per actor in __init__ — nothing closure-
-            # captured from the driver (avoids ray#53727 ctor-ObjectRef)
-            templates = np.empty(120, dtype=object)
-            for r in range(120):
-                t, a, b, c = r % 6, r % 10, r % 8, r % 4
-                templates[r] = [
-                    f"Mozilla/5.0 (Windows NT 10.0; Win64; x64) "
-                    f"AppleWebKit/537.36 (KHTML, like Gecko) "
-                    f"Chrome/1{a}.0.0.0 Safari/537.36",
-                    f"Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_{b}) "
-                    f"AppleWebKit/605.1.15 (KHTML, like Gecko) "
-                    f"Version/17.{a} Safari/605.1.15",
-                    f"Mozilla/5.0 (X11; Linux x86_64; rv:10{a}.0) "
-                    f"Gecko/20100101 Firefox/10{a}.0",
-                    f"Mozilla/5.0 (Linux; Android 1{c}; Pixel 8) "
-                    f"AppleWebKit/537.36 (KHTML, like Gecko) "
-                    f"Chrome/12{a}.0.0.0 Mobile Safari/537.36",
-                    f"curl/8.{a}.0",
-                    "Googlebot/2.1 (+http://www.google.com/bot.html)",
-                ][t]
-            self.tmpl = pa.array(templates, pa.string())
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            k = (
-                pc.struct_field(
-                    pc.extract_regex(batch["props"], r'"k": (?P<k>\d+)'), "k"
-                )
-                .cast(pa.int64())
-                .to_numpy(zero_copy_only=False)
-            )
-            ua = self.tmpl.take(pa.array(k % 120))
-            out = pa.table({"event_id": batch["event_id"]})
-            parsed = self.parser.parse_column(ua)
-            for f in parsed.schema.names:
-                out = out.append_column(f, parsed[f])
-            return out
-
     ds = _rpq(
         os.path.join(sf_dir, "events.parquet"), columns=["event_id", "props"]
     )
     return ds.map_batches(
-        _Parse, concurrency=(1, 4), batch_format="pyarrow", batch_size=65536
+        _ua_parse_batch, batch_format="pyarrow", batch_size=65536
     )
 
 
