@@ -752,6 +752,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_remove_common": lambda sf: corpus.remove_common_words(
             _docs(sf), permille=780
         ),
+        "doc_pack_sequences": lambda sf: corpus.pack_sequences(
+            _docs(sf), seq_len=128, bucket_width=64
+        ),
+        "doc_tfidf_top3": lambda sf: text_analysis.tfidf_top_terms(
+            _docs(sf), k=3
+        ),
+        "doc_inverted_index": lambda sf: text_analysis.inverted_index(
+            _docs(sf)
+        ),
     }
     return q
 
@@ -1281,6 +1290,47 @@ SELECT d.doc_id,
                        x -> list_contains(hot.hw, x))) AS BIGINT)
     AS n_removed
 FROM documents d CROSS JOIN hot
+"""
+    # GPT-style concat-and-chunk packing: global ordered prefix sum (the
+    # engine computes it shuffle-lite via bucket prefix sums; the mirror is
+    # the defining window cumsum)
+    sql["doc_pack_sequences"] = """
+WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+           FROM documents),
+c AS (SELECT doc_id, n_tokens,
+        COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      FROM t)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+  CAST(off AS BIGINT) AS token_offset,
+  CAST(off // 128 AS BIGINT) AS chunk_first,
+  CAST((off + n_tokens - 1) // 128 AS BIGINT) AS chunk_last
+FROM c
+"""
+    # integer tf·idf (idf = 1/df, ×10⁶ — log-free so the mirror is
+    # bit-exact); ties break by word ascending
+    sql["doc_tfidf_top3"] = """
+WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+           FROM documents),
+tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY doc_id, word),
+df AS (SELECT word, count(DISTINCT doc_id) AS df FROM w GROUP BY word),
+s AS (SELECT tf.doc_id, tf.word, tf.tf, df.df,
+             tf.tf * 1000000 // df.df AS score
+      FROM tf JOIN df USING (word)),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        ORDER BY score DESC, word) - 1 AS rank FROM s)
+SELECT doc_id, word, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       CAST(score AS BIGINT) AS score, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank < 3
+"""
+    sql["doc_inverted_index"] = """
+WITH w AS (SELECT DISTINCT doc_id, word FROM
+             (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+              FROM documents))
+SELECT word, CAST(count(*) AS BIGINT) AS df,
+  array_to_string(list(CAST(doc_id AS VARCHAR) ORDER BY doc_id), ',')
+    AS postings
+FROM w GROUP BY word
 """
     # doc_fingerprint / doc_minhash_pairs / doc_simhash_pairs /
     # knn_ivf_top5 (approximate) / media_features (stubbed decode):

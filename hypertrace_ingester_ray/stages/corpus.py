@@ -38,6 +38,7 @@ from .grouping import (
     group_apply,
     run_boundaries,
     segment_ids_from_boundaries,
+    segmented_broadcast_first,
     segmented_cumcount,
 )
 
@@ -530,3 +531,99 @@ def remove_common_words(
         )
 
     return ds.map_batches(_rewrite, batch_format="pyarrow")
+
+
+def pack_sequences(
+    ds: Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seq_len: int = 2048,
+    bucket_width: int = 1 << 20,
+    num_partitions: int = 16,
+) -> Dataset:
+    """GPT-style concat-and-chunk sequence packing: documents are laid out
+    in ``id_col`` order into one virtual token stream and cut into fixed
+    ``seq_len`` chunks.  Emits per doc its global ``token_offset`` and the
+    ``chunk_first``/``chunk_last`` window it lands in — exactly what a
+    training loader needs to materialize any chunk range independently.
+
+    The global ordered prefix sum is computed WITHOUT a global sort:
+
+    1. one pass computes per-range-bucket token sums (``id // bucket_width``;
+       bucket count = id-space/2²⁰ — driver state is bucket-sized, never
+       corpus-sized), prefix-summed on the driver and broadcast via
+       ``ray.put``;
+    2. one hash exchange keyed by bucket colocates each bucket, where a
+       segmented cumsum + the bucket's broadcast base yields exact global
+       offsets.
+
+    Token count = whitespace-split length (empty text counts 1, matching
+    ``string_split`` in SQL mirrors)."""
+
+    def _count(batch: pa.Table) -> pa.Table:
+        n = pc.list_value_length(
+            pc.split_pattern(batch[text_col], " ")
+        ).cast(pa.int64())
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "bucket": pa.array(ids // bucket_width, pa.int64()),
+                "n_tokens": n,
+            }
+        )
+
+    counted = ds.map_batches(_count, batch_format="pyarrow")
+
+    # bucket-sized aggregate: sum of tokens per id-range bucket
+    sums = {
+        r["bucket"]: r["sum(n_tokens)"]
+        for r in counted.groupby("bucket").sum("n_tokens").take_all()
+    }
+    base = {}
+    acc = 0
+    for b in sorted(sums):
+        base[b] = acc
+        acc += sums[b]
+    base_ref = ray.put(base)
+
+    def _offsets(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "token_offset": pa.array([], pa.int64()),
+                    "chunk_first": pa.array([], pa.int64()),
+                    "chunk_last": pa.array([], pa.int64()),
+                }
+            )
+        bases = ray.get(base_ref)
+        bkt = part["bucket"].to_numpy(zero_copy_only=False)
+        n = part["n_tokens"].to_numpy(zero_copy_only=False)
+        # part arrives sorted by (bucket, id) from group_apply; exclusive
+        # cumsum per bucket segment + that bucket's global base
+        bounds = run_boundaries(bkt)
+        excl = np.concatenate(([0], np.cumsum(n)[:-1]))
+        seg_start = segmented_broadcast_first(excl, bounds)
+        seg_base = np.array([bases[b] for b in bkt[bounds[:-1]]], dtype=np.int64)
+        seg = segment_ids_from_boundaries(bounds)
+        off = excl - seg_start + seg_base[seg]
+        return pa.table(
+            {
+                id_col: part[id_col],
+                "n_tokens": part["n_tokens"],
+                "token_offset": pa.array(off, pa.int64()),
+                "chunk_first": pa.array(off // seq_len, pa.int64()),
+                "chunk_last": pa.array((off + n - 1) // seq_len, pa.int64()),
+            }
+        )
+
+    return group_apply(
+        counted,
+        "bucket",
+        _offsets,
+        sort_by=[id_col],
+        num_partitions=num_partitions,
+    )

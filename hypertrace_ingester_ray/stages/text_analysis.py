@@ -15,6 +15,8 @@ import pyarrow.compute as pc
 
 from ray.data import Dataset
 
+from .grouping import run_boundaries
+
 # Tiny per-language stopword lists for the n-gram/stopword language heuristic.
 # Deliberately simple + deterministic (the corpus here is synthetic); the
 # operator shape (per-language token-hit scoring, argmax) is the real thing.
@@ -135,3 +137,189 @@ def lang_id(ds: Dataset) -> Dataset:
 
 def fingerprints(ds: Dataset) -> Dataset:
     return ds.map_batches(fingerprint_batch, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms & inverted index (search/feature primitives)
+# ---------------------------------------------------------------------------
+
+
+def corpus_df(ds: Dataset, *, text_col: str = "text") -> pa.Table:
+    """Document frequency for EVERY word: per-batch distinct-(doc, word)
+    counts (docs are single rows, so in-batch distinct pairs are globally
+    distinct) -> one vocabulary-sized groupby.  Returns a (word, df) Arrow
+    table, sorted by word.
+
+    Scale assumption (documented): the full word-level vocabulary fits in a
+    worker's heap when broadcast (~10⁷ words ≈ 100s of MB — true for
+    natural-language corpora at any size; for adversarial vocabularies swap
+    the broadcast in ``tfidf_top_terms`` for a word-keyed shuffle join)."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch[text_col], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        off = np.asarray(toks.offsets)
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_codes = max(len(enc.dictionary), 1)
+        doc = np.repeat(np.arange(len(toks), dtype=np.int64), np.diff(off))
+        upair = np.unique(doc * np.int64(n_codes) + codes)
+        cnt = np.bincount(
+            (upair % np.int64(n_codes)).astype(np.int64), minlength=n_codes
+        ).astype(np.int64)
+        return pa.table({"word": enc.dictionary, "df": pa.array(cnt)})
+
+    agg = ds.map_batches(_partial, batch_format="pyarrow").groupby("word").sum("df")
+    rows = agg.take_all()
+    words = sorted(r["word"] for r in rows)
+    dfmap = {r["word"]: r["sum(df)"] for r in rows}
+    return pa.table(
+        {
+            "word": pa.array(words, pa.string()),
+            "df": pa.array([dfmap[w] for w in words], pa.int64()),
+        }
+    )
+
+
+def tfidf_top_terms(
+    ds: Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    scale: int = 1_000_000,
+) -> Dataset:
+    """Top-``k`` characteristic terms per document by integer tf·idf with
+    idf = 1/df (score = tf·``scale`` // df — log-free so the DuckDB mirror
+    is bit-exact; the ranking favors frequent-in-doc, rare-in-corpus terms
+    exactly like the log form for the common case tf ≥ 1, df spread wide).
+
+    Shape: ONE vocabulary-sized aggregate broadcast via ``ray.put`` (see
+    ``corpus_df``), then a single stateless ``map_batches`` pass — per-doc
+    tf and the segmented top-k rank never leave the batch (docs are single
+    rows).  No per-doc shuffle at all.  Ties break by word ascending.
+    Emits (id, word, tf, df, score, rank)."""
+    import ray as _ray
+
+    df_ref = _ray.put(corpus_df(ds, text_col=text_col))
+
+    def _topk(batch: pa.Table) -> pa.Table:
+        dft = _ray.get(df_ref)
+        toks = pc.split_pattern(batch[text_col], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        off = np.asarray(toks.offsets)
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_codes = max(len(enc.dictionary), 1)
+        doc = np.repeat(np.arange(len(toks), dtype=np.int64), np.diff(off))
+        pair, tf = np.unique(doc * np.int64(n_codes) + codes, return_counts=True)
+        pdoc = (pair // n_codes).astype(np.int64)
+        pcode = (pair % n_codes).astype(np.int64)
+        # df lookup: batch-dictionary position in the broadcast vocab
+        vidx = pc.index_in(enc.dictionary, value_set=dft["word"])
+        vidx = vidx.to_numpy(zero_copy_only=False)
+        dfv = dft["df"].to_numpy(zero_copy_only=False)[vidx[pcode]]
+        score = tf.astype(np.int64) * np.int64(scale) // dfv
+        words = np.asarray(enc.dictionary.to_numpy(zero_copy_only=False))[pcode]
+        order = np.lexsort((words, -score, pdoc))
+        seg = run_boundaries(pdoc[order])
+        from .grouping import segment_ids_from_boundaries, segmented_cumcount
+
+        rank = segmented_cumcount(segment_ids_from_boundaries(seg))
+        keep = order[rank < k]
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                id_col: pa.array(ids[pdoc[keep]]),
+                "word": pa.array(words[keep], pa.string()),
+                "tf": pa.array(tf[keep].astype(np.int64)),
+                "df": pa.array(dfv[keep].astype(np.int64)),
+                "score": pa.array(score[keep]),
+                "rank": pa.array(rank[rank < k], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(_topk, batch_format="pyarrow")
+
+
+def inverted_index(
+    ds: Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = 16,
+) -> Dataset:
+    """Build an inverted index: word → sorted posting list of the documents
+    containing it, plus the document frequency.  Postings are emitted as a
+    comma-joined string column (oracle-comparable; a training/search
+    consumer would read the list form upstream of the join).
+
+    Shape: distinct (word, doc) pairs explode in ``map_batches`` (in-batch
+    distinct is globally distinct — docs are single rows), then ONE hash
+    exchange keyed by word colocates each posting list; the per-partition
+    kernel is a lexsort + ``ListArray`` + ``binary_join`` — no per-word
+    Python.  Skew note: at 100 TB, stopword-grade terms produce posting
+    lists of ~n_docs; cap or drop terms above a df ceiling upstream
+    (``remove_common_words``' hot set is exactly that filter) before
+    building an index meant for serving."""
+    from .grouping import group_apply
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch[text_col], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        off = np.asarray(toks.offsets)
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_codes = max(len(enc.dictionary), 1)
+        doc = np.repeat(np.arange(len(toks), dtype=np.int64), np.diff(off))
+        pair = np.unique(doc * np.int64(n_codes) + codes)
+        pdoc = (pair // n_codes).astype(np.int64)
+        pcode = (pair % n_codes).astype(np.int64)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        words = np.asarray(enc.dictionary.to_numpy(zero_copy_only=False))[pcode]
+        return pa.table(
+            {
+                "word": pa.array(words, pa.string()),
+                id_col: pa.array(ids[pdoc]),
+            }
+        )
+
+    pairs = ds.map_batches(_pairs, batch_format="pyarrow")
+
+    def _lists(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table(
+                {
+                    "word": pa.array([], pa.string()),
+                    "df": pa.array([], pa.int64()),
+                    "postings": pa.array([], pa.string()),
+                }
+            )
+        # part arrives sorted by (word, id) from group_apply
+        w = part["word"]
+        bounds = run_boundaries(
+            w.combine_chunks().dictionary_encode().indices.to_numpy(
+                zero_copy_only=False
+            )
+        )
+        ids_str = pc.cast(part[id_col], pa.string()).combine_chunks()
+        lists = pa.ListArray.from_arrays(
+            pa.array(bounds, pa.int32()), ids_str
+        )
+        return pa.table(
+            {
+                "word": w.take(pa.array(bounds[:-1])),
+                "df": pa.array(np.diff(bounds).astype(np.int64)),
+                "postings": pc.binary_join(lists, ","),
+            }
+        )
+
+    return group_apply(
+        pairs, "word", _lists, sort_by=[id_col], num_partitions=num_partitions
+    )

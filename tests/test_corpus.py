@@ -287,3 +287,56 @@ def test_remove_common_words_partition_invariant(ray_session):
     )
     assert list(one.text_filtered) == list(many.text_filtered)
     assert list(one.n_removed) == list(many.n_removed)
+
+
+def test_pack_sequences_exact_layout(ray_session):
+    texts = ["a b c", "d e f g h", "i", "j k l m"]  # 3,5,1,4 tokens
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+    out = (
+        corpus.pack_sequences(ds, seq_len=4, bucket_width=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(out.n_tokens) == [3, 5, 1, 4]
+    assert list(out.token_offset) == [0, 3, 8, 9]
+    # seq_len=4: doc 1 spans tokens 3..7 -> chunks 0..1; doc 3 tokens 9..12
+    assert list(out.chunk_first) == [0, 0, 2, 2]
+    assert list(out.chunk_last) == [0, 1, 2, 3]
+
+
+def test_pack_sequences_partition_invariant(ray_session):
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(20)), pa.int64()),
+            "text": pa.array(
+                [" ".join(["w"] * (i % 7 + 1)) for i in range(20)], pa.string()
+            ),
+        }
+    )
+    one = (
+        corpus.pack_sequences(ray.data.from_arrow(t), seq_len=5, bucket_width=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    many = (
+        corpus.pack_sequences(
+            ray.data.from_arrow(t).repartition(5), seq_len=5, bucket_width=4
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(one.token_offset) == list(many.token_offset)
+    # offsets are an exact exclusive prefix sum in doc_id order
+    n = list(one.n_tokens)
+    expect = [sum(n[:i]) for i in range(len(n))]
+    assert list(one.token_offset) == expect

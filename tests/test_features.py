@@ -208,3 +208,61 @@ def test_user_agent_enricher_columns():
     # no user_agent column → no-op (reference's empty-Optional early return)
     plain = pa.table({"conv_id": ["c"]})
     assert e.enrich(plain, None) is plain
+
+
+def test_tfidf_top_terms(ray_session):
+    import ray.data
+
+    from hypertrace_ingester_ray.stages.text_analysis import tfidf_top_terms
+
+    texts = [
+        "apple apple banana common",
+        "banana cherry common",
+        "cherry cherry cherry common",
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+    out = (
+        tfidf_top_terms(ds, k=1)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # per doc: the distinctive term wins over the everywhere-word "common";
+    # doc 1's banana/cherry tie (both tf=1, df=2) breaks by word ascending
+    assert list(out.word) == ["apple", "banana", "cherry"]
+    assert list(out.tf) == [2, 1, 3]
+    assert list(out.df) == [1, 2, 2]
+    assert list(out.score) == [2000000, 500000, 1500000]
+    assert list(out["rank"]) == [0, 0, 0]
+
+
+def test_inverted_index(ray_session):
+    import ray.data
+
+    from hypertrace_ingester_ray.stages.text_analysis import inverted_index
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([10, 7, 3], pa.int64()),
+                "text": pa.array(["x y", "y z", "y y z"], pa.string()),
+            }
+        )
+    )
+    out = (
+        inverted_index(ds)
+        .to_pandas()
+        .sort_values("word")
+        .reset_index(drop=True)
+    )
+    assert list(out.word) == ["x", "y", "z"]
+    assert list(out.df) == [1, 3, 2]
+    # postings sorted by doc_id; duplicate in-doc occurrences collapsed
+    assert list(out.postings) == ["10", "3,7,10", "3,7"]
