@@ -761,6 +761,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_inverted_index": lambda sf: text_analysis.inverted_index(
             _docs(sf)
         ),
+        "embedding_kmeans": lambda sf: similarity.kmeans(
+            _rpq(os.path.join(sf, "embeddings.parquet")), k=8, iters=2
+        ),
     }
     return q
 
@@ -1331,6 +1334,43 @@ SELECT word, CAST(count(*) AS BIGINT) AS df,
   array_to_string(list(CAST(doc_id AS VARCHAR) ORDER BY doc_id), ',')
     AS postings
 FROM w GROUP BY word
+"""
+    # Lloyd's k-means, 2 update rounds unrolled (deterministic init = the 8
+    # lowest-id vectors, labels = init rank; ties -> lowest cluster).
+    # Iterative algorithms ARE oracle-checkable when init + round count +
+    # tie rules are pinned.
+    sql["embedding_kmeans"] = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v
+       FROM e ORDER BY vec_id LIMIT 8),
+d1 AS (SELECT e.vec_id, c0.cid, list_distance(e.v, c0.v) AS dist
+       FROM e CROSS JOIN c0),
+a1 AS (SELECT vec_id, cid AS cluster FROM
+        (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+           ORDER BY dist, cid) AS rn FROM d1) WHERE rn = 1),
+u1 AS (SELECT a1.cluster, unnest(e.v) AS d,
+              unnest(range(1, len(e.v) + 1)) AS i
+       FROM a1 JOIN e USING (vec_id)),
+c1 AS (SELECT cluster AS cid, list(m ORDER BY i) AS v FROM
+        (SELECT cluster, i, avg(d) AS m FROM u1 GROUP BY cluster, i)
+       GROUP BY cluster),
+d2 AS (SELECT e.vec_id, c1.cid, list_distance(e.v, c1.v) AS dist
+       FROM e CROSS JOIN c1),
+a2 AS (SELECT vec_id, cid AS cluster FROM
+        (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+           ORDER BY dist, cid) AS rn FROM d2) WHERE rn = 1),
+u2 AS (SELECT a2.cluster, unnest(e.v) AS d,
+              unnest(range(1, len(e.v) + 1)) AS i
+       FROM a2 JOIN e USING (vec_id)),
+c2 AS (SELECT cluster AS cid, list(m ORDER BY i) AS v FROM
+        (SELECT cluster, i, avg(d) AS m FROM u2 GROUP BY cluster, i)
+       GROUP BY cluster),
+d3 AS (SELECT e.vec_id, c2.cid, list_distance(e.v, c2.v) AS dist
+       FROM e CROSS JOIN c2),
+a3 AS (SELECT vec_id, cid AS cluster FROM
+        (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+           ORDER BY dist, cid) AS rn FROM d3) WHERE rn = 1)
+SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM a3
 """
     # doc_fingerprint / doc_minhash_pairs / doc_simhash_pairs /
     # knn_ivf_top5 (approximate) / media_features (stubbed decode):

@@ -200,3 +200,96 @@ def deterministic_centroids(ds: Dataset, c: int, *, vec_col: str = "embedding") 
     )
     head = cand.take(pc.array_sort_indices(cand["vec_id"])[:c])
     return _to_matrix(head[vec_col])
+
+
+# ---------------------------------------------------------------------------
+# distributed Lloyd's k-means (iterative-algorithm representative)
+# ---------------------------------------------------------------------------
+
+
+def kmeans(
+    ds: Dataset,
+    k: int = 8,
+    iters: int = 1,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> Dataset:
+    """Distributed Lloyd's k-means over an embedding column; returns the
+    final (id, cluster) assignment.
+
+    Per round: centroids (k×d — tiny) broadcast via ``ray.put``; each batch
+    computes exact Euclidean argmin (ties → lowest cluster id) and emits
+    k×d partial sums + counts, so the driver reduce is k×num_blocks rows —
+    never corpus-sized.  Empty clusters drop out (matching the SQL mirror's
+    missing-group semantics).  Init = ``deterministic_centroids`` (the k
+    lowest-id vectors), making the whole run reproducible — and therefore
+    oracle-checkable with an unrolled SQL mirror.
+
+    ``iters`` = number of centroid-update rounds; one final assignment pass
+    produces the output.  Cluster labels are the INIT centroid ids
+    (positions), stable across rounds."""
+    cents = deterministic_centroids(ds, k, vec_col=vec_col)
+    ids = np.arange(k, dtype=np.int64)
+
+    def _assign_fn(cref, idref):
+        def _assign(batch: pa.Table) -> pa.Table:
+            c = ray.get(cref)
+            cid = ray.get(idref)
+            mat = _to_matrix(batch[vec_col])
+            # exact squared L2 per (row, centroid); (n,k,d) temp is
+            # n*k*d*8B — bounded by batch size, not dataset size
+            d2 = np.sum(
+                (mat[:, None, :] - c[None, :, :]) ** 2, axis=2
+            )
+            best = np.argmin(d2, axis=1)  # first min = lowest cluster id
+            return pa.table(
+                {
+                    id_col: batch[id_col],
+                    "cluster": pa.array(cid[best], pa.int64()),
+                }
+            )
+
+        return _assign
+
+    for _ in range(iters):
+        cref, idref = ray.put(cents), ray.put(ids)
+        assign = _assign_fn(cref, idref)
+
+        def _partials(batch: pa.Table) -> pa.Table:
+            a = assign(batch)
+            mat = _to_matrix(batch[vec_col])
+            lab = a["cluster"].to_numpy(zero_copy_only=False)
+            cid = ray.get(idref)
+            rows = []
+            for j, c in enumerate(cid):
+                m = lab == c
+                n = int(m.sum())
+                if n:
+                    rows.append(
+                        {
+                            "cluster": int(c),
+                            "n": n,
+                            "s": mat[m].sum(axis=0).tolist(),
+                        }
+                    )
+            return pa.table(
+                {
+                    "cluster": pa.array([r["cluster"] for r in rows], pa.int64()),
+                    "n": pa.array([r["n"] for r in rows], pa.int64()),
+                    "s": pa.array([r["s"] for r in rows]),
+                }
+            )
+
+        # k×num_blocks partial rows — driver reduce is bounded
+        parts = ds.map_batches(_partials, batch_format="pyarrow").take_all()
+        sums: dict = {}
+        for r in parts:
+            c = r["cluster"]
+            n0, s0 = sums.get(c, (0, 0.0))
+            sums[c] = (n0 + r["n"], s0 + np.asarray(r["s"], dtype=np.float64))
+        ids = np.array(sorted(sums), dtype=np.int64)
+        cents = np.stack([sums[c][1] / sums[c][0] for c in ids])
+
+    cref, idref = ray.put(cents), ray.put(ids)
+    return ds.map_batches(_assign_fn(cref, idref), batch_format="pyarrow")

@@ -326,3 +326,59 @@ def test_canonical_docs_keeps_one_per_component(ray_session):
     # min-id per component {1,2,3}->1, {10,11}->10; singleton 99 survives
     assert list(kept.doc_id) == [1, 10, 99]
     assert list(kept.columns) == ["doc_id", "text"]
+
+
+def test_kmeans_separated_clusters(ray_session):
+    # three tight blobs far apart -> k-means with k=3 recovers them exactly
+    rng = np.random.default_rng(7)
+    centers = np.array([[0.0, 0.0], [100.0, 0.0], [0.0, 100.0]])
+    vecs, truth = [], []
+    for ci, c in enumerate(centers):
+        pts = c + rng.normal(0, 0.5, size=(20, 2))
+        vecs.extend(pts.tolist())
+        truth.extend([ci] * 20)
+    # interleave ids across blobs: the deterministic init (3 lowest ids)
+    # then seeds one centroid per blob — Lloyd's recovers them exactly
+    # (all-in-one-blob init converges to a legitimate local optimum instead)
+    perm = [(j % 3) * 20 + j // 3 for j in range(60)]
+    t = pa.table(
+        {
+            "vec_id": pa.array(list(range(60)), pa.int64()),
+            "embedding": pa.array([vecs[i] for i in perm]),
+        }
+    )
+    truth = [truth[i] for i in perm]
+    out = (
+        similarity.kmeans(ray.data.from_arrow(t), k=3, iters=3)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    # each true blob maps to exactly one predicted cluster
+    for ci in range(3):
+        pred = set(out.cluster[np.array(truth) == ci])
+        assert len(pred) == 1, (ci, pred)
+
+
+def test_kmeans_deterministic_and_partition_invariant(ray_session):
+    rng = np.random.default_rng(3)
+    t = pa.table(
+        {
+            "vec_id": pa.array(list(range(80)), pa.int64()),
+            "embedding": pa.array(rng.normal(size=(80, 8)).tolist()),
+        }
+    )
+    a = (
+        similarity.kmeans(ray.data.from_arrow(t), k=4, iters=2)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        similarity.kmeans(ray.data.from_arrow(t).repartition(7), k=4, iters=2)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert list(a.cluster) == list(b.cluster)
+    assert set(a.columns) == {"vec_id", "cluster"}
