@@ -764,6 +764,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_kmeans": lambda sf: similarity.kmeans(
             _rpq(os.path.join(sf, "embeddings.parquet")), k=8, iters=2
         ),
+        # SemDeDup composition: learned k-means clusters as the blocking
+        # key for within-cluster cosine pairs (deterministic init keeps the
+        # whole chain value-checkable)
+        "embedding_semantic_dedup": lambda sf: dedup.semantic_dedup_pairs(
+            _rpq(os.path.join(sf, "embeddings.parquet")),
+            k=8,
+            iters=1,
+            threshold=0.30,
+        ).select_columns(["id_a", "id_b"]),
     }
     return q
 
@@ -1371,6 +1380,34 @@ a3 AS (SELECT vec_id, cid AS cluster FROM
         (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
            ORDER BY dist, cid) AS rn FROM d3) WHERE rn = 1)
 SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM a3
+"""
+    # SemDeDup mirror: one unrolled Lloyd round (init + one update + final
+    # assign), then within-cluster cosine pairs at the same threshold
+    sql["embedding_semantic_dedup"] = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v
+       FROM e ORDER BY vec_id LIMIT 8),
+d1 AS (SELECT e.vec_id, c0.cid, list_distance(e.v, c0.v) AS dist
+       FROM e CROSS JOIN c0),
+a1 AS (SELECT vec_id, cid AS cluster FROM
+        (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+           ORDER BY dist, cid) AS rn FROM d1) WHERE rn = 1),
+u1 AS (SELECT a1.cluster, unnest(e.v) AS d,
+              unnest(range(1, len(e.v) + 1)) AS i
+       FROM a1 JOIN e USING (vec_id)),
+c1 AS (SELECT cluster AS cid, list(m ORDER BY i) AS v FROM
+        (SELECT cluster, i, avg(d) AS m FROM u1 GROUP BY cluster, i)
+       GROUP BY cluster),
+d2 AS (SELECT e.vec_id, c1.cid, list_distance(e.v, c1.v) AS dist
+       FROM e CROSS JOIN c1),
+a2 AS (SELECT vec_id, cid AS cluster FROM
+        (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+           ORDER BY dist, cid) AS rn FROM d2) WHERE rn = 1)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM a2 a JOIN a2 b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+JOIN e ea ON ea.vec_id = a.vec_id
+JOIN e eb ON eb.vec_id = b.vec_id
+WHERE list_cosine_similarity(ea.v, eb.v) >= 0.30
 """
     # doc_fingerprint / doc_minhash_pairs / doc_simhash_pairs /
     # knn_ivf_top5 (approximate) / media_features (stubbed decode):

@@ -790,3 +790,46 @@ def canonical_docs(
         )
 
     return joined.map_batches(_keep, batch_format="pyarrow")
+
+
+def semantic_dedup_pairs(
+    ds: Dataset,
+    *,
+    k: int = 8,
+    iters: int = 1,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_partitions: int = 16,
+    **kw,
+) -> Dataset:
+    """SemDeDup-style semantic near-dup detection: cluster the embedding
+    space with distributed k-means, then find cosine-similar pairs ONLY
+    within each cluster — the all-pairs work drops from O(n²) to
+    O(Σ per-cluster m²), and the cluster id doubles as the shuffle key.
+
+    Composition of two existing stages: ``similarity.kmeans`` (deterministic
+    init → the whole chain stays oracle-checkable) feeding
+    ``embedding_near_dup`` with the learned cluster as ``block_col``.
+    Missed pairs that straddle a cluster boundary are the documented
+    approximation of the method (SemDeDup, Abbas et al. 2023); raise ``k``
+    slower / lower ``iters`` to trade recall for cost."""
+    from .similarity import kmeans
+
+    assigned = kmeans(
+        ds,
+        k=k,
+        iters=iters,
+        id_col=id_col,
+        vec_col=vec_col,
+        include_vec=True,
+    )
+    return embedding_near_dup(
+        assigned,
+        block_col="cluster",
+        id_col=id_col,
+        vec_col=vec_col,
+        threshold=threshold,
+        num_partitions=num_partitions,
+        **kw,
+    )

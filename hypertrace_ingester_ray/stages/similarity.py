@@ -214,9 +214,11 @@ def kmeans(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    include_vec: bool = False,
 ) -> Dataset:
     """Distributed Lloyd's k-means over an embedding column; returns the
-    final (id, cluster) assignment.
+    final (id, cluster) assignment (plus the vector column when
+    ``include_vec`` — for downstream within-cluster stages).
 
     Per round: centroids (k×d — tiny) broadcast via ``ray.put``; each batch
     computes exact Euclidean argmin (ties → lowest cluster id) and emits
@@ -232,7 +234,7 @@ def kmeans(
     cents = deterministic_centroids(ds, k, vec_col=vec_col)
     ids = np.arange(k, dtype=np.int64)
 
-    def _assign_fn(cref, idref):
+    def _assign_fn(cref, idref, keep_vec=False):
         def _assign(batch: pa.Table) -> pa.Table:
             c = ray.get(cref)
             cid = ray.get(idref)
@@ -243,12 +245,13 @@ def kmeans(
                 (mat[:, None, :] - c[None, :, :]) ** 2, axis=2
             )
             best = np.argmin(d2, axis=1)  # first min = lowest cluster id
-            return pa.table(
-                {
-                    id_col: batch[id_col],
-                    "cluster": pa.array(cid[best], pa.int64()),
-                }
-            )
+            cols = {
+                id_col: batch[id_col],
+                "cluster": pa.array(cid[best], pa.int64()),
+            }
+            if keep_vec:
+                cols[vec_col] = batch[vec_col]
+            return pa.table(cols)
 
         return _assign
 
@@ -292,4 +295,6 @@ def kmeans(
         cents = np.stack([sums[c][1] / sums[c][0] for c in ids])
 
     cref, idref = ray.put(cents), ray.put(ids)
-    return ds.map_batches(_assign_fn(cref, idref), batch_format="pyarrow")
+    return ds.map_batches(
+        _assign_fn(cref, idref, keep_vec=include_vec), batch_format="pyarrow"
+    )

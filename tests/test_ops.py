@@ -382,3 +382,30 @@ def test_kmeans_deterministic_and_partition_invariant(ray_session):
     )
     assert list(a.cluster) == list(b.cluster)
     assert set(a.columns) == {"vec_id", "cluster"}
+
+
+def test_semantic_dedup_pairs(ray_session):
+    # two tight blobs: within-blob pairs are near-dups, cross-blob are not
+    rng = np.random.default_rng(11)
+    a = rng.normal(0, 0.01, size=(6, 4)) + np.array([1.0, 0, 0, 0])
+    b = rng.normal(0, 0.01, size=(6, 4)) + np.array([0, 1.0, 0, 0])
+    vecs = np.empty((12, 4))
+    vecs[0::2], vecs[1::2] = a, b  # interleave so init spans blobs
+    t = pa.table(
+        {
+            "vec_id": pa.array(list(range(12)), pa.int64()),
+            "embedding": pa.array(vecs.tolist()),
+        }
+    )
+    out = dedup.semantic_dedup_pairs(
+        ray.data.from_arrow(t), k=2, iters=2, threshold=0.99, num_partitions=4
+    ).to_pandas()
+    got = set(map(tuple, out[["id_a", "id_b"]].values))
+    evens = [i for i in range(12) if i % 2 == 0]
+    odds = [i for i in range(12) if i % 2 == 1]
+    import itertools
+
+    expect = set(itertools.combinations(evens, 2)) | set(
+        itertools.combinations(odds, 2)
+    )
+    assert got == expect  # all within-blob pairs, no cross-blob pair
