@@ -755,6 +755,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pack_sequences": lambda sf: corpus.pack_sequences(
             _docs(sf), seq_len=128, bucket_width=64
         ),
+        "doc_chunks": lambda sf: corpus.chunk_documents(
+            _docs(sf), chunk_tokens=16
+        ),
+        # broadcast anti join: corpus minus the eval/benchmark id set
+        "docs_anti_benchmark": _docs_anti_benchmark,
         "doc_tfidf_top3": lambda sf: text_analysis.tfidf_top_terms(
             _docs(sf), k=3
         ),
@@ -775,6 +780,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).select_columns(["id_a", "id_b"]),
     }
     return q
+
+
+def _docs_anti_benchmark(sf_dir: str):
+    """Generic broadcast anti join: keep corpus docs NOT in the benchmark
+    id set (the small side collects to one Arrow array, is broadcast once,
+    and each batch filters with one vectorized is_in)."""
+    import pyarrow as pa
+
+    import ray as _ray
+
+    from hypertrace_ingester_ray.stages.joins import broadcast_semi_join
+
+    bench_ids = pa.array(
+        _benchmark_docs(sf_dir).select_columns(["doc_id"]).to_pandas()[
+            "doc_id"
+        ],
+        pa.int64(),
+    )
+    return broadcast_semi_join(
+        _docs(sf_dir).select_columns(["doc_id", "lang", "source"]),
+        bench_ids,
+        key="doc_id",
+        anti=True,
+    )
 
 
 def _benchmark_docs(sf_dir: str):
@@ -1317,6 +1346,25 @@ SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
   CAST(off AS BIGINT) AS token_offset,
   CAST(off // 128 AS BIGINT) AS chunk_first,
   CAST((off + n_tokens - 1) // 128 AS BIGINT) AS chunk_last
+FROM c
+"""
+    sql["docs_anti_benchmark"] = """
+SELECT doc_id, lang, source FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM documents WHERE doc_id % 50 = 0)
+"""
+    # RAG-style fixed-token-window chunk explode (DuckDB list slices are
+    # 1-based inclusive; empty text = one ['']-token chunk on both sides)
+    sql["doc_chunks"] = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+c AS (SELECT doc_id,
+        unnest(range(0, GREATEST((len(toks) + 15) // 16, 1))) AS chunk_idx,
+        toks
+      FROM t)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+  array_to_string(toks[chunk_idx * 16 + 1 : chunk_idx * 16 + 16], ' ')
+    AS chunk_text,
+  CAST(len(toks[chunk_idx * 16 + 1 : chunk_idx * 16 + 16]) AS BIGINT)
+    AS n_tokens
 FROM c
 """
     # integer tf·idf (idf = 1/df, ×10⁶ — log-free so the mirror is

@@ -627,3 +627,54 @@ def pack_sequences(
         sort_by=[id_col],
         num_partitions=num_partitions,
     )
+
+
+def chunk_documents(
+    ds: Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+) -> Dataset:
+    """RAG/tokenizer-style chunking: split each document into fixed
+    ``chunk_tokens``-token windows, one output row per chunk
+    (id, chunk_idx, chunk_text, n_tokens).  The last chunk keeps the
+    remainder; empty text yields one chunk of the single empty token
+    (``string_split`` parity with SQL mirrors).
+
+    Embarrassingly parallel flat-map: chunks tile each document's token
+    span contiguously — and documents tile the batch — so ALL chunks of a
+    batch are one ``ListArray`` over the flat token child with computed
+    offsets; ``binary_join`` re-joins text.  No per-row Python, no
+    shuffle; output block size grows by ~1 row per ``chunk_tokens`` input
+    tokens (Ray's streaming executor re-blocks as needed)."""
+    w = int(chunk_tokens)
+
+    def _chunk(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch[text_col], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        off = np.asarray(toks.offsets, dtype=np.int64)
+        n = np.diff(off)
+        n_chunks = np.maximum((n + w - 1) // w, 1)
+        total = int(n_chunks.sum())
+        # intra-doc chunk index for every output row
+        firsts = np.concatenate(([0], np.cumsum(n_chunks)[:-1]))
+        intra = np.arange(total, dtype=np.int64) - np.repeat(firsts, n_chunks)
+        starts = np.repeat(off[:-1], n_chunks) + intra * w
+        offsets = np.concatenate((starts, [off[-1]]))
+        lists = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), flat
+        )
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                id_col: pa.array(np.repeat(ids, n_chunks)),
+                "chunk_idx": pa.array(intra, pa.int64()),
+                "chunk_text": pc.binary_join(lists, " "),
+                "n_tokens": pa.array(np.diff(offsets), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(_chunk, batch_format="pyarrow")

@@ -370,3 +370,34 @@ def range_join(
     return group_apply(
         both, key, _match, sort_by=[ts_col], num_partitions=num_partitions
     )
+
+
+def broadcast_semi_join(
+    ds: Dataset,
+    keys,
+    *,
+    key: str,
+    anti: bool = False,
+) -> Dataset:
+    """Semi join (``anti=False``: keep rows whose ``key`` IS in ``keys``) or
+    anti join (``anti=True``: keep rows whose ``key`` is NOT in it) against a
+    broadcast key set.
+
+    The small side is ``ray.put`` once as an Arrow array and the probe is a
+    single vectorized ``is_in`` per batch — the right shape whenever one
+    side fits in memory (eval sets, blocklists, id samples).  For two large
+    sides use ``hash_join`` with a post-filter instead.  Null keys are
+    never "in" the set: they are dropped by the semi join and kept by the
+    anti join (SQL ``IN`` / ``NOT IN`` with a null-free list)."""
+    arr = keys if isinstance(keys, (pa.Array, pa.ChunkedArray)) else pa.array(keys)
+    if arr.null_count:
+        arr = arr.drop_null()
+    ref = ray.put(arr)
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        vals = ray.get(ref)
+        hit = pc.is_in(batch[key], value_set=vals)
+        hit = pc.fill_null(hit, False)
+        return batch.filter(pc.invert(hit) if anti else hit)
+
+    return ds.map_batches(_filter, batch_format="pyarrow")

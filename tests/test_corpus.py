@@ -340,3 +340,26 @@ def test_pack_sequences_partition_invariant(ray_session):
     n = list(one.n_tokens)
     expect = [sum(n[:i]) for i in range(len(n))]
     assert list(one.token_offset) == expect
+
+
+def test_chunk_documents(ray_session):
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array(
+                    ["a b c d e", "x y", ""], pa.string()
+                ),
+            }
+        )
+    )
+    out = (
+        corpus.chunk_documents(ds, chunk_tokens=2)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    assert list(out.chunk_text) == ["a b", "c d", "e", "x y", ""]
+    assert list(out.chunk_idx) == [0, 1, 2, 0, 0]
+    # empty text yields ONE chunk of the single empty token (split parity)
+    assert list(out.n_tokens) == [2, 2, 1, 2, 1]

@@ -149,3 +149,25 @@ def test_broadcast_join_null_keys(ray_session):
         .sort_values("v")
     )
     assert out["mapped"].tolist() == ["A", "?", "B", "?"]
+
+
+def test_broadcast_semi_and_anti_join(ray_session):
+    import pyarrow as pa
+
+    from hypertrace_ingester_ray.stages.joins import broadcast_semi_join
+
+    t = pa.table(
+        {
+            "k": pa.array(["a", "b", None, "c"], pa.string()),
+            "v": pa.array([1, 2, 3, 4], pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    semi = broadcast_semi_join(ds, ["a", "c"], key="k").to_pandas()
+    assert sorted(semi.v) == [1, 4]
+    # anti keeps non-members AND null keys (NOT IN over a null-free list)
+    anti = broadcast_semi_join(ds, ["a", "c"], key="k", anti=True).to_pandas()
+    assert sorted(anti.v) == [2, 3]
+    # nulls in the key set are ignored, not matched
+    semi2 = broadcast_semi_join(ds, pa.array(["b", None]), key="k").to_pandas()
+    assert sorted(semi2.v) == [2]
