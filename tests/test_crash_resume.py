@@ -97,3 +97,60 @@ def test_manifest_checksum_detects_corruption(tmp_path):
     # missing file also invalidates
     os.remove(fp)
     assert lineage.load_manifest(out, 0) is None
+
+
+def test_write_partitioned_resume_and_corruption(ray_session, tmp_path):
+    """Generic sink: second run resumes every committed partition; a
+    corrupted part file fails CRC validation and is recomputed."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from hypertrace_ingester_ray.stages.sinks import write_partitioned
+    from hypertrace_ingester_ray.state import lineage
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(1000)), pa.int64()),
+            "text": pa.array([f"doc {i}" for i in range(1000)], pa.string()),
+        }
+    )
+    out = str(tmp_path / "sink")
+    s1 = write_partitioned(
+        ray.data.from_arrow(t), out, key="doc_id", num_partitions=8
+    )
+    assert s1["rows"] == 1000 and s1["resumed_partitions"] == 0
+
+    s2 = write_partitioned(
+        ray.data.from_arrow(t), out, key="doc_id", num_partitions=8
+    )
+    assert s2["resumed_partitions"] == s2["num_partitions"]
+    assert s2["rows"] == 1000
+
+    # corrupt one committed part file -> only that partition recomputes
+    victim = lineage.part_file(out, "data", 3)
+    with open(victim, "r+b") as f:
+        f.seek(10)
+        f.write(b"\xff\xff\xff")
+    s3 = write_partitioned(
+        ray.data.from_arrow(t), out, key="doc_id", num_partitions=8
+    )
+    assert s3["resumed_partitions"] == s3["num_partitions"] - 1
+    assert s3["rows"] == 1000
+
+    # different partition count into the same dir must refuse
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        write_partitioned(
+            ray.data.from_arrow(t), out, key="doc_id", num_partitions=16
+        )
+
+    # every row lands in exactly one file
+    import pyarrow.parquet as pq
+    import glob
+
+    back = pa.concat_tables(
+        [pq.read_table(p) for p in glob.glob(out + "/data/*.parquet")]
+    )
+    assert sorted(back["doc_id"].to_pylist()) == list(range(1000))
