@@ -778,8 +778,139 @@ def queries() -> dict[str, Callable[[str], Any]]:
             iters=1,
             threshold=0.30,
         ).select_columns(["id_a", "id_b"]),
+        # --- analytic window functions / pivot / distinct (stages/analytics.py)
+        "conv_turn_lag": _conv_turn_lag,
+        "events_pivot_hour": _events_pivot_hour,
+        "distinct_users_by_type": _distinct_users_by_type,
+        # HyperLogLog sketch: fixed-size registers through the shuffle instead
+        # of every unique pair — approximate → rows-only (error bound is
+        # pytest-checked in tests/test_analytics.py)
+        "approx_users_by_type": _approx_users_by_type,
+        # Bloom prefilter + exact confirm anti join: same oracle as the exact
+        # broadcast anti join (the bloom pass only prunes definite non-members)
+        "docs_anti_bloom": _docs_anti_bloom,
     }
     return q
+
+
+def _conv_turn_lag(sf_dir: str):
+    """SQL window functions over the transcript corpus: lag/lead/cumsum/
+    row_number per conversation ordered by turn (stages/analytics.py)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hypertrace_ingester_ray.stages import analytics
+
+    ds = transcripts_from_events(sf_dir)
+
+    def _prep(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_nchars", pc.cast(pc.utf8_length(t["text"]), pa.int64())
+        )
+
+    ds = analytics.window_functions(
+        ds.map_batches(_prep, batch_format="pyarrow"),
+        key="conv_id",
+        order_col="turn_idx",
+        lag={"prev_role": "role", "_prev_ts": "ts"},
+        lead={"next_role": "role"},
+        cumsum={"running_chars": "_nchars"},
+        row_number="rn",
+        num_partitions=16,
+    )
+
+    def _fin(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "turn_idx": t["turn_idx"],
+                "prev_role": t["prev_role"],
+                "next_role": t["next_role"],
+                "gap_us": pc.cast(
+                    pc.subtract(t["ts"], t["_prev_ts"]), pa.int64()
+                ),
+                "running_chars": t["running_chars"],
+                "rn": t["rn"],
+            }
+        )
+
+    return ds.map_batches(_fin, batch_format="pyarrow")
+
+
+def _events_pivot_hour(sf_dir: str):
+    """Long→wide conditional counts: event_type categories become columns,
+    one row per hour (stages/analytics.pivot_counts)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hypertrace_ingester_ray.stages import analytics
+
+    ds = _rpq(os.path.join(sf_dir, "events.parquet"), columns=["ts", "event_type"])
+
+    def _hour(t: pa.Table) -> pa.Table:
+        # shuffle key rides as int64 micros (same trick as events_hourly)
+        return pa.table(
+            {
+                "hour_us": pc.cast(
+                    pc.floor_temporal(t["ts"], unit="hour"), pa.int64()
+                ),
+                "event_type": t["event_type"],
+            }
+        )
+
+    out = analytics.pivot_counts(
+        ds.map_batches(_hour, batch_format="pyarrow"),
+        row_key="hour_us",
+        col_key="event_type",
+        categories=["click", "view", "purchase", "signup", "error"],
+        num_partitions=16,
+    )
+
+    def _fin(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            0, "hour", pc.cast(t["hour_us"], pa.timestamp("us"))
+        )
+
+    return out.map_batches(_fin, batch_format="pyarrow")
+
+
+def _distinct_users_by_type(sf_dir: str):
+    from hypertrace_ingester_ray.stages import analytics
+
+    return analytics.distinct_count(
+        _rpq(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_type", "user_id"],
+        ),
+        key="event_type",
+        value_col="user_id",
+        num_partitions=8,
+    )
+
+
+def _approx_users_by_type(sf_dir: str):
+    from hypertrace_ingester_ray.stages import sketches
+
+    return sketches.hll_distinct(
+        _rpq(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_type", "user_id"],
+        ),
+        key="event_type",
+        value_col="user_id",
+        p=12,
+        num_partitions=8,
+    )
+
+
+def _docs_anti_bloom(sf_dir: str):
+    from hypertrace_ingester_ray.stages import sketches
+
+    return sketches.bloom_anti_join(
+        _docs(sf_dir).select_columns(["doc_id", "lang", "source"]),
+        _benchmark_docs(sf_dir).select_columns(["doc_id"]),
+        key="doc_id",
+    )
 
 
 def _docs_anti_benchmark(sf_dir: str):
@@ -1351,6 +1482,33 @@ FROM c
     sql["docs_anti_benchmark"] = """
 SELECT doc_id, lang, source FROM documents
 WHERE doc_id NOT IN (SELECT doc_id FROM documents WHERE doc_id % 50 = 0)
+"""
+    # bloom prefilter + exact confirm produces the exact anti-join result
+    sql["docs_anti_bloom"] = sql["docs_anti_benchmark"]
+    sql["conv_turn_lag"] = f"""
+WITH {TRANSCRIPTS_CTE}
+SELECT conv_id, turn_idx,
+  LAG(role) OVER w AS prev_role,
+  LEAD(role) OVER w AS next_role,
+  epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS gap_us,
+  CAST(SUM(length(text)) OVER (PARTITION BY conv_id ORDER BY turn_idx
+       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_chars,
+  CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn
+FROM transcripts
+WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+"""
+    sql["events_pivot_hour"] = """
+SELECT date_trunc('hour', ts) AS hour,
+  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click_cnt,
+  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view_cnt,
+  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase_cnt,
+  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup_cnt,
+  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error_cnt
+FROM events GROUP BY 1
+"""
+    sql["distinct_users_by_type"] = """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
+FROM events GROUP BY event_type
 """
     # RAG-style fixed-token-window chunk explode (DuckDB list slices are
     # 1-based inclusive; empty text = one ['']-token chunk on both sides)

@@ -1,0 +1,229 @@
+"""Probabilistic sketches: HyperLogLog distinct counting and a Bloom-filter
+anti-join prefilter.
+
+Scale rationale (the reason these exist next to the exact operators in
+``stages/analytics.py`` / ``stages/joins.py``): at 100 TB an exact
+COUNT(DISTINCT) must move every unique (key, value) pair through a shuffle,
+and an exact anti join must probe every row against the full key set.  The
+sketch versions move a **fixed-size** register array per (key, batch) — 4 KiB
+at p=12 regardless of cardinality — and a fixed-size bit array broadcast once
+via ``ray.put``.
+
+- :func:`hll_distinct` — HyperLogLog (Flajolet et al. 2007) with the
+  small-range linear-counting correction; fully deterministic (fixed-key
+  64-bit hash), vectorized partial registers per batch, merged with one
+  small exchange on the group key.  ~1.6 % typical error at p=12.
+- :func:`bloom_anti_join` — Bloom prefilter + exact confirmation: the bloom
+  bit array eliminates definite non-members without touching the exact set;
+  only bloom-positive rows (true members + ~fp_rate of the rest) hit the
+  exact sorted-array membership check, so the RESULT IS EXACT (same oracle
+  as ``joins.broadcast_semi_join(anti=True)``) while the per-row cost at
+  scale is one cache-friendly bit probe.
+
+The reference has no sketches (its Kafka Streams state stores hold exact
+sets, e.g. the distinct-services set per trace in RawTraceViewGenerator);
+these are the batch/scale-path additions a 100 TB corpus needs.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Union
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+from ray.data import Dataset
+
+from .grouping import DEFAULT_NUM_PARTITIONS, group_apply, run_boundaries
+
+__all__ = ["hll_distinct", "bloom_anti_join", "splitmix64"]
+
+_SPLIT_C1 = np.uint64(0xBF58476D1CE4E5B9)
+_SPLIT_C2 = np.uint64(0x94D049BB133111EB)
+_SPLIT_INC = np.uint64(0x9E3779B97F4A7C15)
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer over a uint64 array (wrapping mul)."""
+    z = x + _SPLIT_INC
+    z = (z ^ (z >> np.uint64(30))) * _SPLIT_C1
+    z = (z ^ (z >> np.uint64(27))) * _SPLIT_C2
+    return z ^ (z >> np.uint64(31))
+
+
+def _hash64(col) -> np.ndarray:
+    """Deterministic (fixed-key) 64-bit hash of any Arrow column."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    vals = col.to_numpy(zero_copy_only=False)
+    return pd.util.hash_array(vals, categorize=False).astype(np.uint64)
+
+
+def _bit_length(w: np.ndarray) -> np.ndarray:
+    """Vectorized bit_length for uint64 (0 → 0), exact for all 64 bits."""
+    bl = np.zeros(len(w), dtype=np.int64)
+    v = w.copy()
+    for s in (32, 16, 8, 4, 2, 1):
+        big = v >= (np.uint64(1) << np.uint64(s))
+        bl[big] += s
+        v[big] >>= np.uint64(s)
+    bl[w > 0] += 1
+    return bl
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+
+def hll_distinct(
+    ds: Dataset,
+    *,
+    key: str,
+    value_col: str,
+    p: int = 12,
+    out_col: str = "n_distinct_approx",
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+) -> Dataset:
+    """Approximate COUNT(DISTINCT ``value_col``) per ``key`` via HyperLogLog
+    with 2**p registers (NULL values ignored).  Deterministic; standard
+    error ≈ 1.04/sqrt(2**p) (~1.6 % at p=12).
+    """
+    m = 1 << p
+    width = 64 - p
+    w_mask = (np.uint64(1) << np.uint64(width)) - np.uint64(1)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        batch = batch.select([key, value_col])
+        if batch[value_col].null_count:
+            batch = batch.filter(pc.is_valid(batch[value_col]))
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    key: batch[key],
+                    "registers": pa.array([], pa.binary(m)),
+                }
+            )
+        h = _hash64(batch[value_col])
+        bucket = (h >> np.uint64(width)).astype(np.int64)
+        rho = (width - _bit_length(h & w_mask) + 1).astype(np.uint8)
+        karr = batch[key].combine_chunks()
+        uk, inv = np.unique(karr.to_numpy(zero_copy_only=False), return_inverse=True)
+        slot = inv * m + bucket
+        order = np.argsort(slot, kind="stable")
+        slot_s = slot[order]
+        bounds = run_boundaries(slot_s)
+        max_rho = np.maximum.reduceat(rho[order], bounds[:-1])
+        run_slots = slot_s[bounds[:-1]]
+        regs = np.zeros((len(uk), m), dtype=np.uint8)
+        regs[run_slots // m, run_slots % m] = max_rho
+        return pa.table(
+            {
+                key: pa.array(uk, type=karr.type),
+                "registers": pa.array(
+                    [regs[i].tobytes() for i in range(len(uk))], pa.binary(m)
+                ),
+            }
+        )
+
+    alpha = 0.7213 / (1 + 1.079 / m)
+
+    def _merge(part: pa.Table) -> pa.Table:
+        n = part.num_rows
+        if n == 0:
+            return pa.table({key: part[key], out_col: pa.array([], pa.int64())})
+        flat = np.frombuffer(
+            b"".join(part["registers"].to_pylist()), dtype=np.uint8
+        ).reshape(n, m)
+        bounds = run_boundaries(part[key].to_numpy(zero_copy_only=False))
+        merged = np.maximum.reduceat(flat, bounds[:-1], axis=0)
+        z = np.power(2.0, -merged.astype(np.float64)).sum(axis=1)
+        est = alpha * m * m / z
+        zeros = (merged == 0).sum(axis=1)
+        small = (est <= 2.5 * m) & (zeros > 0)
+        est[small] = m * np.log(m / zeros[small])
+        return pa.table(
+            {
+                key: part[key].take(pa.array(bounds[:-1])),
+                out_col: pa.array(np.rint(est).astype(np.int64)),
+            }
+        )
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow")
+    return group_apply(partials, key, _merge, num_partitions=num_partitions)
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter anti join (exact result; bloom is the scale-path prefilter)
+# ---------------------------------------------------------------------------
+
+
+def bloom_anti_join(
+    ds: Dataset,
+    small: Dataset,
+    *,
+    key: str,
+    bits_per_key: int = 16,
+    n_hashes: int = 7,
+) -> Dataset:
+    """Drop rows of ``ds`` whose ``key`` appears in ``small`` (anti join).
+
+    The small side is collected once on the driver, turned into (a) a Bloom
+    bit array and (b) a sorted exact array, both shared via ``ray.put``.
+    Each batch probes the bloom filter vectorized; only bloom-positive rows
+    do the exact ``searchsorted`` confirm, so false positives are removed and
+    the output is byte-identical to the exact anti join.
+    """
+    # re-project each block: operator fusion can hand back a block that still
+    # carries the pre-projection schema (observed with map_batches-filter →
+    # select_columns chains), and concat_tables requires identical schemas
+    small_tbl = pa.concat_tables(
+        t.select([key])
+        for t in ray.get(small.select_columns([key]).to_arrow_refs())
+    )
+    vals = small_tbl[key].combine_chunks().to_numpy(zero_copy_only=False)
+    vals = np.unique(vals)
+    n = max(len(vals), 1)
+    m_bits = int(max(64, bits_per_key * n))
+    bits = np.zeros((m_bits + 7) // 8, dtype=np.uint8)
+    h1 = pd.util.hash_array(vals, categorize=False).astype(np.uint64)
+    h2 = splitmix64(h1) | np.uint64(1)
+    for i in range(n_hashes):
+        idx = (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
+        # bitwise_or.at: plain fancy-index |= drops updates on duplicate bytes
+        np.bitwise_or.at(
+            bits,
+            (idx >> np.uint64(3)).astype(np.int64),
+            np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8),
+        )
+    filter_ref = ray.put((bits, m_bits, np.sort(vals)))
+
+    def _probe(batch: pa.Table) -> pa.Table:
+        bits_, m_, exact_sorted = ray.get(filter_ref)
+        col = batch[key].combine_chunks()
+        v = col.to_numpy(zero_copy_only=False)
+        g1 = pd.util.hash_array(v, categorize=False).astype(np.uint64)
+        g2 = splitmix64(g1) | np.uint64(1)
+        cand = np.ones(len(v), dtype=bool)
+        for i in range(n_hashes):
+            idx = (g1 + np.uint64(i) * g2) % np.uint64(m_)
+            bit = (
+                bits_[(idx >> np.uint64(3)).astype(np.int64)]
+                >> (idx & np.uint64(7)).astype(np.uint8)
+            ) & np.uint8(1)
+            cand &= bit.astype(bool)
+            if not cand.any():
+                break
+        keep = ~cand
+        if cand.any():
+            ci = np.flatnonzero(cand)
+            pos = np.searchsorted(exact_sorted, v[ci])
+            pos = np.minimum(pos, len(exact_sorted) - 1)
+            member = exact_sorted[pos] == v[ci]
+            keep[ci[~member]] = True
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(_probe, batch_format="pyarrow")
