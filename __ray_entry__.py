@@ -789,8 +789,169 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Bloom prefilter + exact confirm anti join: same oracle as the exact
         # broadcast anti join (the bloom pass only prunes definite non-members)
         "docs_anti_bloom": _docs_anti_bloom,
+        # --- window frames / ranks / sessions / rollup / per-group quantiles
+        "events_rolling_value": _events_rolling_value,
+        "events_rank_dollar": _events_rank_dollar,
+        "events_sessionized": _events_sessionized,
+        "docs_rollup": _docs_rollup,
+        "doc_quantiles_by_source": _doc_quantiles_by_source,
+        # Misra-Gries + exact confirm: EXACT heavy hitters with O(k) state
+        "token_heavy_hitters": _token_heavy_hitters,
     }
     return q
+
+
+def _events_rolling_value(sf_dir: str):
+    """Rolling-frame aggregates (ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+    plus NTILE over a unique order: per user ordered by (ts, event_id).
+    Float `value` is floored to integer cents first so sums are bit-exact
+    against SQL (the FLOOR-cents convention used by the TPC-H queries)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hypertrace_ingester_ray.stages import analytics
+
+    ds = _rpq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "value"],
+    )
+
+    def _prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "ts": t["ts"],
+                "user_id": t["user_id"],
+                "cents": pc.cast(
+                    pc.floor(pc.multiply(t["value"], 100.0)), pa.int64()
+                ),
+            }
+        )
+
+    ds = analytics.window_functions(
+        ds.map_batches(_prep, batch_format="pyarrow"),
+        key="user_id",
+        order_col="ts",
+        order_extra=["event_id"],
+        rolling={
+            "roll_sum_cents": ("cents", 3, "sum"),
+            "roll_min_cents": ("cents", 3, "min"),
+            "roll_max_cents": ("cents", 3, "max"),
+            "roll_cnt": ("cents", 3, "count"),
+        },
+        ntile=("quartile", 4),
+        num_partitions=16,
+    )
+    return ds.select_columns(
+        [
+            "user_id",
+            "event_id",
+            "roll_sum_cents",
+            "roll_min_cents",
+            "roll_max_cents",
+            "roll_cnt",
+            "quartile",
+        ]
+    )
+
+
+def _events_rank_dollar(sf_dir: str):
+    """Tie-aware RANK / DENSE_RANK per event_type ordered by whole dollars
+    (the integer division creates real ties; both ranks are tie-invariant so
+    the result is deterministic under any stable tie order)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hypertrace_ingester_ray.stages import analytics
+
+    ds = _rpq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "event_type", "value"],
+    )
+
+    def _prep(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.multiply(t["value"], 100.0)), pa.int64())
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "event_type": t["event_type"],
+                "dollar": pc.divide(cents, 100),
+            }
+        )
+
+    return analytics.window_functions(
+        ds.map_batches(_prep, batch_format="pyarrow"),
+        key="event_type",
+        order_col="dollar",
+        rank="rnk",
+        dense_rank="dense_rnk",
+        num_partitions=8,
+    ).select_columns(["event_id", "event_type", "dollar", "rnk", "dense_rnk"])
+
+
+def _events_sessionized(sf_dir: str):
+    """Gap-based sessionization: per-user sessions split at >30 min of
+    inactivity (stages/analytics.sessionize)."""
+    from hypertrace_ingester_ray.stages import analytics
+
+    return analytics.sessionize(
+        _rpq(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_id", "ts", "user_id"],
+        ),
+        key="user_id",
+        ts_col="ts",
+        gap=30 * 60 * 1_000_000,
+        order_extra=["event_id"],
+        num_partitions=16,
+    ).select_columns(["user_id", "event_id", "session_seq"])
+
+
+def _docs_rollup(sf_dir: str):
+    from hypertrace_ingester_ray.stages import analytics
+
+    return analytics.rollup_counts(
+        _docs(sf_dir).select_columns(["lang", "source", "n_chars"]),
+        dims=["lang", "source"],
+        sum_col="n_chars",
+        num_partitions=8,
+    )
+
+
+def _doc_quantiles_by_source(sf_dir: str):
+    from hypertrace_ingester_ray.stages import analytics
+
+    return analytics.group_quantiles(
+        _docs(sf_dir).select_columns(["source", "n_chars"]),
+        key="source",
+        value_col="n_chars",
+        pcts=(25, 50, 75),
+        num_partitions=8,
+    )
+
+
+def _token_heavy_hitters(sf_dir: str):
+    """Exact heavy hitters (count >= 300) over whitespace tokens, computed
+    with O(k) sketch state instead of a vocabulary-sized exchange."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hypertrace_ingester_ray.stages import sketches
+
+    ds = _docs(sf_dir).select_columns(["text"])
+
+    def _explode(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        return pa.table({"word": toks.flatten()})
+
+    return sketches.heavy_hitters(
+        ds.map_batches(_explode, batch_format="pyarrow"),
+        value_col="word",
+        threshold=300,
+        k=4096,
+    )
 
 
 def _conv_turn_lag(sf_dir: str):
@@ -1509,6 +1670,64 @@ FROM events GROUP BY 1
     sql["distinct_users_by_type"] = """
 SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
 FROM events GROUP BY event_type
+"""
+    sql["events_rolling_value"] = """
+WITH c AS (SELECT user_id, event_id, ts,
+                  CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events)
+SELECT user_id, event_id,
+  CAST(SUM(cents) OVER w3 AS BIGINT) AS roll_sum_cents,
+  CAST(MIN(cents) OVER w3 AS BIGINT) AS roll_min_cents,
+  CAST(MAX(cents) OVER w3 AS BIGINT) AS roll_max_cents,
+  CAST(COUNT(*) OVER w3 AS BIGINT) AS roll_cnt,
+  CAST(NTILE(4) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       AS BIGINT) AS quartile
+FROM c
+WINDOW w3 AS (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+"""
+    sql["events_rank_dollar"] = """
+WITH c AS (SELECT event_id, event_type,
+                  CAST(FLOOR(value * 100) AS BIGINT) // 100 AS dollar
+           FROM events)
+SELECT event_id, event_type, dollar,
+  CAST(RANK() OVER w AS BIGINT) AS rnk,
+  CAST(DENSE_RANK() OVER w AS BIGINT) AS dense_rnk
+FROM c
+WINDOW w AS (PARTITION BY event_type ORDER BY dollar)
+"""
+    sql["events_sessionized"] = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+    CASE WHEN LAG(ts) OVER w IS NULL
+           OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+         THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_id,
+  CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+FROM g
+"""
+    sql["docs_rollup"] = """
+SELECT lang, source, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars
+FROM documents GROUP BY ROLLUP(lang, source)
+"""
+    sql["doc_quantiles_by_source"] = """
+WITH o AS (SELECT source, n_chars AS v,
+                  row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+                  count(*) OVER (PARTITION BY source) AS c
+           FROM documents),
+q AS (SELECT unnest([25, 50, 75]) AS pct)
+SELECT o.source, CAST(q.pct AS BIGINT) AS pct, CAST(MIN(o.v) AS BIGINT) AS value
+FROM q JOIN o ON o.rn >= GREATEST((q.pct * o.c + 99) // 100, 1)
+GROUP BY o.source, q.pct
+"""
+    sql["token_heavy_hitters"] = """
+WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+SELECT word, CAST(count(*) AS BIGINT) AS cnt
+FROM w GROUP BY word HAVING count(*) >= 300
 """
     # RAG-style fixed-token-window chunk explode (DuckDB list slices are
     # 1-based inclusive; empty text = one ['']-token chunk on both sides)

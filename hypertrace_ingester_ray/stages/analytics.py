@@ -39,7 +39,14 @@ from .grouping import (
     segmented_sum,
 )
 
-__all__ = ["window_functions", "pivot_counts", "distinct_count"]
+__all__ = [
+    "window_functions",
+    "pivot_counts",
+    "distinct_count",
+    "sessionize",
+    "rollup_counts",
+    "group_quantiles",
+]
 
 
 def _np_cols(part: pa.Table, cols: Sequence[str]):
@@ -51,23 +58,39 @@ def window_functions(
     *,
     key: Union[str, Sequence[str]],
     order_col: str,
+    order_extra: Optional[Sequence[str]] = None,
     lag: Optional[Dict[str, str]] = None,
     lead: Optional[Dict[str, str]] = None,
     cumsum: Optional[Dict[str, str]] = None,
     row_number: Optional[str] = None,
+    rolling: Optional[Dict[str, tuple]] = None,
+    rank: Optional[str] = None,
+    dense_rank: Optional[str] = None,
+    ntile: Optional[tuple] = None,
     num_partitions: int = DEFAULT_NUM_PARTITIONS,
 ) -> Dataset:
-    """SQL window functions over ``PARTITION BY key ORDER BY order_col``.
+    """SQL window functions over ``PARTITION BY key ORDER BY order_col
+    [, *order_extra]``.
 
     ``lag`` / ``lead`` map output-column → source-column (offset 1, NULL at
     group edges); ``cumsum`` maps output → source (inclusive running sum,
     NULLs treated as 0 like SQL ``SUM OVER``); ``row_number`` names a 1-based
-    rank column.  All original columns are preserved.
+    rank column; ``rolling`` maps output → ``(source, n_preceding, agg)``
+    with agg in {sum, mean, min, max, count} over the SQL frame ``ROWS
+    BETWEEN n_preceding PRECEDING AND CURRENT ROW`` (min/max via a
+    vectorized sparse-table RMQ — O(n log w), no per-row loop); ``rank`` /
+    ``dense_rank`` name 1-based tie-aware rank columns over the
+    ``order_col`` value (tie-invariant, so deterministic under any stable
+    tie order); ``ntile=(name, n)`` buckets rows SQL-NTILE-style (first
+    ``count % n`` buckets get the extra row) — NTILE depends on the total
+    order, so pass ``order_extra`` tiebreakers that make it unique.  All
+    original columns are preserved.
     """
     keys = [key] if isinstance(key, str) else list(key)
     lag = dict(lag or {})
     lead = dict(lead or {})
     cumsum = dict(cumsum or {})
+    rolling = dict(rolling or {})
 
     def _apply(part: pa.Table) -> pa.Table:
         n = part.num_rows
@@ -106,13 +129,88 @@ def window_functions(
                 np.concatenate(([0], c[bounds[1:-1] - 1])), np.diff(bounds)
             )
             out = out.append_column(out_name, pa.array(c - base))
+        seg_start = np.repeat(bounds[:-1], np.diff(bounds))
         if row_number:
-            seg_start = np.repeat(bounds[:-1], np.diff(bounds))
             out = out.append_column(row_number, pa.array(idx - seg_start + 1))
+        if rank or dense_rank:
+            vb = run_boundaries(*_np_cols(part, keys + [order_col]))
+            vrun = np.searchsorted(vb[:-1], idx, side="right") - 1
+            if rank:
+                out = out.append_column(
+                    rank, pa.array(vb[:-1][vrun] - seg_start + 1)
+                )
+            if dense_rank:
+                # value-run ordinal within the key segment: run index minus
+                # the run index at the segment's first row
+                first_run = np.searchsorted(vb[:-1], bounds[:-1], side="right") - 1
+                out = out.append_column(
+                    dense_rank,
+                    pa.array(vrun - np.repeat(first_run, np.diff(bounds)) + 1),
+                )
+        if ntile:
+            nt_name, nt_n = ntile
+            cnt = np.repeat(np.diff(bounds), np.diff(bounds))
+            rn0 = idx - seg_start
+            q, r = cnt // nt_n, cnt % nt_n
+            big = r * (q + 1)
+            bucket = np.where(
+                rn0 < big,
+                rn0 // np.maximum(q + 1, 1),
+                r + (rn0 - big) // np.maximum(q, 1),
+            )
+            out = out.append_column(nt_name, pa.array(bucket + 1))
+        if rolling:
+            for out_name, (src, n_prec, agg) in rolling.items():
+                w = np.maximum(idx - n_prec, seg_start)
+                if agg == "count":
+                    out = out.append_column(out_name, pa.array(idx - w + 1))
+                    continue
+                v = part[src].to_numpy(zero_copy_only=False)
+                is_float = pa.types.is_floating(part[src].type)
+                v = np.where(
+                    np.asarray(pc.is_null(part[src])), 0, v
+                ).astype(np.float64 if is_float else np.int64)
+                if agg in ("sum", "mean"):
+                    c0 = np.concatenate(([0], np.cumsum(v)))
+                    s = c0[idx + 1] - c0[w]
+                    if agg == "mean":
+                        out = out.append_column(
+                            out_name, pa.array((s / (idx - w + 1)).astype(np.float64))
+                        )
+                    else:
+                        out = out.append_column(out_name, pa.array(s))
+                elif agg in ("min", "max"):
+                    red = np.minimum if agg == "min" else np.maximum
+                    # sparse-table RMQ: levels[k][i] covers [i, i + 2^k)
+                    levels = [v]
+                    span = 1
+                    while span * 2 <= n_prec + 1 and span * 2 <= n:
+                        prev = levels[-1]
+                        levels.append(red(prev[:-span], prev[span:]))
+                        span *= 2
+                    length = idx - w + 1
+                    k = np.zeros(n, dtype=np.int64)
+                    step = 1
+                    for lv in range(1, len(levels)):
+                        k[length >= step * 2] = lv
+                        step *= 2
+                    half = np.int64(1) << k
+                    left = np.empty(n, dtype=v.dtype)
+                    for lv, tab in enumerate(levels):
+                        m = k == lv
+                        if m.any():
+                            left[m] = red(tab[w[m]], tab[idx[m] - half[m] + 1])
+                    out = out.append_column(out_name, pa.array(left))
+                else:  # pragma: no cover - caller error
+                    raise ValueError(f"unknown rolling agg {agg!r}")
         return out
 
     return group_apply(
-        ds, keys, _apply, sort_by=[order_col], num_partitions=num_partitions
+        ds,
+        keys,
+        _apply,
+        sort_by=[order_col] + list(order_extra or []),
+        num_partitions=num_partitions,
     )
 
 
@@ -201,4 +299,170 @@ def distinct_count(
     uniques = ds.map_batches(_local_unique, batch_format="pyarrow")
     return group_apply(
         uniques, keys, _count, sort_by=[value_col], num_partitions=num_partitions
+    )
+
+
+def sessionize(
+    ds: Dataset,
+    *,
+    key: Union[str, Sequence[str]],
+    ts_col: str,
+    gap: int,
+    order_extra: Optional[Sequence[str]] = None,
+    session_col: str = "session_seq",
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+) -> Dataset:
+    """Gap-based session windows: rows of a key ordered by ``ts_col`` belong
+    to the same session until the gap to the previous row exceeds ``gap``
+    (in the timestamp's native unit, e.g. microseconds).  Adds a 1-based
+    ``session_col`` per key.
+
+    This is the generic form of the transcript sessionizer
+    (stages/grouping.py assemble_conversations) and the batch translation of
+    the reference's session-window grouping
+    (RawSpansGroupingTransformer.java — grouping window with inactivity
+    gap).  One hash exchange; the per-partition kernel is a boolean diff +
+    segmented cumsum — no Python loop.  Pass ``order_extra`` tiebreakers
+    (e.g. an event id) so equal timestamps order deterministically.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+
+    def _apply(part: pa.Table) -> pa.Table:
+        n = part.num_rows
+        if n == 0:
+            return part.append_column(session_col, pa.array([], pa.int64()))
+        bounds = run_boundaries(*_np_cols(part, keys))
+        ts = part[ts_col].to_numpy(zero_copy_only=False)
+        if ts.dtype.kind == "M":
+            ts = ts.view(np.int64)
+        new_s = np.zeros(n, dtype=np.int64)
+        new_s[1:] = (ts[1:] - ts[:-1]) > gap
+        new_s[bounds[:-1]] = 1
+        c = np.cumsum(new_s)
+        base = np.repeat(
+            np.concatenate(([0], c[bounds[1:-1] - 1])), np.diff(bounds)
+        )
+        return part.append_column(session_col, pa.array(c - base))
+
+    return group_apply(
+        ds,
+        keys,
+        _apply,
+        sort_by=[ts_col] + list(order_extra or []),
+        num_partitions=num_partitions,
+    )
+
+
+def rollup_counts(
+    ds: Dataset,
+    *,
+    dims: Sequence[str],
+    sum_col: Optional[str] = None,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+) -> Dataset:
+    """``GROUP BY ROLLUP(*dims)``: counts (and optionally an integer sum)
+    at every prefix level, rolled-up dimensions emitted as NULL — the SQL
+    rollup contract.
+
+    Scale shape: per-batch partial aggregation at the finest level first, so
+    the single exchange (hash-partitioned on ``dims[0]``) moves one row per
+    distinct dim-combination per block.  All prefix levels that include
+    ``dims[0]`` are computed inside the partition (every row of a given
+    dims[0] value is co-located); the grand-total level is folded from the
+    level-1 rows, which are bounded by the cardinality of ``dims[0]`` —
+    driver state is dimension-sized, never row-sized.
+    """
+    dims = list(dims)
+    n_col, s_col = "n_rows", f"sum_{sum_col}" if sum_col else None
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        cols = dims + ([sum_col] if sum_col else [])
+        t = batch.select(cols)
+        t = t.append_column("__one", pa.array(np.ones(t.num_rows, np.int64)))
+        aggs = [("__one", "sum")] + ([(sum_col, "sum")] if sum_col else [])
+        agg = t.group_by(dims).aggregate(aggs)
+        names = dims + [n_col] + ([s_col] if sum_col else [])
+        return agg.select(
+            dims + ["__one_sum"] + ([f"{sum_col}_sum"] if sum_col else [])
+        ).rename_columns(names)
+
+    def _levels(part: pa.Table) -> pa.Table:
+        outs = []
+        metric_aggs = [(n_col, "sum")] + ([(s_col, "sum")] if sum_col else [])
+        metric_names = [n_col] + ([s_col] if sum_col else [])
+        for depth in range(len(dims), 0, -1):
+            g = dims[:depth]
+            agg = part.group_by(g).aggregate(metric_aggs)
+            agg = agg.select(
+                g + [f"{c}_sum" for c in metric_names]
+            ).rename_columns(g + metric_names)
+            for d in dims[depth:]:
+                agg = agg.append_column(
+                    d, pa.nulls(agg.num_rows, part.schema.field(d).type)
+                )
+            outs.append(agg.select(dims + metric_names))
+        return pa.concat_tables(outs)
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow")
+    # materialize is safe here: the rolled rows are bounded by the number of
+    # distinct dim-combinations (plus prefixes), never by input rows
+    rolled = group_apply(
+        partials, dims[0], _levels, num_partitions=num_partitions
+    ).materialize()
+
+    # grand-total level folded from the level-1 rows (one per distinct
+    # dims[0] value — dimension-sized driver state, like length_quantiles)
+    import ray as _ray
+    import ray.data as _rd
+
+    tables = [t for t in _ray.get(rolled.to_arrow_refs()) if t.num_rows]
+    if not tables:
+        return rolled
+    allrows = pa.concat_tables(tables)
+    mask = None
+    for d in dims[1:]:
+        m = pc.is_null(allrows[d])
+        mask = m if mask is None else pc.and_(mask, m)
+    lvl1 = allrows.filter(mask) if mask is not None else allrows
+    cols = {d: pa.nulls(1, allrows.schema.field(d).type) for d in dims}
+    cols[n_col] = pa.array([pc.sum(lvl1[n_col]).as_py() or 0], pa.int64())
+    if sum_col:
+        cols[s_col] = pa.array([pc.sum(lvl1[s_col]).as_py() or 0], pa.int64())
+    return rolled.union(_rd.from_arrow(pa.table(cols)))
+
+
+def group_quantiles(
+    ds: Dataset,
+    *,
+    key: Union[str, Sequence[str]],
+    value_col: str,
+    pcts: Sequence[int] = (25, 50, 75),
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+) -> Dataset:
+    """Exact per-key discrete percentiles of an integer column, long format
+    ``(key, pct, value)``.
+
+    Same quantile definition as the global ``corpus.length_quantiles`` (the
+    smallest value whose 1-based rank reaches ``ceil(p*N/100)``), so the SQL
+    oracle is the identical row_number mirror, per group.  One hash
+    exchange, value-sorted partitions, per-group ``searchsorted`` pick.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    pct_arr = np.asarray(sorted(pcts), dtype=np.int64)
+
+    def _apply(part: pa.Table) -> pa.Table:
+        bounds = run_boundaries(*_np_cols(part, keys))
+        starts, lens = bounds[:-1], np.diff(bounds)
+        g = len(starts)
+        # target 1-based rank per (group, pct): ceil(p*n/100)
+        ranks = (pct_arr[None, :] * lens[:, None] + 99) // 100
+        pick = (starts[:, None] + np.maximum(ranks, 1) - 1).ravel()
+        firsts = pa.array(np.repeat(starts, len(pct_arr)))
+        out = {k: part[k].take(firsts) for k in keys}
+        out["pct"] = pa.array(np.tile(pct_arr, g))
+        out["value"] = pc.cast(part[value_col].take(pa.array(pick)), pa.int64())
+        return pa.table(out)
+
+    return group_apply(
+        ds, keys, _apply, sort_by=[value_col], num_partitions=num_partitions
     )

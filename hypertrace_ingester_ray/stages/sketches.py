@@ -39,7 +39,12 @@ from ray.data import Dataset
 
 from .grouping import DEFAULT_NUM_PARTITIONS, group_apply, run_boundaries
 
-__all__ = ["hll_distinct", "bloom_anti_join", "splitmix64"]
+__all__ = [
+    "hll_distinct",
+    "bloom_anti_join",
+    "heavy_hitters",
+    "splitmix64",
+]
 
 _SPLIT_C1 = np.uint64(0xBF58476D1CE4E5B9)
 _SPLIT_C2 = np.uint64(0x94D049BB133111EB)
@@ -227,3 +232,113 @@ def bloom_anti_join(
         return batch.filter(pa.array(keep))
 
     return ds.map_batches(_probe, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters (exact result; the sketch bounds the state)
+# ---------------------------------------------------------------------------
+
+
+def heavy_hitters(
+    ds: Dataset,
+    *,
+    value_col: str,
+    threshold: int,
+    k: int = 4096,
+    out_count_col: str = "cnt",
+) -> Dataset:
+    """All values occurring at least ``threshold`` times — EXACT, computed
+    with sketch-bounded state via the classic two-pass scheme:
+
+    1. Per-batch Misra-Gries summaries with ``k`` counters (value_counts →
+       subtract the (k+1)-th count, drop ≤0), merged by a value-keyed sum and
+       compressed once more to ``k`` counters.  Mergeable-summaries theorem
+       (Agarwal et al., PODS 2012): any value with true frequency > N/k
+       survives the merged summary, so the candidate set is a superset of
+       the answer whenever ``threshold > N/k``.
+    2. Exact confirm: one streaming pass counting ONLY the ≤k candidates
+       (broadcast via ``ray.put``), then filter ≥ threshold.
+
+    Raises ``ValueError`` if ``threshold <= N/k`` (the guarantee would not
+    hold) — pick ``k > N/threshold``.  Candidate/driver state is ``O(k)``
+    regardless of corpus size; contrast with ``corpus.vocab_top_k`` whose
+    exchange is vocabulary-sized.
+    """
+
+    def _mg_partial(batch: pa.Table) -> pa.Table:
+        arr = batch[value_col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        arr = arr.drop_null()
+        vc = arr.value_counts()
+        vals = vc.field("values")
+        cnts = vc.field("counts").to_numpy(zero_copy_only=False).astype(np.int64)
+        n_batch = int(cnts.sum())  # non-null values counted toward N
+        if len(cnts) > k:
+            order = np.argsort(-cnts, kind="stable")
+            cnts = cnts - cnts[order[k]]
+            keep = cnts > 0
+            vals, cnts = vals.filter(pa.array(keep)), cnts[keep]
+        nr = np.zeros(len(cnts), np.int64)
+        if len(nr) == 0 and n_batch:
+            # every counter compressed away — keep one zero-count row so the
+            # batch still contributes to N (the threshold<=N/k guard)
+            vals = vc.field("values").slice(0, 1)
+            cnts = np.zeros(1, np.int64)
+            nr = np.array([n_batch], np.int64)
+        elif len(nr):
+            nr[0] = n_batch
+        return pa.table(
+            {value_col: vals, "cnt": pa.array(cnts), "n_rows": pa.array(nr)}
+        )
+
+    merged = (
+        ds.map_batches(_mg_partial, batch_format="pyarrow")
+        .groupby(value_col)
+        .sum(["cnt", "n_rows"])
+    )
+    mt = pa.concat_tables(
+        t.select([value_col, "sum(cnt)", "sum(n_rows)"])
+        for t in ray.get(merged.to_arrow_refs())
+        if t.num_rows
+    )
+    total_n = int(pc.sum(mt["sum(n_rows)"]).as_py() or 0)
+    if threshold * k <= total_n:
+        raise ValueError(
+            f"threshold={threshold} <= N/k = {total_n}/{k}; "
+            "increase k for an exact heavy-hitter guarantee"
+        )
+    cnts = mt["sum(cnt)"].to_numpy(zero_copy_only=False).astype(np.int64)
+    vals = mt[value_col].combine_chunks()
+    if len(cnts) > k:  # final MG compress to k candidates
+        order = np.argsort(-cnts, kind="stable")
+        cnts = cnts - cnts[order[k]]
+        keep = cnts > 0
+        vals = vals.filter(pa.array(keep))
+    cand_ref = ray.put(vals)
+
+    def _exact(batch: pa.Table) -> pa.Table:
+        cand = ray.get(cand_ref)
+        arr = batch[value_col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        hit = arr.filter(pc.is_in(arr, value_set=cand))
+        vc = hit.value_counts()
+        return pa.table(
+            {
+                value_col: vc.field("values"),
+                out_count_col: vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    exact = (
+        ds.map_batches(_exact, batch_format="pyarrow")
+        .groupby(value_col)
+        .sum(out_count_col)
+    )
+
+    def _fin(t: pa.Table) -> pa.Table:
+        t = t.rename_columns([value_col, out_count_col])
+        return t.filter(pc.greater_equal(t[out_count_col], threshold))
+
+    return exact.map_batches(_fin, batch_format="pyarrow")

@@ -195,3 +195,200 @@ def test_bloom_anti_join_strings(ray_session):
     assert sorted(out.tolist()) == sorted(
         f"doc-{i}" for i in range(400) if i % 5 != 0
     )
+
+
+def test_rolling_frames_match_pandas(long_table, ray_session):
+    ds, pdf = long_table
+    out = (
+        analytics.window_functions(
+            ds,
+            key="k",
+            order_col="ord",
+            rolling={
+                "rs": ("v", 3, "sum"),
+                "rmin": ("v", 3, "min"),
+                "rmax": ("v", 3, "max"),
+                "rmean": ("v", 3, "mean"),
+                "rc": ("v", 3, "count"),
+            },
+            num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values("ord")
+        .reset_index(drop=True)
+    )
+    g = pdf.sort_values("ord").groupby("k", sort=False)["v"]
+    r = g.rolling(4, min_periods=1)
+    exp = pdf.sort_values("ord").assign(
+        rs=r.sum().reset_index(level=0, drop=True),
+        rmin=r.min().reset_index(level=0, drop=True),
+        rmax=r.max().reset_index(level=0, drop=True),
+        rmean=r.mean().reset_index(level=0, drop=True),
+        rc=r.count().reset_index(level=0, drop=True),
+    ).sort_values("ord").reset_index(drop=True)
+    for c in ("rs", "rmin", "rmax", "rc"):
+        assert out[c].astype("int64").tolist() == exp[c].astype("int64").tolist(), c
+    assert np.allclose(out["rmean"], exp["rmean"])
+
+
+@pytest.mark.parametrize("window", [1, 2, 5, 8, 64])
+def test_rolling_minmax_sparse_table_widths(window, ray_session):
+    """RMQ sparse-table correctness across window widths incl. > group size."""
+    rng = np.random.RandomState(window)
+    n = 500
+    pdf = pd.DataFrame(
+        {
+            "k": rng.randint(0, 5, n),
+            "ord": np.arange(n),
+            "v": rng.randint(-1000, 1000, n).astype(np.int64),
+        }
+    )
+    ds = ray.data.from_pandas(pdf).repartition(3)
+    out = (
+        analytics.window_functions(
+            ds,
+            key="k",
+            order_col="ord",
+            rolling={"rmin": ("v", window, "min"), "rmax": ("v", window, "max")},
+            num_partitions=3,
+        )
+        .to_pandas()
+        .sort_values("ord")
+        .reset_index(drop=True)
+    )
+    g = pdf.groupby("k", sort=False)["v"].rolling(window + 1, min_periods=1)
+    exp_min = g.min().reset_index(level=0, drop=True).sort_index()
+    exp_max = pdf.groupby("k", sort=False)["v"].rolling(
+        window + 1, min_periods=1
+    ).max().reset_index(level=0, drop=True).sort_index()
+    assert out["rmin"].tolist() == exp_min.astype("int64").tolist()
+    assert out["rmax"].tolist() == exp_max.astype("int64").tolist()
+
+
+def test_rank_dense_rank_ntile(ray_session):
+    pdf = pd.DataFrame(
+        {
+            "k": ["a"] * 7 + ["b"] * 3,
+            "val": [1, 1, 2, 2, 2, 3, 9, 5, 5, 5],
+            "ord": range(10),
+        }
+    )
+    ds = ray.data.from_pandas(pdf).repartition(2)
+    out = (
+        analytics.window_functions(
+            ds,
+            key="k",
+            order_col="val",
+            order_extra=["ord"],
+            rank="rnk",
+            dense_rank="drnk",
+            ntile=("nt", 3),
+            num_partitions=2,
+        )
+        .to_pandas()
+        .sort_values(["k", "val", "ord"])
+        .reset_index(drop=True)
+    )
+    assert out["rnk"].tolist() == [1, 1, 3, 3, 3, 6, 7, 1, 1, 1]
+    assert out["drnk"].tolist() == [1, 1, 2, 2, 2, 3, 4, 1, 1, 1]
+    # NTILE(3) over 7 rows: buckets of 3,2,2; over 3 rows: 1,1,1
+    assert out["nt"].tolist() == [1, 1, 1, 2, 2, 3, 3, 1, 2, 3]
+
+
+def test_sessionize_gap_split(ray_session):
+    ts = np.array([0, 10, 1000, 1010, 5000, 0, 20000], dtype="datetime64[us]")
+    pdf = pd.DataFrame(
+        {
+            "u": [1, 1, 1, 1, 1, 2, 2],
+            "ts": ts,
+            "eid": range(7),
+        }
+    )
+    out = (
+        analytics.sessionize(
+            ray.data.from_pandas(pdf).repartition(2),
+            key="u",
+            ts_col="ts",
+            gap=500,
+            order_extra=["eid"],
+            num_partitions=2,
+        )
+        .to_pandas()
+        .sort_values("eid")
+        .reset_index(drop=True)
+    )
+    assert out["session_seq"].tolist() == [1, 1, 2, 2, 3, 1, 2]
+
+
+def test_rollup_matches_duckdb(ray_session):
+    import duckdb
+
+    rng = np.random.RandomState(3)
+    pdf = pd.DataFrame(
+        {
+            "lang": [["en", "fr", "de"][i] for i in rng.randint(0, 3, 300)],
+            "source": [["web", "book"][i] for i in rng.randint(0, 2, 300)],
+            "n": rng.randint(1, 100, 300).astype(np.int64),
+        }
+    )
+    out = analytics.rollup_counts(
+        ray.data.from_pandas(pdf).repartition(4),
+        dims=["lang", "source"],
+        sum_col="n",
+        num_partitions=2,
+    ).to_pandas()
+    exp = duckdb.sql(
+        "SELECT lang, source, CAST(count(*) AS BIGINT) AS n_rows, "
+        "CAST(SUM(n) AS BIGINT) AS sum_n FROM pdf GROUP BY ROLLUP(lang, source)"
+    ).df()
+    key = lambda df: df.astype(str).sort_values(list(df.columns)).reset_index(drop=True)
+    pd.testing.assert_frame_equal(key(out), key(exp.rename(columns={})), check_names=False)
+
+
+def test_group_quantiles_ceil_rank(ray_session):
+    pdf = pd.DataFrame(
+        {"g": ["x"] * 4 + ["y"] * 1, "v": [10, 20, 30, 40, 7]}
+    )
+    out = (
+        analytics.group_quantiles(
+            ray.data.from_pandas(pdf).repartition(2),
+            key="g",
+            value_col="v",
+            pcts=(25, 50, 75, 100),
+            num_partitions=2,
+        )
+        .to_pandas()
+        .sort_values(["g", "pct"])
+        .reset_index(drop=True)
+    )
+    # ceil-rank convention: rank = ceil(p*n/100)
+    assert out[out.g == "x"]["value"].tolist() == [10, 20, 30, 40]
+    assert out[out.g == "y"]["value"].tolist() == [7, 7, 7, 7]
+
+
+def test_heavy_hitters_exact_with_compression(ray_session):
+    """k smaller than the distinct count forces real MG compression in every
+    batch; the confirmed output must still be exactly the >= threshold set."""
+    rng = np.random.RandomState(11)
+    # 200 distinct light values + 4 heavy ones
+    vals = list(rng.randint(1000, 1200, 3000)) + [1, 2, 3, 4] * 500
+    rng.shuffle(vals)
+    pdf = pd.DataFrame({"w": np.array(vals, dtype=np.int64)})
+    out = sketches.heavy_hitters(
+        ray.data.from_pandas(pdf).repartition(6),
+        value_col="w",
+        threshold=400,
+        k=64,
+    ).to_pandas()
+    exp = pdf["w"].value_counts()
+    exp = exp[exp >= 400]
+    assert sorted(out["w"].tolist()) == sorted(exp.index.tolist())
+    assert dict(zip(out["w"], out["cnt"])) == exp.to_dict()
+
+
+def test_heavy_hitters_guarantee_guard(ray_session):
+    pdf = pd.DataFrame({"w": np.arange(5000, dtype=np.int64)})
+    with pytest.raises(ValueError, match="increase k"):
+        sketches.heavy_hitters(
+            ray.data.from_pandas(pdf), value_col="w", threshold=2, k=16
+        ).to_pandas()
