@@ -797,8 +797,133 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quantiles_by_source": _doc_quantiles_by_source,
         # Misra-Gries + exact confirm: EXACT heavy hitters with O(k) state
         "token_heavy_hitters": _token_heavy_hitters,
+        # ordered per-key collect (SQL string_agg ... ORDER BY)
+        "conv_role_path": _conv_role_path,
+        # pivot → unpivot round trip (wide→long melt, zero-shuffle)
+        "events_type_long": _events_type_long,
+        # bin-histogram quantiles: bounded state for float domains
+        "value_quantiles_binned": _value_quantiles_binned,
+        # TPC-H Q10-style composition: big-big hash join + partial agg +
+        # two broadcast lookups + top-k
+        "top_customers_by_revenue": _top_customers_by_revenue,
     }
     return q
+
+
+def _conv_role_path(sf_dir: str):
+    from hypertrace_ingester_ray.stages import analytics
+
+    return analytics.group_collect(
+        transcripts_from_events(sf_dir).select_columns(
+            ["conv_id", "turn_idx", "role"]
+        ),
+        key="conv_id",
+        value_col="role",
+        order_by=["turn_idx"],
+        sep=">",
+        out_col="role_path",
+        count_col="n_turns",
+        num_partitions=8,
+    )
+
+
+def _events_type_long(sf_dir: str):
+    from hypertrace_ingester_ray.stages import analytics
+
+    wide = _events_pivot_hour(sf_dir)
+    return analytics.unpivot(
+        wide,
+        id_cols=["hour"],
+        value_cols=[
+            "click_cnt",
+            "view_cnt",
+            "purchase_cnt",
+            "signup_cnt",
+            "error_cnt",
+        ],
+        name_col="name",
+        value_out="cnt",
+    )
+
+
+def _value_quantiles_binned(sf_dir: str):
+    from hypertrace_ingester_ray.stages import sketches
+
+    return sketches.binned_quantiles(
+        _rpq(os.path.join(sf_dir, "events.parquet"), columns=["value"]),
+        value_col="value",
+        bin_width=5.0,
+        pcts=(10, 25, 50, 75, 90),
+    )
+
+
+def _top_customers_by_revenue(sf_dir: str):
+    """TPC-H Q10 analog: lineitem ⋈ orders (big-big hash join) → per-customer
+    discounted revenue (per-batch partial combine, then a customer-keyed
+    sum), customer/nation names attached via broadcast lookups, top 10."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from hypertrace_ingester_ray.stages.joins import broadcast_join, hash_join
+
+    li = _rpq(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+    od = _rpq(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey"],
+    )
+    j = hash_join(li, od, on=["l_orderkey"], right_on=["o_orderkey"], num_partitions=16)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.floor(
+                pc.multiply(
+                    pc.multiply(
+                        batch["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), batch["l_discount"]),
+                    ),
+                    pa.scalar(100.0),
+                )
+            ),
+            pa.int64(),
+        )
+        t = pa.table({"o_custkey": batch["o_custkey"], "revenue_cents": cents})
+        return (
+            t.group_by(["o_custkey"])
+            .aggregate([("revenue_cents", "sum")])
+            .rename_columns(["o_custkey", "revenue_cents"])
+        )
+
+    agg = (
+        j.map_batches(_partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .sum("revenue_cents")
+        .map_batches(
+            lambda t: t.rename_columns(["o_custkey", "revenue_cents"]),
+            batch_format="pyarrow",
+        )
+    )
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name", "c_nationkey"],
+    )
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    )
+    nn = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()))
+    names = dict(zip(cust["c_custkey"].to_pylist(), cust["c_name"].to_pylist()))
+    nations = {
+        ck: nn.get(nk)
+        for ck, nk in zip(
+            cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist()
+        )
+    }
+    out = broadcast_join(agg, names, key="o_custkey", value_col="c_name")
+    out = broadcast_join(out, nations, key="o_custkey", value_col="n_name")
+    return out.sort(["revenue_cents", "o_custkey"], descending=[True, False]).limit(10)
 
 
 def _events_rolling_value(sf_dir: str):
@@ -1728,6 +1853,51 @@ GROUP BY o.source, q.pct
 WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
 SELECT word, CAST(count(*) AS BIGINT) AS cnt
 FROM w GROUP BY word HAVING count(*) >= 300
+"""
+    sql["conv_role_path"] = f"""
+WITH {TRANSCRIPTS_CTE}
+SELECT conv_id,
+  string_agg(role, '>' ORDER BY turn_idx) AS role_path,
+  CAST(count(*) AS BIGINT) AS n_turns
+FROM transcripts GROUP BY conv_id
+"""
+    sql["events_type_long"] = """
+WITH p AS (
+  SELECT date_trunc('hour', ts) AS hour,
+    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click_cnt,
+    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view_cnt,
+    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase_cnt,
+    CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup_cnt,
+    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error_cnt
+  FROM events GROUP BY 1
+)
+SELECT hour, name, cnt FROM p
+UNPIVOT (cnt FOR name IN (click_cnt, view_cnt, purchase_cnt, signup_cnt, error_cnt))
+"""
+    sql["value_quantiles_binned"] = """
+WITH b AS (SELECT CAST(FLOOR(value / 5.0) AS BIGINT) AS bin
+           FROM events WHERE value IS NOT NULL),
+h AS (SELECT bin, count(*) AS cnt FROM b GROUP BY bin),
+o AS (SELECT bin, SUM(cnt) OVER (ORDER BY bin) AS cum FROM h),
+n AS (SELECT count(*) AS c FROM b),
+q AS (SELECT unnest([10, 25, 50, 75, 90]) AS pct)
+SELECT CAST(q.pct AS BIGINT) AS pct,
+       CAST(MIN(o.bin) * 5.0 AS DOUBLE) AS value
+FROM q CROSS JOIN n JOIN o ON o.cum >= GREATEST((q.pct * n.c + 99) // 100, 1)
+GROUP BY q.pct
+"""
+    sql["top_customers_by_revenue"] = """
+SELECT o_custkey,
+  CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT))
+       AS BIGINT) AS revenue_cents,
+  ANY_VALUE(c_name) AS c_name, ANY_VALUE(n_name) AS n_name
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY o_custkey
+ORDER BY revenue_cents DESC, o_custkey
+LIMIT 10
 """
     # RAG-style fixed-token-window chunk explode (DuckDB list slices are
     # 1-based inclusive; empty text = one ['']-token chunk on both sides)

@@ -46,6 +46,8 @@ __all__ = [
     "sessionize",
     "rollup_counts",
     "group_quantiles",
+    "unpivot",
+    "group_collect",
 ]
 
 
@@ -465,4 +467,71 @@ def group_quantiles(
 
     return group_apply(
         ds, keys, _apply, sort_by=[value_col], num_partitions=num_partitions
+    )
+
+
+def unpivot(
+    ds: Dataset,
+    *,
+    id_cols: Sequence[str],
+    value_cols: Sequence[str],
+    name_col: str = "name",
+    value_out: str = "value",
+) -> Dataset:
+    """Wide→long melt: one output row per (input row, value column), the
+    inverse of :func:`pivot_counts`.  Pure ``map_batches`` — embarrassingly
+    parallel, no shuffle; value columns are cast to a common type by Arrow
+    ``concat_tables`` (pass same-typed columns)."""
+    id_cols, value_cols = list(id_cols), list(value_cols)
+
+    def _melt(batch: pa.Table) -> pa.Table:
+        parts = []
+        for vc_name in value_cols:
+            cols = {c: batch[c] for c in id_cols}
+            cols[name_col] = pa.array([vc_name] * batch.num_rows, pa.string())
+            cols[value_out] = batch[vc_name]
+            parts.append(pa.table(cols))
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(_melt, batch_format="pyarrow")
+
+
+def group_collect(
+    ds: Dataset,
+    *,
+    key: Union[str, Sequence[str]],
+    value_col: str,
+    order_by: Sequence[str],
+    sep: str = ">",
+    out_col: str = "collected",
+    count_col: Optional[str] = "n_items",
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+) -> Dataset:
+    """Ordered per-key collect: the ``value_col`` strings of each key joined
+    by ``sep`` in ``order_by`` order (SQL ``string_agg(x, sep ORDER BY ...)``)
+    plus an optional item count.
+
+    One hash exchange; the per-partition kernel slices key-runs into a
+    ``ListArray`` by offsets and joins with ``pc.binary_join`` — no per-key
+    Python.  Skew: a pathological key collects its whole group on one
+    partition (inherent to ordered collect); cap group size upstream if the
+    key can be unbounded.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+
+    def _apply(part: pa.Table) -> pa.Table:
+        bounds = run_boundaries(*_np_cols(part, keys))
+        vals = part[value_col].combine_chunks()
+        lists = pa.ListArray.from_arrays(
+            pa.array(bounds, pa.int32()), vals.cast(pa.string())
+        )
+        firsts = pa.array(bounds[:-1])
+        out = {k: part[k].take(firsts) for k in keys}
+        out[out_col] = pc.binary_join(lists, sep)
+        if count_col:
+            out[count_col] = pa.array(np.diff(bounds))
+        return pa.table(out)
+
+    return group_apply(
+        ds, keys, _apply, sort_by=list(order_by), num_partitions=num_partitions
     )

@@ -43,6 +43,7 @@ __all__ = [
     "hll_distinct",
     "bloom_anti_join",
     "heavy_hitters",
+    "binned_quantiles",
     "splitmix64",
 ]
 
@@ -342,3 +343,64 @@ def heavy_hitters(
         return t.filter(pc.greater_equal(t[out_count_col], threshold))
 
     return exact.map_batches(_fin, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Binned quantiles (bounded state for unbounded/float domains)
+# ---------------------------------------------------------------------------
+
+
+def binned_quantiles(
+    ds: Dataset,
+    *,
+    value_col: str,
+    bin_width: float,
+    pcts: Sequence[int] = (10, 25, 50, 75, 90),
+) -> pa.Table:
+    """Approximate quantiles of a float/unbounded column with state bounded
+    by the number of occupied BINS, not distinct values: each value maps to
+    ``floor(v / bin_width)``, per-block bin histograms merge through one
+    bin-keyed aggregate, and the driver walks the merged histogram with the
+    same ceil-rank convention as ``corpus.length_quantiles``.  The reported
+    value is the bin's lower edge — error ≤ ``bin_width``, deterministic,
+    and exactly mirrorable in SQL (the oracle computes the identical
+    floor-binned walk).  This is the scale path when ``length_quantiles``'
+    distinct-value state would be unbounded (floats, 64-bit ids)."""
+
+    def _hist(batch: pa.Table) -> pa.Table:
+        arr = batch[value_col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        arr = arr.drop_null()
+        v = arr.to_numpy(zero_copy_only=False).astype(np.float64)
+        bins = np.floor(v / bin_width).astype(np.int64)
+        ub, cnts = np.unique(bins, return_counts=True)
+        return pa.table(
+            {"bin": pa.array(ub), "cnt": pa.array(cnts.astype(np.int64))}
+        )
+
+    hist = (
+        ds.map_batches(_hist, batch_format="pyarrow")
+        .groupby("bin")
+        .sum("cnt")
+        .take_all()  # bounded: one row per occupied bin
+    )
+    bins = np.array([r["bin"] for r in hist], dtype=np.int64)
+    cnts = np.array([r["sum(cnt)"] for r in hist], dtype=np.int64)
+    order = np.argsort(bins)
+    bins, cnts = bins[order], cnts[order]
+    cum = np.cumsum(cnts)
+    n = int(cum[-1]) if len(cum) else 0
+    out_p, out_v = [], []
+    for p in pcts:
+        target = max((p * n + 99) // 100, 1)
+        i = int(np.searchsorted(cum, target, side="left"))
+        if i < len(bins):
+            out_p.append(int(p))
+            out_v.append(float(bins[i]) * bin_width)
+    return pa.table(
+        {
+            "pct": pa.array(out_p, pa.int64()),
+            "value": pa.array(out_v, pa.float64()),
+        }
+    )

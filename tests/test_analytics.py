@@ -392,3 +392,67 @@ def test_heavy_hitters_guarantee_guard(ray_session):
         sketches.heavy_hitters(
             ray.data.from_pandas(pdf), value_col="w", threshold=2, k=16
         ).to_pandas()
+
+
+def test_unpivot_roundtrip(long_table, ray_session):
+    ds, pdf = long_table
+    wide = analytics.pivot_counts(
+        ds, row_key="k", col_key="cat", categories=["a", "b", "c"],
+        num_partitions=2,
+    )
+    long = analytics.unpivot(
+        wide, id_cols=["k"], value_cols=["a_cnt", "b_cnt", "c_cnt"],
+        name_col="cat", value_out="cnt",
+    ).to_pandas()
+    exp = (
+        pdf[pdf.cat.isin(["a", "b", "c"])]
+        .groupby(["k", "cat"])
+        .size()
+        .reset_index(name="cnt")
+    )
+    merged = long.assign(cat=long["cat"].str.replace("_cnt", "")).merge(
+        exp, on=["k", "cat"], how="left", suffixes=("", "_exp")
+    )
+    merged["cnt_exp"] = merged["cnt_exp"].fillna(0).astype(int)
+    assert (merged["cnt"] == merged["cnt_exp"]).all()
+    assert len(long) == long["k"].nunique() * 3
+
+
+def test_group_collect_ordered(ray_session):
+    pdf = pd.DataFrame(
+        {
+            "g": ["x", "y", "x", "x", "y"],
+            "o": [3, 1, 1, 2, 2],
+            "v": ["c", "p", "a", "b", "q"],
+        }
+    )
+    out = (
+        analytics.group_collect(
+            ray.data.from_pandas(pdf).repartition(2),
+            key="g",
+            value_col="v",
+            order_by=["o"],
+            sep="-",
+            num_partitions=2,
+        )
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    assert out["collected"].tolist() == ["a-b-c", "p-q"]
+    assert out["n_items"].tolist() == [3, 2]
+
+
+def test_binned_quantiles_error_bound(ray_session):
+    rng = np.random.RandomState(5)
+    v = rng.exponential(50.0, 20000)
+    pdf = pd.DataFrame({"value": v})
+    out = sketches.binned_quantiles(
+        ray.data.from_pandas(pdf).repartition(4),
+        value_col="value",
+        bin_width=2.0,
+        pcts=(10, 50, 90),
+    ).to_pandas()
+    for _, row in out.iterrows():
+        exact = np.quantile(v, row["pct"] / 100.0)
+        assert abs(row["value"] - exact) <= 2.0 + 1e-9, (row["pct"], row["value"], exact)
