@@ -255,8 +255,32 @@ DIRECT_SHUFFLE_MAX_PARTITIONS = int(
     os.environ.get("HTR_DIRECT_SHUFFLE_MAX_PARTS", "512")
 )
 
+# Shuffle compression (Spark-style): exchange slices travel as compressed
+# Arrow IPC instead of raw Arrow tables.  Trades map/reduce CPU for exchange
+# bytes.  Single-box A/B (BASELINE.md round 3): LOSES locally — the plasma
+# "exchange" is a shared-memory copy, so bytes are already cheap and the
+# codec steals cycles (32-CPU e2e: none 2.48M turns/s, lz4 2.17M, zstd
+# 1.96M).  On a multi-node cluster the exchange crosses NICs (10-25 Gb/s ≪
+# memory bandwidth) and compression is the standard win (Spark defaults to
+# lz4); flip HTR_SHUFFLE_COMPRESSION=lz4 there.  Values: "lz4" | "zstd" |
+# "" (off, local default).
+SHUFFLE_COMPRESSION = os.environ.get("HTR_SHUFFLE_COMPRESSION", "")
 
-def _shuffle_map_fn(block, keys, num_partitions):
+
+def _ipc_compress(t: pa.Table, codec: str) -> pa.Buffer:
+    sink = pa.BufferOutputStream()
+    opts = pa.ipc.IpcWriteOptions(compression=codec)
+    with pa.ipc.new_stream(sink, t.schema, options=opts) as w:
+        w.write_table(t)
+    return sink.getvalue()
+
+
+def _ipc_decompress(buf) -> pa.Table:
+    with pa.ipc.open_stream(buf) as r:
+        return r.read_all()
+
+
+def _shuffle_map_fn(block, keys, num_partitions, compression=""):
     """Map side of the direct exchange: split one input block into
     ``num_partitions`` key-complete slices (+ a per-partition row-count
     vector the driver uses to skip empty partitions without fetching data).
@@ -280,18 +304,34 @@ def _shuffle_map_fn(block, keys, num_partitions):
     sorted_t = t.take(pa.array(order_idx))
     bounds = np.searchsorted(part[order_idx], np.arange(num_partitions + 1))
     counts = np.diff(bounds)
-    out = [
-        sorted_t.slice(lo, hi - lo).drop_columns([PART_COL]) if hi > lo else None
-        for lo, hi in zip(bounds[:-1], bounds[1:])
-    ]
+    if compression:
+        out = [
+            _ipc_compress(
+                sorted_t.slice(lo, hi - lo).drop_columns([PART_COL]), compression
+            )
+            if hi > lo
+            else None
+            for lo, hi in zip(bounds[:-1], bounds[1:])
+        ]
+    else:
+        out = [
+            sorted_t.slice(lo, hi - lo).drop_columns([PART_COL]) if hi > lo else None
+            for lo, hi in zip(bounds[:-1], bounds[1:])
+        ]
     out.append(counts)
     return tuple(out)
 
 
 def _shuffle_reduce_fn(fn, order, pass_part_id, part_id, *tables):
-    """Reduce side: concat this partition's slices from every map task,
-    sort once by the full group/order key, run the user fn."""
-    tables = [t for t in tables if t is not None and t.num_rows]
+    """Reduce side: concat this partition's slices from every map task
+    (decompressing IPC-compressed slices), sort once by the full group/order
+    key, run the user fn."""
+    tables = [
+        _ipc_decompress(t) if isinstance(t, pa.Buffer) else t
+        for t in tables
+        if t is not None
+    ]
+    tables = [t for t in tables if t.num_rows]
     t = pa.concat_tables(tables, promote_options="default")
     if order:
         # sort_by's take compacts the chunked result — no combine_chunks copy
@@ -326,7 +366,11 @@ def _direct_group_apply(ds, keys, fn, *, pass_part_id, order, num_partitions):
     map_refs = []
     for bundle in ds.iter_internal_ref_bundles():
         for block_ref in bundle.block_refs:
-            map_refs.append(map_remote.remote(block_ref, keys, num_partitions))
+            map_refs.append(
+                map_remote.remote(
+                    block_ref, keys, num_partitions, SHUFFLE_COMPRESSION
+                )
+            )
     if not map_refs:
         import ray.data as _rd
 
