@@ -806,8 +806,67 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # TPC-H Q10-style composition: big-big hash join + partial agg +
         # two broadcast lookups + top-k
         "top_customers_by_revenue": _top_customers_by_revenue,
+        # cogroup: per-key logic over TWO corpus-sized keyed inputs
+        # (neither side broadcast)
+        "users_more_views_than_purchases": _users_more_views_than_purchases,
     }
     return q
+
+
+def _users_more_views_than_purchases(sf_dir: str):
+    """Cogroup demo: per-user view vs purchase counts, keeping users whose
+    views outnumber purchases — per-key logic over TWO corpus-sized inputs
+    with no broadcast (one exchange per side; stages/grouping.cogroup)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from hypertrace_ingester_ray.stages.grouping import cogroup, run_boundaries
+
+    ev = _rpq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type"],
+    )
+    views = ev.filter(expr="event_type == 'view'").select_columns(["user_id"])
+    purchases = ev.filter(expr="event_type == 'purchase'").select_columns(
+        ["user_id"]
+    )
+
+    def _compare_counts(left: pa.Table, right: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "n_views": pa.array([], pa.int64()),
+                "n_purchases": pa.array([], pa.int64()),
+            }
+        )
+        if left.num_rows == 0:
+            return empty
+        lu = left["user_id"].to_numpy(zero_copy_only=False)
+        b = run_boundaries(lu)
+        users = lu[b[:-1]]
+        n_views = np.diff(b)
+        ru = right["user_id"].to_numpy(zero_copy_only=False)
+        rb = run_boundaries(ru)
+        r_users = ru[rb[:-1]] if len(ru) else np.empty(0, np.int64)
+        r_counts = np.diff(rb) if len(ru) else np.empty(0, np.int64)
+        pos = np.searchsorted(r_users, users)
+        pos = np.minimum(pos, max(len(r_users) - 1, 0))
+        n_purch = np.zeros(len(users), dtype=np.int64)
+        if len(r_users):
+            hit = r_users[pos] == users
+            n_purch[hit] = r_counts[pos[hit]]
+        keep = n_views > n_purch
+        return pa.table(
+            {
+                "user_id": pa.array(users[keep]),
+                "n_views": pa.array(n_views[keep].astype(np.int64)),
+                "n_purchases": pa.array(n_purch[keep]),
+            }
+        )
+
+    return cogroup(
+        views, purchases, "user_id", _compare_counts, num_partitions=16
+    )
 
 
 def _conv_role_path(sf_dir: str):
@@ -1885,6 +1944,16 @@ SELECT CAST(q.pct AS BIGINT) AS pct,
        CAST(MIN(o.bin) * 5.0 AS DOUBLE) AS value
 FROM q CROSS JOIN n JOIN o ON o.cum >= GREATEST((q.pct * n.c + 99) // 100, 1)
 GROUP BY q.pct
+"""
+    sql["users_more_views_than_purchases"] = """
+WITH v AS (SELECT user_id, count(*) AS n_views FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+p AS (SELECT user_id, count(*) AS n_purchases FROM events
+      WHERE event_type = 'purchase' GROUP BY user_id)
+SELECT v.user_id, CAST(v.n_views AS BIGINT) AS n_views,
+       CAST(COALESCE(p.n_purchases, 0) AS BIGINT) AS n_purchases
+FROM v LEFT JOIN p USING (user_id)
+WHERE v.n_views > COALESCE(p.n_purchases, 0)
 """
     sql["top_customers_by_revenue"] = """
 SELECT o_custkey,

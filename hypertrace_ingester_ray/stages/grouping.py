@@ -569,3 +569,119 @@ def assemble_conversations(
         n_deduped,
         n_capped,
     )
+
+
+# ---------------------------------------------------------------------------
+# cogroup: two datasets co-partitioned by one key, processed pairwise
+# ---------------------------------------------------------------------------
+
+
+def _cogroup_reduce_fn(
+    fn, order_l, order_r, schema_l, schema_r, part_id, n_left, *tables
+):
+    def _concat(slices, order, schema):
+        ts = [
+            _ipc_decompress(t) if isinstance(t, pa.Buffer) else t
+            for t in slices
+            if t is not None
+        ]
+        ts = [t for t in ts if t.num_rows]
+        if not ts:
+            return schema.empty_table()
+        t = pa.concat_tables(ts, promote_options="default")
+        if order:
+            return t.sort_by([(c, "ascending") for c in order])
+        return t.combine_chunks()
+
+    left = _concat(tables[:n_left], order_l, schema_l)
+    right = _concat(tables[n_left:], order_r, schema_r)
+    return fn(left, right)
+
+
+def cogroup(
+    left,
+    right,
+    key: Union[str, Sequence[str]],
+    fn: Callable[[pa.Table, pa.Table], pa.Table],
+    *,
+    left_sort: Optional[Sequence[str]] = None,
+    right_sort: Optional[Sequence[str]] = None,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+):
+    """Co-partition TWO datasets by the same key hash and hand each reduce
+    task the pair of partition tables: ``fn(left_part, right_part)`` with
+    both sides sorted by ``[*keys, *side_sort]`` and containing every row of
+    every key-group assigned to the partition.
+
+    This is the general two-input form of :func:`group_apply` (Ray Data has
+    joins but no cogroup; Spark/Flink/Beam expose it as CoGroup/connect).
+    Anything expressible as per-key logic over two keyed inputs — keyed set
+    difference, per-key stream alignment, interval matching with custom
+    semantics — composes from it with the vectorized run-length kernels.
+    ONE exchange per side (same hash → same partition ids, so matching keys
+    are guaranteed co-located); nothing is broadcast, so BOTH sides may be
+    corpus-sized.  Same ``key`` columns must exist in both inputs.
+    """
+    import ray as _ray
+    import ray.data as _rd
+
+    keys = [key] if isinstance(key, str) else list(key)
+    order_l = keys + list(left_sort or [])
+    order_r = keys + list(right_sort or [])
+
+    def _as_arrow_schema(sch) -> pa.Schema:
+        base = getattr(sch, "base_schema", sch)
+        if isinstance(base, pa.Schema):
+            return base
+        # pandas-block datasets report a PandasBlockSchema (numpy dtypes)
+        return pa.schema(
+            [
+                pa.field(
+                    n, t if isinstance(t, pa.DataType) else pa.from_numpy_dtype(t)
+                )
+                for n, t in zip(base.names, base.types)
+            ]
+        )
+
+    schema_l = _as_arrow_schema(left.schema())
+    schema_r = _as_arrow_schema(right.schema())
+
+    map_remote = _ray.remote(num_returns=num_partitions + 1)(_shuffle_map_fn)
+    reduce_remote = _ray.remote(_cogroup_reduce_fn)
+
+    def _map_side(ds):
+        refs = []
+        for bundle in ds.iter_internal_ref_bundles():
+            for block_ref in bundle.block_refs:
+                refs.append(
+                    map_remote.remote(
+                        block_ref, keys, num_partitions, SHUFFLE_COMPRESSION
+                    )
+                )
+        return refs
+
+    refs_l, refs_r = _map_side(left), _map_side(right)
+    if not refs_l and not refs_r:
+        return _rd.from_arrow([])
+    counts = np.zeros(num_partitions, dtype=np.int64)
+    for side in (refs_l, refs_r):
+        if side:
+            counts += np.sum(
+                _ray.get([r[num_partitions] for r in side]), axis=0
+            )
+    reduce_refs = [
+        reduce_remote.remote(
+            fn,
+            order_l,
+            order_r,
+            schema_l,
+            schema_r,
+            p,
+            len(refs_l),
+            *[r[p] for r in refs_l],
+            *[r[p] for r in refs_r],
+        )
+        for p in range(num_partitions)
+        if counts[p] > 0
+    ]
+    return _rd.from_arrow_refs(reduce_refs)

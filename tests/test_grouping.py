@@ -272,3 +272,67 @@ def test_direct_shuffle_rejects_fn_class(ray_session):
 
     with _pytest.raises(ValueError):
         group_apply(ds, "k", fn_class=P, num_partitions=2, shuffle="direct")
+
+
+def test_cogroup_keyed_set_difference(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from hypertrace_ingester_ray.stages.grouping import cogroup, run_boundaries
+
+    rng = np.random.RandomState(9)
+    left = pd.DataFrame({"k": rng.randint(0, 50, 3000).astype(np.int64)})
+    right = pd.DataFrame({"k": rng.randint(25, 60, 500).astype(np.int64)})
+
+    def fn(lt: pa.Table, rt: pa.Table) -> pa.Table:
+        if lt.num_rows == 0:
+            return pa.table({"k": pa.array([], pa.int64()), "n": pa.array([], pa.int64())})
+        lk = lt["k"].to_numpy(zero_copy_only=False)
+        b = run_boundaries(lk)
+        keys, counts = lk[b[:-1]], np.diff(b)
+        mask = ~np.isin(keys, np.unique(rt["k"].to_numpy(zero_copy_only=False)))
+        return pa.table({"k": pa.array(keys[mask]), "n": pa.array(counts[mask].astype(np.int64))})
+
+    out = (
+        cogroup(
+            ray.data.from_pandas(left).repartition(4),
+            ray.data.from_pandas(right).repartition(3),
+            "k",
+            fn,
+            num_partitions=5,
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    vc = left["k"].value_counts()
+    exp = vc[~vc.index.isin(set(right["k"]))].sort_index()
+    assert out["k"].tolist() == exp.index.tolist()
+    assert out["n"].tolist() == exp.values.tolist()
+
+
+def test_cogroup_empty_side(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from hypertrace_ingester_ray.stages.grouping import cogroup
+
+    left = pd.DataFrame({"k": [1, 1, 2], "v": [1.0, 2.0, 3.0]})
+    right = pd.DataFrame({"k": pd.array([], dtype="int64"), "w": pd.array([], dtype="int64")})
+
+    def fn(lt: pa.Table, rt: pa.Table) -> pa.Table:
+        # right partition arrives as a typed empty table, never None
+        assert rt.schema.names == ["k", "w"]
+        return lt
+
+    out = cogroup(
+        ray.data.from_pandas(left),
+        ray.data.from_pandas(right),
+        "k",
+        fn,
+        num_partitions=3,
+    ).to_pandas()
+    assert sorted(out["k"].tolist()) == [1, 1, 2]
