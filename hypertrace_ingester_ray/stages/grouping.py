@@ -280,7 +280,7 @@ def _ipc_decompress(buf) -> pa.Table:
         return r.read_all()
 
 
-def _shuffle_map_fn(block, keys, num_partitions, compression=""):
+def _shuffle_map_fn(block, keys, num_partitions, compression="", identity=False):
     """Map side of the direct exchange: split one input block into
     ``num_partitions`` key-complete slices (+ a per-partition row-count
     vector the driver uses to skip empty partitions without fetching data).
@@ -298,7 +298,19 @@ def _shuffle_map_fn(block, keys, num_partitions, compression=""):
         return tuple([None] * num_partitions) + (
             np.zeros(num_partitions, dtype=np.int64),
         )
-    t = add_part_column(block, keys, num_partitions)
+    if identity:
+        # keys[0] already holds the partition id (range partitioning etc.)
+        ids = pc.cast(block[keys[0]], pa.int32())
+        mm = pc.min_max(ids)
+        if block.num_rows and (
+            mm["min"].as_py() < 0 or mm["max"].as_py() >= num_partitions
+        ):
+            raise ValueError(
+                f"identity partition ids out of range [0, {num_partitions})"
+            )
+        t = block.append_column(PART_COL, ids).replace_schema_metadata(None)
+    else:
+        t = add_part_column(block, keys, num_partitions)
     part = t[PART_COL].to_numpy(zero_copy_only=False)
     order_idx = np.argsort(part, kind="stable")
     sorted_t = t.take(pa.array(order_idx))
@@ -341,7 +353,9 @@ def _shuffle_reduce_fn(fn, order, pass_part_id, part_id, *tables):
     return fn(t, part_id) if pass_part_id else fn(t)
 
 
-def _direct_group_apply(ds, keys, fn, *, pass_part_id, order, num_partitions):
+def _direct_group_apply(
+    ds, keys, fn, *, pass_part_id, order, num_partitions, identity=False
+):
     """Two-stage raw-task hash exchange, bypassing the sort-shuffle machinery.
 
     Why: Ray Data's sort-based ``groupby().map_groups`` costs ~1.8 s on the
@@ -368,7 +382,7 @@ def _direct_group_apply(ds, keys, fn, *, pass_part_id, order, num_partitions):
         for block_ref in bundle.block_refs:
             map_refs.append(
                 map_remote.remote(
-                    block_ref, keys, num_partitions, SHUFFLE_COMPRESSION
+                    block_ref, keys, num_partitions, SHUFFLE_COMPRESSION, identity
                 )
             )
     if not map_refs:
@@ -422,6 +436,7 @@ def group_apply(
     sort_by: Optional[Sequence[str]] = None,
     num_partitions: int = DEFAULT_NUM_PARTITIONS,
     shuffle: Optional[str] = None,
+    identity_partition: bool = False,
     **map_groups_kwargs,
 ) -> Dataset:
     """Apply a partition processor to hash partitions of complete ``key``-groups.
@@ -452,6 +467,11 @@ def group_apply(
             and num_partitions <= DIRECT_SHUFFLE_MAX_PARTITIONS
             else "sort"
         )
+    if identity_partition and shuffle != "direct":
+        raise ValueError(
+            "identity_partition requires the direct exchange "
+            "(stateless fn, num_partitions <= DIRECT_SHUFFLE_MAX_PARTITIONS)"
+        )
     if shuffle == "direct":
         if fn_class is not None:
             raise ValueError("shuffle='direct' supports the stateless fn path only")
@@ -462,6 +482,7 @@ def group_apply(
             pass_part_id=pass_part_id,
             order=order,
             num_partitions=num_partitions,
+            identity=identity_partition,
         )
 
     ds = ds.map_batches(

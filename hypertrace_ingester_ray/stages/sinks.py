@@ -106,3 +106,220 @@ def write_partitioned(
     }
     lineage.write_run_manifest(out_dir, {**summary, "view": view})
     return summary
+
+
+# ---------------------------------------------------------------------------
+# Range-partitioned writes + zone-map pruned reads (file-skipping clustering)
+# ---------------------------------------------------------------------------
+
+_RANGE_STATS_SCHEMA = pa.schema(
+    [
+        ("part_id", pa.int64()),
+        ("rows", pa.int64()),
+        ("resumed", pa.bool_()),
+        ("zones", pa.string()),  # JSON {col: [min, max]} for this partition
+    ]
+)
+
+_RPART = "__rpart"
+
+
+def _as_int64_np(col):
+    import numpy as np
+
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    v = arr.to_numpy(zero_copy_only=False)
+    if v.dtype.kind == "M":
+        v = v.view("int64")
+    return v
+
+
+def write_range_partitioned(
+    ds: Dataset,
+    out_dir: str,
+    *,
+    col: str,
+    num_partitions: int = 32,
+    zone_cols=None,
+    hist_bins: int = 4096,
+    view: str = "data",
+) -> dict:
+    """Write ``ds`` clustered into ``num_partitions`` RANGE partitions of
+    ``col`` (Delta/Iceberg-style clustering), with a per-partition zone map
+    (min/max of ``col`` and any ``zone_cols``) committed alongside the CRC
+    manifests.  ``read_zone_pruned`` then skips every file whose range
+    cannot match a predicate — the file-skipping read path a 100 TB corpus
+    needs for time/range-scoped queries that hash partitioning cannot serve
+    (hash scatters ranges, so every hash partition overlaps every range).
+
+    Boundary selection costs two COLUMN-ONLY passes (global min/max, then a
+    fixed ``hist_bins``-bin histogram → equal-count cuts) — driver state is
+    O(hist_bins), never row- or distinct-sized.  The write pass reuses the
+    direct exchange with identity partitioning (no hash) and the same
+    atomic-rename + CRC + resume discipline as ``write_partitioned``."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    import ray as _ray
+
+    zone_cols = sorted(set([col] + list(zone_cols or [])))
+
+    # pass A: global min/max (column-pruned)
+    def _mm(batch: pa.Table) -> pa.Table:
+        v = _as_int64_np(batch[col])
+        if len(v) == 0:
+            return pa.table({"lo": pa.array([], pa.int64()), "hi": pa.array([], pa.int64())})
+        return pa.table({"lo": [int(v.min())], "hi": [int(v.max())]})
+
+    mm = ds.select_columns([col]).map_batches(_mm, batch_format="pyarrow").to_pandas()
+    if not len(mm):
+        raise ValueError("cannot range-partition an empty dataset")
+    lo, hi = int(mm["lo"].min()), int(mm["hi"].max())
+    width = max((hi - lo + hist_bins) // hist_bins, 1)
+
+    # pass B: fixed-bin histogram (column-pruned) → equal-count boundaries
+    def _hist(batch: pa.Table) -> pa.Table:
+        v = _as_int64_np(batch[col])
+        b = np.clip((v - lo) // width, 0, hist_bins - 1)
+        ub, cnt = np.unique(b, return_counts=True)
+        return pa.table(
+            {"bin": pa.array(ub.astype(np.int64)), "cnt": pa.array(cnt.astype(np.int64))}
+        )
+
+    hist = (
+        ds.select_columns([col])
+        .map_batches(_hist, batch_format="pyarrow")
+        .groupby("bin")
+        .sum("cnt")
+        .to_pandas()
+        .sort_values("bin")
+    )
+    cum = hist["sum(cnt)"].cumsum().to_numpy()
+    total = int(cum[-1])
+    targets = (np.arange(1, num_partitions) * total) // num_partitions
+    cut_bins = hist["bin"].to_numpy()[np.searchsorted(cum, targets, side="left").clip(0, len(hist) - 1)]
+    # boundary VALUES (right edge of the cut bin); dedupe (heavy skew can
+    # collapse cuts — fewer, larger partitions, still correct)
+    boundaries = np.unique((cut_bins + 1) * width + lo).astype(np.int64)
+    bref = _ray.put(boundaries)
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        bnd = _ray.get(bref)
+        v = _as_int64_np(batch[col])
+        part = np.searchsorted(bnd, v, side="right").astype(np.int32)
+        return batch.append_column(_RPART, pa.array(part)).replace_schema_metadata(None)
+
+    n_parts = len(boundaries) + 1
+    run_path = os.path.join(out_dir, "_run_manifest.json")
+    if os.path.exists(run_path):
+        with open(run_path) as f:
+            prev = json.load(f)
+        if prev.get("boundaries") != [int(b) for b in boundaries]:
+            raise ValueError(
+                f"resume into {out_dir} with different range boundaries; "
+                "delete the directory or keep the input identical"
+            )
+    os.makedirs(out_dir, exist_ok=True)
+    with open(run_path + ".tmp", "w") as f:
+        json.dump(
+            {
+                "num_partitions": n_parts,
+                "view": view,
+                "range_col": col,
+                "boundaries": [int(b) for b in boundaries],
+            },
+            f,
+        )
+    os.rename(run_path + ".tmp", run_path)
+
+    def _write(part: pa.Table, part_id: int) -> pa.Table:
+        if part.num_rows == 0:
+            return _RANGE_STATS_SCHEMA.empty_table()
+        part = part.drop_columns([_RPART])
+        zones = {}
+        for zc in zone_cols:
+            v = _as_int64_np(part[zc])
+            zones[zc] = [int(v.min()), int(v.max())]
+        m = lineage.load_manifest(out_dir, part_id)
+        if m is not None:
+            return pa.table(
+                {
+                    "part_id": [part_id],
+                    "rows": [int(m["view_counts"].get(view, 0))],
+                    "resumed": [True],
+                    "zones": [json.dumps(zones, sort_keys=True)],
+                },
+                schema=_RANGE_STATS_SCHEMA,
+            )
+        rows, crc = lineage.write_view_part(out_dir, view, part_id, part)
+        lineage.commit_manifest(
+            out_dir,
+            part_id,
+            rows_in=part.num_rows,
+            rows_deduped=0,
+            rows_capped=0,
+            view_counts={view: rows},
+            view_checksums={view: crc},
+        )
+        return pa.table(
+            {
+                "part_id": [part_id],
+                "rows": [rows],
+                "resumed": [False],
+                "zones": [json.dumps(zones, sort_keys=True)],
+            },
+            schema=_RANGE_STATS_SCHEMA,
+        )
+
+    stats = group_apply(
+        ds.map_batches(_assign, batch_format="pyarrow"),
+        _RPART,
+        _write,
+        pass_part_id=True,
+        num_partitions=n_parts,
+        identity_partition=True,
+        shuffle="direct",
+    ).to_pandas()
+
+    zone_map = {
+        int(r.part_id): json.loads(r.zones) for r in stats.itertuples()
+    }
+    zm_path = os.path.join(out_dir, "_zone_map.json")
+    with open(zm_path + ".tmp", "w") as f:
+        json.dump({"view": view, "range_col": col, "zones": zone_map}, f, sort_keys=True)
+    os.rename(zm_path + ".tmp", zm_path)
+
+    summary = {
+        "rows": int(stats["rows"].sum()) if len(stats) else 0,
+        "num_partitions": int(len(stats)),
+        "resumed_partitions": int(stats["resumed"].sum()) if len(stats) else 0,
+        "view_counts": {view: int(stats["rows"].sum()) if len(stats) else 0},
+    }
+    lineage.write_run_manifest(
+        out_dir, {**summary, "view": view, "range_col": col,
+                  "boundaries": [int(b) for b in boundaries]}
+    )
+    return summary
+
+
+def read_zone_pruned(out_dir: str, *, col: str, lo=None, hi=None):
+    """Read back a range-partitioned directory, SKIPPING every partition
+    file whose zone ``[min, max]`` cannot intersect ``[lo, hi]`` (either
+    bound may be None = unbounded).  Returns ``(dataset, files_read,
+    files_skipped)``.  The returned dataset still needs the exact row-level
+    filter — zone maps prune FILES, not rows."""
+    import ray.data as _rd
+
+    with open(os.path.join(out_dir, "_zone_map.json")) as f:
+        zm = json.load(f)
+    view = zm["view"]
+    keep, skipped = [], 0
+    for pid, zones in sorted(zm["zones"].items(), key=lambda kv: int(kv[0])):
+        zlo, zhi = zones[col]
+        if (lo is not None and zhi < lo) or (hi is not None and zlo > hi):
+            skipped += 1
+            continue
+        keep.append(lineage.part_file(out_dir, view, int(pid)))
+    if not keep:
+        return _rd.from_arrow([]), 0, skipped
+    return _rd.read_parquet(keep), len(keep), skipped

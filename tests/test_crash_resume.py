@@ -154,3 +154,83 @@ def test_write_partitioned_resume_and_corruption(ray_session, tmp_path):
         [pq.read_table(p) for p in glob.glob(out + "/data/*.parquet")]
     )
     assert sorted(back["doc_id"].to_pylist()) == list(range(1000))
+
+
+def test_range_partitioned_zone_pruning(ray_session, tmp_path):
+    import json
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from hypertrace_ingester_ray.stages.sinks import (
+        read_zone_pruned,
+        write_range_partitioned,
+    )
+
+    rng = np.random.RandomState(13)
+    n = 20000
+    pdf = pd.DataFrame(
+        {
+            "ts": rng.randint(0, 1_000_000, n).astype(np.int64),
+            "v": rng.randint(0, 100, n).astype(np.int64),
+        }
+    )
+    out = str(tmp_path / "ranged")
+    s = write_range_partitioned(
+        ray.data.from_pandas(pdf).repartition(6),
+        out,
+        col="ts",
+        num_partitions=16,
+    )
+    assert s["rows"] == n
+    assert s["resumed_partitions"] == 0
+
+    # zones must be (nearly) disjoint: each partition's range ends before
+    # the next begins
+    zm = json.load(open(f"{out}/_zone_map.json"))["zones"]
+    ordered = [zm[k]["ts"] for k in sorted(zm, key=int)]
+    for (alo, ahi), (blo, bhi) in zip(ordered, ordered[1:]):
+        assert ahi <= blo
+
+    # pruned read of a narrow range: most files skipped, values exact
+    lo, hi = 100_000, 150_000
+    ds, nread, nskip = read_zone_pruned(out, col="ts", lo=lo, hi=hi)
+    assert nskip >= 12, (nread, nskip)
+    got = ds.to_pandas()
+    got = got[(got.ts >= lo) & (got.ts <= hi)]
+    exp = pdf[(pdf.ts >= lo) & (pdf.ts <= hi)]
+    assert sorted(got["ts"].tolist()) == sorted(exp["ts"].tolist())
+    assert got["v"].sum() == exp["v"].sum()
+
+    # resume: identical second run skips every partition's write
+    s2 = write_range_partitioned(
+        ray.data.from_pandas(pdf).repartition(6),
+        out,
+        col="ts",
+        num_partitions=16,
+    )
+    assert s2["resumed_partitions"] == s2["num_partitions"]
+    assert s2["rows"] == n
+
+
+def test_identity_partition_out_of_range_raises(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from hypertrace_ingester_ray.stages.grouping import group_apply
+
+    pdf = pd.DataFrame({"p": np.array([0, 1, 99], dtype=np.int64)})
+    with pytest.raises(Exception, match="out of range"):
+        group_apply(
+            ray.data.from_pandas(pdf),
+            "p",
+            lambda t: t,
+            num_partitions=4,
+            identity_partition=True,
+            shuffle="direct",
+        ).to_pandas()
