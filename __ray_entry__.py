@@ -628,6 +628,20 @@ def _media_features(sf_dir: str):
     return feats.select_columns(["media_id", "mime"])
 
 
+def _video_frame_features(sf_dir: str):
+    """Actor-pool frame sampler over deterministic synthetic 'video' (12
+    concatenated P6 frames per clip): every 4th frame is REALLY split out,
+    pixel-decoded, and featurized (stages/multimodal.FrameSampler)."""
+    import ray.data
+
+    from hypertrace_ingester_ray.stages import multimodal
+
+    clips = multimodal.synthesize_video_media(40, frames=12)
+    return multimodal.sample_video_frames(
+        ray.data.from_arrow(clips), stride=4, max_frames=8, batch_size=8
+    ).select_columns(["media_id", "frame_idx"])
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -717,6 +731,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_1h": _events_sliding_1h,
         "knn_ivf_top5": _knn_ivf,
         "media_features": _media_features,
+        # REAL video frame sampling: concatenated-PPM clips split and
+        # decoded per frame (rows-only: binary container, not SQL data)
+        "video_frame_features": _video_frame_features,
         "conv_rollup_salted": _conv_rollup_salted,
         "docs_clean": lambda sf: __import__(
             "hypertrace_ingester_ray.pipelines.docs", fromlist=["clean_documents"]

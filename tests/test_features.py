@@ -266,3 +266,42 @@ def test_inverted_index(ray_session):
     assert list(out.df) == [1, 3, 2]
     # postings sorted by doc_id; duplicate in-doc occurrences collapsed
     assert list(out.postings) == ["10", "3,7,10", "3,7"]
+
+
+def test_video_frame_roundtrip(ray_session):
+    """Frames sampled from an encoded clip decode back to the exact pixels."""
+    import numpy as np
+
+    from hypertrace_ingester_ray.stages import multimodal as mm
+
+    rng = np.random.default_rng(3)
+    frames = rng.integers(0, 256, (6, 8, 10, 3), dtype=np.uint8)
+    payload = mm.encode_ppm_video(frames)
+    offset = 0
+    for f in range(6):
+        flen = mm.decode_ppm_header_only(payload[offset : offset + 64])
+        got = mm.decode_ppm(payload[offset : offset + flen])
+        assert np.array_equal(got, frames[f])
+        offset += flen
+    assert offset == len(payload)
+
+
+def test_frame_sampler_stride_and_features(ray_session):
+    import numpy as np
+    import ray.data
+
+    from hypertrace_ingester_ray.stages import multimodal as mm
+
+    clips = mm.synthesize_video_media(5, frames=12, width=12, height=8)
+    out = mm.sample_video_frames(
+        ray.data.from_arrow(clips), stride=4, max_frames=8, batch_size=2
+    ).to_pandas()
+    # 12 frames, stride 4 -> frames 0, 4, 8 per clip
+    assert len(out) == 5 * 3
+    assert sorted(set(out["frame_idx"])) == [0, 4, 8]
+    # features are real per-frame decodes: a drifting gradient means frame
+    # features differ within a clip
+    one = out[out.media_id == 0].sort_values("frame_idx")
+    f0, f4 = np.array(one.iloc[0]["features"]), np.array(one.iloc[1]["features"])
+    assert len(f0) == mm.FEATURE_DIM
+    assert not np.allclose(f0, f4)
