@@ -826,8 +826,54 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # cogroup: per-key logic over TWO corpus-sized keyed inputs
         # (neither side broadcast)
         "users_more_views_than_purchases": _users_more_views_than_purchases,
+        # CDC-style snapshot diff on cogroup (added/removed/changed)
+        "docs_snapshot_diff": _docs_snapshot_diff,
     }
     return q
+
+
+def _docs_v2(sf_dir: str):
+    """Deterministic 'second snapshot' of the documents table: doc_id % 17
+    rows removed, lang rewritten where doc_id % 13, new ids appended for
+    doc_id % 29 (all derivable in SQL for the oracle)."""
+    import numpy as np
+    import pyarrow as pa
+
+    def _mutate(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(ids % 17 != 0))
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        lang = t["lang"].to_numpy(zero_copy_only=False).astype(object)
+        lang[ids % 13 == 0] = "xx"
+        t = t.set_column(
+            t.schema.get_field_index("lang"), "lang", pa.array(lang, pa.string())
+        )
+        add_mask = ids % 29 == 0
+        if add_mask.any():
+            added = t.filter(pa.array(add_mask))
+            added = added.set_column(
+                added.schema.get_field_index("doc_id"),
+                "doc_id",
+                pa.array(
+                    added["doc_id"].to_numpy(zero_copy_only=False) + 100_000
+                ),
+            )
+            t = pa.concat_tables([t, added])
+        return t
+
+    return _docs(sf_dir).map_batches(_mutate, batch_format="pyarrow")
+
+
+def _docs_snapshot_diff(sf_dir: str):
+    from hypertrace_ingester_ray.stages.joins import keyed_diff
+
+    return keyed_diff(
+        _docs(sf_dir),
+        _docs_v2(sf_dir),
+        key="doc_id",
+        compare_cols=["lang", "source"],
+        num_partitions=16,
+    )
 
 
 def _users_more_views_than_purchases(sf_dir: str):
@@ -1961,6 +2007,28 @@ SELECT CAST(q.pct AS BIGINT) AS pct,
        CAST(MIN(o.bin) * 5.0 AS DOUBLE) AS value
 FROM q CROSS JOIN n JOIN o ON o.cum >= GREATEST((q.pct * n.c + 99) // 100, 1)
 GROUP BY q.pct
+"""
+    sql["docs_snapshot_diff"] = """
+WITH v2_base AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0 THEN 'xx' ELSE lang END AS lang,
+         source
+  FROM documents WHERE doc_id % 17 <> 0
+),
+v2 AS (
+  SELECT * FROM v2_base
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, lang, source
+  FROM v2_base WHERE doc_id % 29 = 0
+)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+  CASE WHEN o.doc_id IS NULL THEN 'added'
+       WHEN n.doc_id IS NULL THEN 'removed'
+       ELSE 'changed' END AS change
+FROM documents o
+FULL OUTER JOIN v2 n ON o.doc_id = n.doc_id
+WHERE o.doc_id IS NULL OR n.doc_id IS NULL
+   OR o.lang <> n.lang OR o.source <> n.source
 """
     sql["users_more_views_than_purchases"] = """
 WITH v AS (SELECT user_id, count(*) AS n_views FROM events

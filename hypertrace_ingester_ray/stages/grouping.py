@@ -654,14 +654,18 @@ def cogroup(
         base = getattr(sch, "base_schema", sch)
         if isinstance(base, pa.Schema):
             return base
-        # pandas-block datasets report a PandasBlockSchema (numpy dtypes)
+        # pandas-block datasets report a PandasBlockSchema (numpy dtypes);
+        # object dtype has no Arrow equivalent — pandas object columns are
+        # strings by convention, and an EMPTY typed table only needs a
+        # best-effort type anyway
+        def _to_pa(t):
+            if isinstance(t, pa.DataType):
+                return t
+            t = np.dtype(t)
+            return pa.string() if t == np.dtype(object) else pa.from_numpy_dtype(t)
+
         return pa.schema(
-            [
-                pa.field(
-                    n, t if isinstance(t, pa.DataType) else pa.from_numpy_dtype(t)
-                )
-                for n, t in zip(base.names, base.types)
-            ]
+            [pa.field(n, _to_pa(t)) for n, t in zip(base.names, base.types)]
         )
 
     schema_l = _as_arrow_schema(left.schema())

@@ -401,3 +401,70 @@ def broadcast_semi_join(
         return batch.filter(pc.invert(hit) if anti else hit)
 
     return ds.map_batches(_filter, batch_format="pyarrow")
+
+
+def keyed_diff(
+    old: Dataset,
+    new: Dataset,
+    *,
+    key: str,
+    compare_cols: Sequence[str],
+    num_partitions: int = 32,
+) -> Dataset:
+    """Snapshot diff (change-data-capture shape): one row per key that was
+    ``added`` (only in ``new``), ``removed`` (only in ``old``) or
+    ``changed`` (in both, any ``compare_cols`` value differs); unchanged
+    keys are omitted.  Output columns: ``key``, ``change``.
+
+    Built on :func:`~..grouping.cogroup` — both snapshots may be
+    corpus-sized (one exchange per side, nothing broadcast); matching keys
+    are co-located by the shared hash.  Keys must be unique within each
+    snapshot (dedupe upstream with ``exact_dedup``); duplicates raise
+    loudly rather than producing ambiguous diffs."""
+    import numpy as np
+
+    from .grouping import cogroup, run_boundaries
+
+    cols = [key] + list(compare_cols)
+
+    def _diff(lt: pa.Table, rt: pa.Table) -> pa.Table:
+        ko = lt[key].to_numpy(zero_copy_only=False)
+        kn = rt[key].to_numpy(zero_copy_only=False)
+        for side, arr in (("old", ko), ("new", kn)):
+            b = run_boundaries(arr)
+            if len(arr) and (np.diff(b) > 1).any():
+                raise ValueError(
+                    f"keyed_diff: duplicate {key} values in the {side} snapshot"
+                )
+        in_new = np.isin(ko, kn)
+        in_old = np.isin(kn, ko)
+        out_keys = [kn[~in_old], ko[~in_new]]
+        out_change = [
+            np.full((~in_old).sum(), "added", dtype=object),
+            np.full((~in_new).sum(), "removed", dtype=object),
+        ]
+        both_o = np.flatnonzero(in_new)
+        if len(both_o):
+            # both sides sorted by key -> matching rows align positionally
+            both_n = np.flatnonzero(in_old)
+            changed = np.zeros(len(both_o), dtype=bool)
+            for c in compare_cols:
+                vo = lt[c].to_numpy(zero_copy_only=False)[both_o]
+                vn = rt[c].to_numpy(zero_copy_only=False)[both_n]
+                changed |= vo != vn
+            out_keys.append(ko[both_o[changed]])
+            out_change.append(np.full(int(changed.sum()), "changed", dtype=object))
+        return pa.table(
+            {
+                key: pa.array(np.concatenate(out_keys)),
+                "change": pa.array(np.concatenate(out_change), pa.string()),
+            }
+        )
+
+    return cogroup(
+        old.select_columns(cols),
+        new.select_columns(cols),
+        key,
+        _diff,
+        num_partitions=num_partitions,
+    )

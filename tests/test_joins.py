@@ -171,3 +171,54 @@ def test_broadcast_semi_and_anti_join(ray_session):
     # nulls in the key set are ignored, not matched
     semi2 = broadcast_semi_join(ds, pa.array(["b", None]), key="k").to_pandas()
     assert sorted(semi2.v) == [2]
+
+
+def test_keyed_diff_cdc(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from hypertrace_ingester_ray.stages.joins import keyed_diff
+
+    old = pd.DataFrame(
+        {"k": [1, 2, 3, 4], "a": ["x", "y", "z", "w"], "b": [10, 20, 30, 40]}
+    )
+    new = pd.DataFrame(
+        {"k": [2, 3, 4, 5], "a": ["y", "Z", "w", "v"], "b": [20, 30, 99, 50]}
+    )
+    out = (
+        keyed_diff(
+            ray.data.from_pandas(old).repartition(2),
+            ray.data.from_pandas(new).repartition(2),
+            key="k",
+            compare_cols=["a", "b"],
+            num_partitions=3,
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert dict(zip(out["k"], out["change"])) == {
+        1: "removed",
+        3: "changed",  # a differs
+        4: "changed",  # b differs
+        5: "added",
+    }
+
+
+def test_keyed_diff_duplicate_keys_raise(ray_session):
+    import pandas as pd
+    import pytest
+    import ray.data
+
+    from hypertrace_ingester_ray.stages.joins import keyed_diff
+
+    old = pd.DataFrame({"k": [1, 1], "a": ["x", "y"]})
+    new = pd.DataFrame({"k": [1], "a": ["x"]})
+    with pytest.raises(Exception, match="duplicate"):
+        keyed_diff(
+            ray.data.from_pandas(old),
+            ray.data.from_pandas(new),
+            key="k",
+            compare_cols=["a"],
+        ).to_pandas()
