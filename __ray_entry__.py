@@ -828,8 +828,57 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "users_more_views_than_purchases": _users_more_views_than_purchases,
         # CDC-style snapshot diff on cogroup (added/removed/changed)
         "docs_snapshot_diff": _docs_snapshot_diff,
+        # skew-aware hybrid join (hot keys broadcast, cold keys co-shuffle);
+        # row-identical to a plain inner join, so the oracle is the plain
+        # JOIN aggregate
+        "order_revenue_skewjoin": _order_revenue_skewjoin,
     }
     return q
+
+
+def _order_revenue_skewjoin(sf_dir: str):
+    """skew_join demo with a deliberately low hot threshold so BOTH paths
+    (broadcast hot keys + co-shuffled cold keys) carry real rows; the union
+    aggregates to the same result as a plain join."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hypertrace_ingester_ray.stages.joins import skew_join
+
+    li = _rpq(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice"],
+    )
+    od = _rpq(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderpriority"],
+    )
+    j = skew_join(
+        li, od, on="l_orderkey", right_on="o_orderkey", hot_threshold=4,
+        num_partitions=16,
+    )
+    names = ["o_orderpriority", "revenue_cents", "num_items"]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.floor(pc.multiply(batch["l_extendedprice"], pa.scalar(100.0))),
+            pa.int64(),
+        )
+        t = pa.table(
+            {"o_orderpriority": batch["o_orderpriority"], "revenue_cents": cents}
+        )
+        return (
+            t.group_by(["o_orderpriority"])
+            .aggregate([("revenue_cents", "sum"), ([], "count_all")])
+            .rename_columns(names)
+        )
+
+    agg = (
+        j.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .sum(["revenue_cents", "num_items"])
+    )
+    return agg.map_batches(lambda b: b.rename_columns(names), batch_format="pyarrow")
 
 
 def _docs_v2(sf_dir: str):
@@ -1675,6 +1724,7 @@ SELECT o_orderpriority,
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
 """
+    sql["order_revenue_skewjoin"] = sql["order_priority_revenue"]
     sql["asof_last_click"] = """
 SELECT e.event_id AS error_id, c.event_id AS click_id
 FROM (SELECT * FROM events WHERE event_type = 'error') e

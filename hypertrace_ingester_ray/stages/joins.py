@@ -468,3 +468,99 @@ def keyed_diff(
         _diff,
         num_partitions=num_partitions,
     )
+
+
+def skew_join(
+    left: Dataset,
+    right: Dataset,
+    *,
+    on: str,
+    right_on: Optional[str] = None,
+    hot_threshold: int = 100_000,
+    num_partitions: int = 32,
+) -> Dataset:
+    """Skew-aware inner join: keys whose LEFT row count exceeds
+    ``hot_threshold`` would pin one shuffle partition (every probe row of a
+    hot key lands on a single reducer), so they take a broadcast path — the
+    right-side rows of the hot keys are collected once (small by the join's
+    own assumption: the hot set is tiny and the right side is the build
+    side) and map-joined against the hot left rows with no exchange; the
+    cold majority goes through the normal co-shuffle hash join.  The union
+    is row-identical to a plain inner join (same oracle).
+
+    Same pre-count discipline as ``salted_group_apply``
+    (``grouping.hot_key_counts``: key column only, per-batch combine,
+    distributed threshold filter) — the driver never sees the full key
+    histogram, only the hot set.
+    """
+    right_on = right_on or on
+    from .grouping import hot_key_counts
+
+    hot = hot_key_counts(left, on, threshold=hot_threshold)
+    if not hot:
+        return hash_join(
+            left, right, on=[on], right_on=[right_on], num_partitions=num_partitions
+        )
+    hot_keys = pa.array(sorted(hot.keys()))
+    hot_ref = ray.put(hot_keys)
+
+    def _split(batch: pa.Table, col: str, keep_hot: bool) -> pa.Table:
+        keys = ray.get(hot_ref)
+        mask = pc.is_in(batch[col], value_set=keys)
+        return batch.filter(mask if keep_hot else pc.invert(mask))
+
+    cold = hash_join(
+        left.map_batches(
+            _split, batch_format="pyarrow", fn_kwargs={"col": on, "keep_hot": False}
+        ),
+        right.map_batches(
+            _split,
+            batch_format="pyarrow",
+            fn_kwargs={"col": right_on, "keep_hot": False},
+        ),
+        on=[on],
+        right_on=[right_on],
+        num_partitions=num_partitions,
+    )
+
+    # hot path: right rows for hot keys collected once, broadcast, probed
+    # per batch (build side bounded by |hot| x right fanout — raise
+    # hot_threshold if that ever isn't small)
+    hot_right = pa.concat_tables(
+        t for t in ray.get(
+            right.map_batches(
+                _split,
+                batch_format="pyarrow",
+                fn_kwargs={"col": right_on, "keep_hot": True},
+            ).to_arrow_refs()
+        )
+        if t.num_rows
+    )
+    if right_on != on:
+        hot_right = hot_right.rename_columns(
+            [on if c == right_on else c for c in hot_right.column_names]
+        )
+    build_ref = ray.put(hot_right)
+
+    def _probe_hot(batch: pa.Table) -> pa.Table:
+        build = ray.get(build_ref)
+        lk = batch[on].to_numpy(zero_copy_only=False)
+        bsorted = build.sort_by([(on, "ascending")])
+        bk = bsorted[on].to_numpy(zero_copy_only=False)
+        lo = np.searchsorted(bk, lk, side="left")
+        hi = np.searchsorted(bk, lk, side="right")
+        reps = (hi - lo).astype(np.int64)
+        l_idx = np.repeat(np.arange(len(lk), dtype=np.int64), reps)
+        # ragged arange: for each probe row, build-side matches [lo, hi)
+        off = np.concatenate(([0], np.cumsum(reps)))[:-1]
+        r_idx = np.arange(int(reps.sum()), dtype=np.int64) - np.repeat(off, reps) + np.repeat(lo, reps)
+        lt = batch.take(pa.array(l_idx))
+        rt = bsorted.drop_columns([on]).take(pa.array(r_idx))
+        for name in rt.column_names:
+            lt = lt.append_column(name, rt[name])
+        return lt
+
+    hot_joined = left.map_batches(
+        _split, batch_format="pyarrow", fn_kwargs={"col": on, "keep_hot": True}
+    ).map_batches(_probe_hot, batch_format="pyarrow")
+    return cold.union(hot_joined)

@@ -222,3 +222,57 @@ def test_keyed_diff_duplicate_keys_raise(ray_session):
             key="k",
             compare_cols=["a"],
         ).to_pandas()
+
+
+def test_skew_join_equals_plain_join(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from hypertrace_ingester_ray.stages.joins import hash_join, skew_join
+
+    rng = np.random.RandomState(21)
+    # one pathologically hot key (5000 rows) + uniform cold keys
+    lk = np.concatenate([np.full(5000, 7), rng.randint(100, 400, 4000)])
+    left = pd.DataFrame({"k": lk.astype(np.int64), "lv": np.arange(len(lk), dtype=np.int64)})
+    rk = np.concatenate([[7, 7], np.arange(100, 400)])
+    right = pd.DataFrame({"k2": rk.astype(np.int64), "rv": np.arange(len(rk), dtype=np.int64)})
+
+    out = skew_join(
+        ray.data.from_pandas(left).repartition(4),
+        ray.data.from_pandas(right).repartition(2),
+        on="k",
+        right_on="k2",
+        hot_threshold=1000,
+        num_partitions=4,
+    ).to_pandas()
+    exp = hash_join(
+        ray.data.from_pandas(left),
+        ray.data.from_pandas(right),
+        on=["k"],
+        right_on=["k2"],
+        num_partitions=4,
+    ).to_pandas()
+    # hot key 7 matched twice per left row -> 10000 hot output rows
+    assert (out["k"] == 7).sum() == 10000
+    key = lambda df: df[["k", "lv", "rv"]].sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(key(out), key(exp))
+
+
+def test_skew_join_no_hot_keys_falls_back(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from hypertrace_ingester_ray.stages.joins import skew_join
+
+    left = pd.DataFrame({"k": np.arange(100, dtype=np.int64)})
+    right = pd.DataFrame({"k": np.arange(50, 150, dtype=np.int64), "rv": np.arange(100, dtype=np.int64)})
+    out = skew_join(
+        ray.data.from_pandas(left),
+        ray.data.from_pandas(right),
+        on="k",
+        hot_threshold=10_000,
+        num_partitions=4,
+    ).to_pandas()
+    assert sorted(out["k"].tolist()) == list(range(50, 100))
