@@ -832,6 +832,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # row-identical to a plain inner join, so the oracle is the plain
         # JOIN aggregate
         "order_revenue_skewjoin": _order_revenue_skewjoin,
+        # language-model n-gram count table (top-k bigrams)
+        "doc_bigrams_top50": lambda sf: corpus.ngram_top_k(
+            _docs(sf).select_columns(["text"]), n=2, k=50
+        ),
     }
     return q
 
@@ -1725,6 +1729,16 @@ FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
 """
     sql["order_revenue_skewjoin"] = sql["order_priority_revenue"]
+    sql["doc_bigrams_top50"] = """
+WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+b AS (SELECT unnest(list_transform(range(1, len(toks)),
+                    i -> toks[i] || ' ' || toks[i + 1])) AS ngram
+      FROM t)
+SELECT ngram, CAST(count(*) AS BIGINT) AS cnt
+FROM b GROUP BY ngram
+ORDER BY cnt DESC, ngram
+LIMIT 50
+"""
     sql["asof_last_click"] = """
 SELECT e.event_id AS error_id, c.event_id AS click_id
 FROM (SELECT * FROM events WHERE event_type = 'error') e

@@ -678,3 +678,52 @@ def chunk_documents(
         )
 
     return ds.map_batches(_chunk, batch_format="pyarrow")
+
+
+def ngram_top_k(
+    ds: Dataset, *, text_col: str = "text", n: int = 2, k: int = 100
+) -> Dataset:
+    """Corpus top-k word n-grams (language-model count tables).  Same scale
+    shape as :func:`vocab_top_k`: in-batch ``value_counts`` combiner first,
+    so the ``groupby`` exchange carries per-block n-gram vocabulary, then one
+    global sort+limit over the n-gram vocabulary only.  The n-gram build is
+    vectorized: flat token array + offsets, adjacency mask that excludes
+    cross-document pairs, one ``binary_join_element_wise`` — no Python loop.
+    Ties break by n-gram ascending (deterministic cut)."""
+    if n < 2:
+        raise ValueError("use vocab_top_k for unigrams")
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch[text_col], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        off = np.asarray(toks.offsets)
+        total = len(flat)
+        if total < n:
+            return pa.table(
+                {"ngram": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
+            )
+        # positions whose full n-window stays inside one document: start j is
+        # valid iff j + n <= end-of-its-doc
+        doc_end = np.repeat(off[1:], np.diff(off))  # per-token doc end
+        starts = np.flatnonzero(doc_end[: total - (n - 1)] >= np.arange(total - (n - 1)) + n)
+        if len(starts) == 0:
+            return pa.table(
+                {"ngram": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
+            )
+        parts = [flat.take(pa.array(starts + i)) for i in range(n)]
+        grams = pc.binary_join_element_wise(*parts, " ")
+        vc = grams.value_counts()
+        return pa.table(
+            {
+                "ngram": vc.field("values"),
+                "cnt": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    agg = ds.map_batches(_partial, batch_format="pyarrow").groupby("ngram").sum("cnt")
+    agg = agg.map_batches(
+        lambda t: t.rename_columns(["ngram", "cnt"]), batch_format="pyarrow"
+    )
+    return agg.sort(["cnt", "ngram"], descending=[True, False]).limit(k)

@@ -363,3 +363,29 @@ def test_chunk_documents(ray_session):
     assert list(out.chunk_idx) == [0, 1, 2, 0, 0]
     # empty text yields ONE chunk of the single empty token (split parity)
     assert list(out.n_tokens) == [2, 2, 1, 2, 1]
+
+
+def test_ngram_top_k_no_cross_doc_pairs(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from hypertrace_ingester_ray.stages import corpus
+
+    t = pa.table({"text": ["a b c", "c a", "b"]})
+    out = (
+        corpus.ngram_top_k(ray.data.from_arrow(t), n=2, k=10)
+        .to_pandas()
+        .set_index("ngram")["cnt"]
+        .to_dict()
+    )
+    # "c c" (doc1 end -> doc2 start) and "a b" (doc2 end -> doc3) must NOT
+    # appear; within-doc pairs only
+    assert out == {"a b": 1, "b c": 1, "c a": 1}
+
+    out3 = (
+        corpus.ngram_top_k(ray.data.from_arrow(t), n=3, k=10)
+        .to_pandas()
+        .set_index("ngram")["cnt"]
+        .to_dict()
+    )
+    assert out3 == {"a b c": 1}
