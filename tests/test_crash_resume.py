@@ -234,3 +234,74 @@ def test_identity_partition_out_of_range_raises(ray_session):
             identity_partition=True,
             shuffle="direct",
         ).to_pandas()
+
+
+def test_incremental_ingest_new_files_only(ray_session, tmp_path):
+    """File-watermark incremental runs: only unseen input files are
+    processed; committed inputs are never reprocessed; mutated landed files
+    raise."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+    import ray.data
+
+    from hypertrace_ingester_ray.state import watermark
+    from hypertrace_ingester_ray.stages.sinks import write_partitioned
+
+    in_dir = tmp_path / "landing"
+    out_dir = tmp_path / "out"
+    in_dir.mkdir()
+
+    def land(name, lo, n):
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(np.arange(lo, lo + n, dtype=np.int64)),
+                    "v": pa.array(np.arange(n, dtype=np.int64)),
+                }
+            ),
+            str(in_dir / name),
+        )
+
+    processed_calls = []
+
+    def process(files, gen_dir):
+        processed_calls.append(list(files))
+        ds = ray.data.read_parquet(files)
+        return write_partitioned(ds, gen_dir, key="doc_id", num_partitions=4)
+
+    land("a.parquet", 0, 100)
+    land("b.parquet", 100, 50)
+    s1 = watermark.run_incremental(str(in_dir), str(out_dir), process)
+    assert s1["n_files"] == 2 and s1["rows"] == 150 and s1["gen"] == 0
+
+    # nothing new -> no-op, process not called again
+    assert watermark.run_incremental(str(in_dir), str(out_dir), process) is None
+    assert len(processed_calls) == 1
+
+    # one new file -> only it is processed, into a NEW generation dir
+    land("c.parquet", 200, 30)
+    s2 = watermark.run_incremental(str(in_dir), str(out_dir), process)
+    assert s2["n_files"] == 1 and s2["rows"] == 30 and s2["gen"] == 1
+    assert processed_calls[1] == [str(in_dir / "c.parquet")]
+    assert os.path.isdir(out_dir / "gen-0000") and os.path.isdir(out_dir / "gen-0001")
+
+    # total routed rows across generations == total landed rows
+    import glob
+
+    parts = sorted(
+        p
+        for g in ("gen-0000", "gen-0001")
+        for p in glob.glob(str(out_dir / g / "data" / "*.parquet"))
+    )
+    total = ray.data.read_parquet(parts).count()
+    assert total == 180
+
+    # mutating a committed landed file raises loudly
+    land("a.parquet", 0, 99)
+    with pytest.raises(ValueError, match="immutable"):
+        watermark.run_incremental(str(in_dir), str(out_dir), process)
