@@ -140,3 +140,67 @@ def test_shingle_hashes_properties(texts):
                 assert np.array_equal(
                     sh[soff[i]:soff[i + 1]], sh[soff[j]:soff[j + 1]]
                 )
+
+
+@given(
+    st.lists(st.integers(-10_000, 10_000), min_size=1, max_size=300),
+    st.lists(st.integers(0, 3), min_size=1, max_size=300),
+    st.integers(0, 40),
+)
+@settings(max_examples=60, deadline=None)
+def test_rolling_minmax_rmq_property(values, keys, window):
+    """The sparse-table RMQ rolling min equals pandas' brute-force frame min
+    for arbitrary values, group layouts and window widths (the exact kernel
+    math from analytics.window_functions, exercised without a Ray session)."""
+    import numpy as np
+    import pandas as pd
+
+    from hypertrace_ingester_ray.stages.grouping import run_boundaries
+
+    n = min(len(values), len(keys))
+    pdf = pd.DataFrame(
+        {
+            "k": np.array(keys[:n], dtype=np.int64),
+            "ord": np.arange(n, dtype=np.int64),
+            "v": np.array(values[:n], dtype=np.int64),
+        }
+    ).sort_values(["k", "ord"], kind="mergesort").reset_index(drop=True)
+
+    # expectation: pandas rolling over the sorted frame (groups contiguous,
+    # group-major order == row order)
+    exp = (
+        pdf.groupby("k", sort=False)["v"]
+        .rolling(window + 1, min_periods=1)
+        .min()
+        .reset_index(level=0, drop=True)
+        .astype("int64")
+        .tolist()
+    )
+
+    karr = pdf["k"].to_numpy()
+    v = pdf["v"].to_numpy()
+    nrows = len(pdf)
+    bounds = run_boundaries(karr)
+    idx = np.arange(nrows, dtype=np.int64)
+    seg_start = np.repeat(bounds[:-1], np.diff(bounds))
+    w = np.maximum(idx - window, seg_start)
+    red = np.minimum
+    levels = [v]
+    span = 1
+    while span * 2 <= window + 1 and span * 2 <= nrows:
+        prev = levels[-1]
+        levels.append(red(prev[:-span], prev[span:]))
+        span *= 2
+    length = idx - w + 1
+    kk = np.zeros(nrows, dtype=np.int64)
+    step = 1
+    for lv in range(1, len(levels)):
+        kk[length >= step * 2] = lv
+        step *= 2
+    half = np.int64(1) << kk
+    got = np.empty(nrows, dtype=v.dtype)
+    for lv, tab in enumerate(levels):
+        m = kk == lv
+        if m.any():
+            got[m] = red(tab[w[m]], tab[idx[m] - half[m] + 1])
+    assert got.tolist() == exp
