@@ -836,8 +836,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bigrams_top50": lambda sf: corpus.ngram_top_k(
             _docs(sf).select_columns(["text"]), n=2, k=50
         ),
+        # data-quality profile: exact per-column nulls + typed min/max
+        "docs_profile": _docs_profile,
     }
     return q
+
+
+def _docs_profile(sf_dir: str):
+    from hypertrace_ingester_ray.stages import analytics
+
+    return analytics.table_profile(
+        _docs(sf_dir), columns=["doc_id", "lang", "source", "n_chars"]
+    )
 
 
 def _order_revenue_skewjoin(sf_dir: str):
@@ -1729,6 +1739,24 @@ FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
 """
     sql["order_revenue_skewjoin"] = sql["order_priority_revenue"]
+    sql["docs_profile"] = """
+SELECT 'doc_id' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       CAST(MIN(doc_id) AS VARCHAR) AS min_value,
+       CAST(MAX(doc_id) AS VARCHAR) AS max_value FROM documents
+UNION ALL
+SELECT 'lang', CAST(count(*) AS BIGINT),
+       CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       MIN(lang), MAX(lang) FROM documents
+UNION ALL
+SELECT 'source', CAST(count(*) AS BIGINT),
+       CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       MIN(source), MAX(source) FROM documents
+UNION ALL
+SELECT 'n_chars', CAST(count(*) AS BIGINT),
+       CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR) FROM documents
+"""
     sql["doc_bigrams_top50"] = """
 WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
 b AS (SELECT unnest(list_transform(range(1, len(toks)),

@@ -48,6 +48,7 @@ __all__ = [
     "group_quantiles",
     "unpivot",
     "group_collect",
+    "table_profile",
 ]
 
 
@@ -534,4 +535,69 @@ def group_collect(
 
     return group_apply(
         ds, keys, _apply, sort_by=list(order_by), num_partitions=num_partitions
+    )
+
+
+def table_profile(ds: Dataset, columns: Optional[Sequence[str]] = None) -> pa.Table:
+    """Data-quality profile: per column, exact row count, null count and
+    typed min/max (stringified in the output so mixed-type columns share one
+    schema).  One column-pruned pass per column — total bytes read equal one
+    full-table scan; per-block partials are combined driver-side on TYPED
+    values (string-ified only at the end, so integer min/max is numeric, not
+    lexicographic).  Driver state = blocks × columns tiny partial rows.
+
+    The approximate companion for distinct counts is
+    ``sketches.hll_distinct``; this profile keeps only exactly-SQL-mirrorable
+    statistics."""
+    import ray as _ray
+
+    cols = list(columns or ds.schema().names)
+    out = {"col_name": [], "n_rows": [], "n_nulls": [], "min_value": [], "max_value": []}
+    for c in cols:
+
+        def _partial(t: pa.Table, col=c) -> pa.Table:
+            arr = t[col]
+            n = len(arr)
+            nulls = arr.null_count
+            valid = arr.drop_null() if nulls else arr
+            if isinstance(valid, pa.ChunkedArray):
+                valid = valid.combine_chunks()
+            if len(valid):
+                mm = pc.min_max(valid)
+                mn, mx = mm["min"], mm["max"]
+            else:
+                mn = mx = pa.scalar(None, t.schema.field(col).type)
+            return pa.table(
+                {
+                    "n": pa.array([n], pa.int64()),
+                    "nulls": pa.array([nulls], pa.int64()),
+                    "mn": pa.array([mn.as_py()], t.schema.field(col).type),
+                    "mx": pa.array([mx.as_py()], t.schema.field(col).type),
+                }
+            )
+
+        parts = pa.concat_tables(
+            t
+            for t in _ray.get(
+                ds.select_columns([c])
+                .map_batches(_partial, batch_format="pyarrow")
+                .to_arrow_refs()
+            )
+            if t.num_rows
+        )
+        mn = pc.min(parts["mn"])
+        mx = pc.max(parts["mx"])
+        out["col_name"].append(c)
+        out["n_rows"].append(int(pc.sum(parts["n"]).as_py() or 0))
+        out["n_nulls"].append(int(pc.sum(parts["nulls"]).as_py() or 0))
+        out["min_value"].append(None if mn.as_py() is None else str(mn.as_py()))
+        out["max_value"].append(None if mx.as_py() is None else str(mx.as_py()))
+    return pa.table(
+        {
+            "col_name": pa.array(out["col_name"], pa.string()),
+            "n_rows": pa.array(out["n_rows"], pa.int64()),
+            "n_nulls": pa.array(out["n_nulls"], pa.int64()),
+            "min_value": pa.array(out["min_value"], pa.string()),
+            "max_value": pa.array(out["max_value"], pa.string()),
+        }
     )

@@ -385,3 +385,68 @@ def sample_video_frames(
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+# ---------------------------------------------------------------------------
+# real resize for decodable formats (nearest-neighbor, pure numpy)
+# ---------------------------------------------------------------------------
+
+
+def resize_pixels(pixels: np.ndarray, max_side: int) -> np.ndarray:
+    """Nearest-neighbor downscale so max(h, w) <= max_side (no-op if already
+    small enough).  Pure-numpy index sampling — no codec library."""
+    h, w = pixels.shape[:2]
+    scale = min(1.0, max_side / max(h, w))
+    if scale >= 1.0:
+        return pixels
+    th, tw = max(int(h * scale), 1), max(int(w * scale), 1)
+    ry = (np.arange(th) * (h / th)).astype(np.int64)
+    rx = (np.arange(tw) * (w / tw)).astype(np.int64)
+    return pixels[ry][:, rx]
+
+
+def resize_media(ds: Dataset, *, max_side: int = 16, batch_size: int = 32) -> Dataset:
+    """REAL resize stage for the decodable formats (BMP / PPM): decode,
+    nearest-neighbor downsample, re-encode in the same format, update the
+    width/height metadata.  Codec formats pass through untouched with
+    ``resized=False`` — the same honest split as ``MediaFeatureExtractor``.
+    """
+
+    def _resize(batch: pa.Table) -> pa.Table:
+        mimes = batch["mime"].to_pylist()
+        payloads, widths, heights, done = [], [], [], []
+        for i, payload in enumerate(batch["payload"]):
+            payload = payload.as_py()
+            mime = mimes[i]
+            try:
+                if mime == "image/bmp":
+                    px = decode_bmp(payload)
+                elif mime == "image/x-portable-pixmap":
+                    px = decode_ppm(payload)
+                else:
+                    raise NotImplementedError
+            except NotImplementedError:
+                payloads.append(payload)
+                widths.append(batch["width"][i].as_py())
+                heights.append(batch["height"][i].as_py())
+                done.append(False)
+                continue
+            out = resize_pixels(px, max_side)
+            payloads.append(
+                encode_bmp(out) if mime == "image/bmp" else encode_ppm(out)
+            )
+            heights.append(out.shape[0])
+            widths.append(out.shape[1])
+            done.append(True)
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "payload": pa.array(payloads, pa.binary()),
+                "mime": batch["mime"],
+                "width": pa.array(np.asarray(widths, dtype=np.int32)),
+                "height": pa.array(np.asarray(heights, dtype=np.int32)),
+                "resized": pa.array(done, pa.bool_()),
+            }
+        )
+
+    return ds.map_batches(_resize, batch_format="pyarrow", batch_size=batch_size)

@@ -456,3 +456,21 @@ def test_binned_quantiles_error_bound(ray_session):
     for _, row in out.iterrows():
         exact = np.quantile(v, row["pct"] / 100.0)
         assert abs(row["value"] - exact) <= 2.0 + 1e-9, (row["pct"], row["value"], exact)
+
+
+def test_table_profile_nulls_and_typed_minmax(ray_session):
+    t = pa.table(
+        {
+            "i": pa.array([9, 10, None, 2], pa.int64()),  # numeric min, not "10"<"2"
+            "s": pa.array(["b", None, None, "a"], pa.string()),
+        }
+    )
+    out = (
+        analytics.table_profile(ray.data.from_arrow(t).repartition(2))
+        .to_pandas()
+        .set_index("col_name")
+    )
+    assert out.loc["i", "n_rows"] == 4 and out.loc["i", "n_nulls"] == 1
+    assert out.loc["i", "min_value"] == "2" and out.loc["i", "max_value"] == "10"
+    assert out.loc["s", "n_nulls"] == 2
+    assert out.loc["s", "min_value"] == "a" and out.loc["s", "max_value"] == "b"

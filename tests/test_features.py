@@ -305,3 +305,38 @@ def test_frame_sampler_stride_and_features(ray_session):
     f0, f4 = np.array(one.iloc[0]["features"]), np.array(one.iloc[1]["features"])
     assert len(f0) == mm.FEATURE_DIM
     assert not np.allclose(f0, f4)
+
+
+def test_resize_media_real_roundtrip(ray_session):
+    """Resize REALLY decodes, downsamples and re-encodes BMP payloads; the
+    resized payload decodes to the expected dims and sampled pixels."""
+    import numpy as np
+    import ray.data
+
+    from hypertrace_ingester_ray.stages import multimodal as mm
+
+    media = mm.synthesize_bmp_media(6, seed=11, width=32, height=24)
+    out = (
+        mm.resize_media(ray.data.from_arrow(media), max_side=8)
+        .to_pandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    assert out["resized"].all()
+    assert (np.maximum(out["width"], out["height"]) <= 8).all()
+    # decode a resized payload and check exact nearest-neighbor pixels
+    src = mm.decode_bmp(media["payload"][0].as_py())
+    exp = mm.resize_pixels(src, 8)
+    got = mm.decode_bmp(out.iloc[0]["payload"])
+    assert np.array_equal(got, exp)
+
+
+def test_resize_media_codec_passthrough(ray_session):
+    import ray.data
+
+    from hypertrace_ingester_ray.stages import multimodal as mm
+
+    stub = mm.synthesize_media(4, seed=2)  # image/png payloads
+    out = mm.resize_media(ray.data.from_arrow(stub), max_side=8).to_pandas()
+    assert not out["resized"].any()
+    assert out["width"].tolist() == stub["width"].to_pylist()
