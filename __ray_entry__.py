@@ -642,6 +642,19 @@ def _video_frame_features(sf_dir: str):
     ).select_columns(["media_id", "frame_idx"])
 
 
+def _audio_clip_features(sf_dir: str):
+    """Actor-pool audio stage over deterministic synthetic PCM16 WAV clips:
+    real RIFF parse, real rFFT spectral features (multimodal.py)."""
+    import ray.data
+
+    from hypertrace_ingester_ray.stages import multimodal
+
+    clips = multimodal.synthesize_wav_media(60)
+    return multimodal.extract_audio_features(
+        ray.data.from_arrow(clips), batch_size=16
+    ).select_columns(["media_id"])
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -734,6 +747,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # REAL video frame sampling: concatenated-PPM clips split and
         # decoded per frame (rows-only: binary container, not SQL data)
         "video_frame_features": _video_frame_features,
+        # REAL audio: PCM16 WAV decode + spectral features (rows-only)
+        "audio_clip_features": _audio_clip_features,
         "conv_rollup_salted": _conv_rollup_salted,
         "docs_clean": lambda sf: __import__(
             "hypertrace_ingester_ray.pipelines.docs", fromlist=["clean_documents"]

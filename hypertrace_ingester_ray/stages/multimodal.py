@@ -450,3 +450,128 @@ def resize_media(ds: Dataset, *, max_side: int = 16, batch_size: int = 32) -> Da
         )
 
     return ds.map_batches(_resize, batch_format="pyarrow", batch_size=batch_size)
+
+
+# ---------------------------------------------------------------------------
+# real audio: PCM16 WAV (codec-free) decode + features
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """(n,) int16 mono PCM → RIFF/WAVE bytes (PCM16, codec-free)."""
+    import struct
+
+    data = samples.astype("<i2").tobytes()
+    n = len(data)
+    hdr = b"RIFF" + struct.pack("<I", 36 + n) + b"WAVE"
+    fmt = b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16
+    )
+    return hdr + fmt + b"data" + struct.pack("<I", n) + data
+
+
+def decode_wav(payload: bytes):
+    """RIFF/WAVE PCM16 mono bytes → (samples int16 ndarray, sample_rate).
+    Walks RIFF chunks (fmt/data may be preceded by LIST etc.); raises on
+    non-PCM16 or truncated payloads."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, sample_rate, bits, channels, data = 12, None, None, None, None
+    n_pay = len(payload)
+    while pos + 8 <= n_pay:
+        cid = payload[pos : pos + 4]
+        (clen,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            fmt_tag, channels, sample_rate = struct.unpack_from("<HHI", body, 0)
+            (bits,) = struct.unpack_from("<H", body, 14)
+            if fmt_tag != 1:
+                raise ValueError(f"unsupported WAV format tag {fmt_tag} (PCM only)")
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if sample_rate is None or data is None:
+        raise ValueError("truncated WAV: missing fmt/data chunk")
+    if bits != 16 or channels != 1:
+        raise ValueError(f"unsupported WAV layout (bits={bits}, channels={channels})")
+    return np.frombuffer(data, dtype="<i2"), sample_rate
+
+
+def audio_features(samples: np.ndarray, sample_rate: int) -> np.ndarray:
+    """Real audio features: duration, RMS, zero-crossing rate, dominant
+    frequency (rFFT argmax) and 4-band spectral energy fractions — 8 dims."""
+    x = samples.astype(np.float64) / 32768.0
+    n = max(len(x), 1)
+    rms = float(np.sqrt(np.mean(x * x))) if len(x) else 0.0
+    zcr = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) if len(x) > 1 else 0.0
+    spec = np.abs(np.fft.rfft(x)) if len(x) else np.zeros(1)
+    freqs = np.fft.rfftfreq(n, 1.0 / sample_rate)
+    dom = float(freqs[int(np.argmax(spec[1:])) + 1]) if len(spec) > 1 else 0.0
+    power = spec * spec
+    total = float(power.sum()) or 1.0
+    edges = np.array([0.0, 250.0, 1000.0, 4000.0, sample_rate / 2 + 1])
+    bands = [
+        float(power[(freqs >= lo) & (freqs < hi)].sum()) / total
+        for lo, hi in zip(edges[:-1], edges[1:])
+    ]
+    return np.array([n / sample_rate, rms, zcr, dom] + bands, dtype=np.float64)
+
+
+def synthesize_wav_media(
+    n: int, *, seed: int = 19, sample_rate: int = 8000, duration_s: float = 0.25
+) -> pa.Table:
+    """Deterministic REAL-audio table: each clip is a distinct-frequency sine
+    plus noise, PCM16 WAV encoded (so decode + dominant-frequency detection
+    are genuinely testable)."""
+    rng = np.random.default_rng(seed)
+    n_samp = int(sample_rate * duration_s)
+    t = np.arange(n_samp) / sample_rate
+    payloads, freqs = [], []
+    for i in range(n):
+        f = 200.0 + 150.0 * (i % 20)
+        wave = 0.6 * np.sin(2 * np.pi * f * t) + rng.normal(0, 0.02, n_samp)
+        payloads.append(
+            encode_wav((np.clip(wave, -1, 1) * 32767).astype(np.int16), sample_rate)
+        )
+        freqs.append(f)
+    return pa.table(
+        {
+            "media_id": pa.array(np.arange(n, dtype=np.int64)),
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": pa.array(["audio/wav"] * n, pa.string()),
+            "true_freq": pa.array(np.asarray(freqs, np.float64)),
+        }
+    )
+
+
+class AudioFeatureExtractor:
+    """Actor-pool stage: REAL WAV decode + spectral features per clip (the
+    audio analog of MediaFeatureExtractor's decodable path; compressed
+    audio formats belong behind the optional-codec seam)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = []
+        for payload in batch["payload"]:
+            samples, sr = decode_wav(payload.as_py())
+            feats.append(audio_features(samples, sr))
+        arr = np.stack(feats) if feats else np.zeros((0, 8))
+        flat = pa.array(arr.reshape(-1))
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "feature": pa.FixedSizeListArray.from_arrays(flat, 8),
+            }
+        )
+
+
+def extract_audio_features(
+    ds: Dataset, *, batch_size: int = 32, concurrency=(1, 4)
+) -> Dataset:
+    return ds.map_batches(
+        AudioFeatureExtractor,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -340,3 +340,53 @@ def test_resize_media_codec_passthrough(ray_session):
     out = mm.resize_media(ray.data.from_arrow(stub), max_side=8).to_pandas()
     assert not out["resized"].any()
     assert out["width"].tolist() == stub["width"].to_pylist()
+
+
+def test_wav_roundtrip_and_dominant_freq(ray_session):
+    import numpy as np
+
+    from hypertrace_ingester_ray.stages import multimodal as mm
+
+    sr = 8000
+    t = np.arange(2000) / sr
+    wave = (0.5 * np.sin(2 * np.pi * 440.0 * t) * 32767).astype(np.int16)
+    payload = mm.encode_wav(wave, sr)
+    got, got_sr = mm.decode_wav(payload)
+    assert got_sr == sr and np.array_equal(got, wave)
+    feats = mm.audio_features(got, got_sr)
+    assert abs(feats[3] - 440.0) < 8.0  # dominant frequency within one bin
+    assert feats[0] == 2000 / sr  # duration
+
+
+def test_audio_feature_stage_detects_frequencies(ray_session):
+    import numpy as np
+    import ray.data
+
+    from hypertrace_ingester_ray.stages import multimodal as mm
+
+    clips = mm.synthesize_wav_media(10)
+    out = (
+        mm.extract_audio_features(ray.data.from_arrow(clips), batch_size=4)
+        .to_pandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    true = clips["true_freq"].to_numpy()
+    dom = np.array([f[3] for f in out["feature"]])
+    assert np.all(np.abs(dom - true) < 20.0), list(zip(dom, true))
+
+
+def test_decode_wav_rejects_non_pcm(ray_session):
+    import pytest
+
+    from hypertrace_ingester_ray.stages import multimodal as mm
+
+    with pytest.raises(ValueError, match="RIFF"):
+        mm.decode_wav(b"nope")
+    # PCM float tag rejected loudly
+    import struct
+
+    bad = bytearray(mm.encode_wav(__import__("numpy").zeros(4, dtype="int16")))
+    struct.pack_into("<H", bad, 20, 3)  # fmt tag = IEEE float
+    with pytest.raises(ValueError, match="format tag"):
+        mm.decode_wav(bytes(bad))
