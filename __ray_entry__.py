@@ -1210,8 +1210,12 @@ def _events_rank_dollar(sf_dir: str):
         order_col="dollar",
         rank="rnk",
         dense_rank="dense_rnk",
+        percent_rank="pct_rnk",
+        cume_dist="cume",
         num_partitions=8,
-    ).select_columns(["event_id", "event_type", "dollar", "rnk", "dense_rnk"])
+    ).select_columns(
+        ["event_id", "event_type", "dollar", "rnk", "dense_rnk", "pct_rnk", "cume"]
+    )
 
 
 def _events_sessionized(sf_dir: str):
@@ -1298,8 +1302,8 @@ def _conv_turn_lag(sf_dir: str):
         ds.map_batches(_prep, batch_format="pyarrow"),
         key="conv_id",
         order_col="turn_idx",
-        lag={"prev_role": "role", "_prev_ts": "ts"},
-        lead={"next_role": "role"},
+        lag={"prev_role": "role", "_prev_ts": "ts", "prev3_role": ("role", 3)},
+        lead={"next_role": "role", "next2_role": ("role", 2)},
         cumsum={"running_chars": "_nchars"},
         row_number="rn",
         num_partitions=16,
@@ -1311,7 +1315,9 @@ def _conv_turn_lag(sf_dir: str):
                 "conv_id": t["conv_id"],
                 "turn_idx": t["turn_idx"],
                 "prev_role": t["prev_role"],
+                "prev3_role": t["prev3_role"],
                 "next_role": t["next_role"],
+                "next2_role": t["next2_role"],
                 "gap_us": pc.cast(
                     pc.subtract(t["ts"], t["_prev_ts"]), pa.int64()
                 ),
@@ -2004,7 +2010,9 @@ WHERE doc_id NOT IN (SELECT doc_id FROM documents WHERE doc_id % 50 = 0)
 WITH {TRANSCRIPTS_CTE}
 SELECT conv_id, turn_idx,
   LAG(role) OVER w AS prev_role,
+  LAG(role, 3) OVER w AS prev3_role,
   LEAD(role) OVER w AS next_role,
+  LEAD(role, 2) OVER w AS next2_role,
   epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS gap_us,
   CAST(SUM(length(text)) OVER (PARTITION BY conv_id ORDER BY turn_idx
        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_chars,
@@ -2045,7 +2053,9 @@ WITH c AS (SELECT event_id, event_type,
            FROM events)
 SELECT event_id, event_type, dollar,
   CAST(RANK() OVER w AS BIGINT) AS rnk,
-  CAST(DENSE_RANK() OVER w AS BIGINT) AS dense_rnk
+  CAST(DENSE_RANK() OVER w AS BIGINT) AS dense_rnk,
+  PERCENT_RANK() OVER w AS pct_rnk,
+  CUME_DIST() OVER w AS cume
 FROM c
 WINDOW w AS (PARTITION BY event_type ORDER BY dollar)
 """

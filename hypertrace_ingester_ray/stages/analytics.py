@@ -70,13 +70,16 @@ def window_functions(
     rank: Optional[str] = None,
     dense_rank: Optional[str] = None,
     ntile: Optional[tuple] = None,
+    percent_rank: Optional[str] = None,
+    cume_dist: Optional[str] = None,
     num_partitions: int = DEFAULT_NUM_PARTITIONS,
 ) -> Dataset:
     """SQL window functions over ``PARTITION BY key ORDER BY order_col
     [, *order_extra]``.
 
-    ``lag`` / ``lead`` map output-column → source-column (offset 1, NULL at
-    group edges); ``cumsum`` maps output → source (inclusive running sum,
+    ``lag`` / ``lead`` map output-column → source-column or ``(source,
+    offset)`` (default offset 1; NULL where the offset crosses the group
+    edge); ``cumsum`` maps output → source (inclusive running sum,
     NULLs treated as 0 like SQL ``SUM OVER``); ``row_number`` names a 1-based
     rank column; ``rolling`` maps output → ``(source, n_preceding, agg)``
     with agg in {sum, mean, min, max, count} over the SQL frame ``ROWS
@@ -106,24 +109,23 @@ def window_functions(
         ends[bounds[1:] - 1] = True
         idx = np.arange(n, dtype=np.int64)
         out = part
-        if lag:
-            take_prev = pa.array(np.maximum(idx - 1, 0))
-            mask = pa.array(starts)
-            for out_name, src in lag.items():
-                arr = part[src].combine_chunks()
-                out = out.append_column(
-                    out_name,
-                    pc.if_else(mask, pa.scalar(None, arr.type), arr.take(take_prev)),
-                )
-        if lead:
-            take_next = pa.array(np.minimum(idx + 1, n - 1))
-            mask = pa.array(ends)
-            for out_name, src in lead.items():
-                arr = part[src].combine_chunks()
-                out = out.append_column(
-                    out_name,
-                    pc.if_else(mask, pa.scalar(None, arr.type), arr.take(take_next)),
-                )
+        if lag or lead:
+            seg_start_l = np.repeat(bounds[:-1], np.diff(bounds))
+            seg_end_l = np.repeat(bounds[1:], np.diff(bounds))
+            for spec, sign in ((lag, -1), (lead, +1)):
+                for out_name, src in spec.items():
+                    src, off = src if isinstance(src, tuple) else (src, 1)
+                    shift = sign * off
+                    tgt = idx + shift
+                    oob = (tgt < seg_start_l) | (tgt >= seg_end_l)
+                    take = pa.array(np.clip(tgt, 0, n - 1))
+                    arr = part[src].combine_chunks()
+                    out = out.append_column(
+                        out_name,
+                        pc.if_else(
+                            pa.array(oob), pa.scalar(None, arr.type), arr.take(take)
+                        ),
+                    )
         for out_name, src in cumsum.items():
             v = part[src].to_numpy(zero_copy_only=False)
             v = np.where(np.asarray(pc.is_null(part[src])), 0, v).astype(np.int64)
@@ -135,13 +137,28 @@ def window_functions(
         seg_start = np.repeat(bounds[:-1], np.diff(bounds))
         if row_number:
             out = out.append_column(row_number, pa.array(idx - seg_start + 1))
-        if rank or dense_rank:
+        if rank or dense_rank or percent_rank or cume_dist:
             vb = run_boundaries(*_np_cols(part, keys + [order_col]))
             vrun = np.searchsorted(vb[:-1], idx, side="right") - 1
+            rank_arr = vb[:-1][vrun] - seg_start + 1
             if rank:
-                out = out.append_column(
-                    rank, pa.array(vb[:-1][vrun] - seg_start + 1)
-                )
+                out = out.append_column(rank, pa.array(rank_arr))
+            if percent_rank or cume_dist:
+                cnt = np.repeat(np.diff(bounds), np.diff(bounds))
+                if percent_rank:
+                    out = out.append_column(
+                        percent_rank,
+                        pa.array(
+                            np.where(
+                                cnt > 1, (rank_arr - 1) / np.maximum(cnt - 1, 1), 0.0
+                            )
+                        ),
+                    )
+                if cume_dist:
+                    # rows with value <= current = end of this value-run
+                    out = out.append_column(
+                        cume_dist, pa.array((vb[1:][vrun] - seg_start) / cnt)
+                    )
             if dense_rank:
                 # value-run ordinal within the key segment: run index minus
                 # the run index at the segment's first row
