@@ -853,6 +853,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         # data-quality profile: exact per-column nulls + typed min/max
         "docs_profile": _docs_profile,
+        # the full training-corpus-prep chain (quality -> dedup ->
+        # decontaminate -> split), value-checked by ONE composed oracle
+        "corpus_prep": lambda sf: __import__(
+            "hypertrace_ingester_ray.pipelines.docs", fromlist=["corpus_prep"]
+        ).corpus_prep(sf),
     }
     return q
 
@@ -1760,6 +1765,47 @@ FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
 """
     sql["order_revenue_skewjoin"] = sql["order_priority_revenue"]
+    # the WHOLE corpus-prep chain in one composed oracle: quality filter ->
+    # exact dedup -> 3-gram decontamination vs the eval subset -> hash split
+    sql["corpus_prep"] = """
+WITH clean AS (
+  SELECT MIN(doc_id) AS doc_id, text,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+    COUNT(*) AS n_copies
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 10
+  GROUP BY text
+),
+toks AS (
+  SELECT doc_id, list_distinct(list_transform(
+    generate_series(1, GREATEST(len(string_split(text, ' ')) - 2, 1)),
+    i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')
+  )) AS sh FROM clean
+),
+bench AS (
+  SELECT list_distinct(flatten(list(sh))) AS bsh FROM (
+    SELECT list_distinct(list_transform(
+      generate_series(1, GREATEST(len(string_split(text, ' ')) - 2, 1)),
+      i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')
+    )) AS sh FROM documents WHERE doc_id % 50 = 0
+  )
+),
+kept AS (
+  SELECT t.doc_id FROM toks t CROSS JOIN bench
+  WHERE len(list_intersect(t.sh, bsh)) * 1000 // GREATEST(len(t.sh), 1) < 500
+),
+b AS (
+  SELECT c.doc_id, c.n_tokens, c.n_copies,
+    CAST((CAST(c.doc_id AS HUGEINT) * 2654435761) % 4294967296 % 100 AS BIGINT)
+      AS bucket
+  FROM clean c JOIN kept USING (doc_id)
+)
+SELECT doc_id, n_tokens, n_copies,
+  CASE WHEN bucket < 90 THEN 'train'
+       WHEN bucket < 95 THEN 'val'
+       ELSE 'test' END AS split
+FROM b
+"""
     sql["docs_profile"] = """
 SELECT 'doc_id' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
        CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,

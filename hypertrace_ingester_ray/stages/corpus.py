@@ -24,7 +24,7 @@ operator.
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 import pyarrow as pa
@@ -225,10 +225,12 @@ def decontaminate(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_k: int = 3,
+    keep_cols: Optional[Sequence[str]] = None,
 ) -> Dataset:
     """Benchmark decontamination: for every corpus document, count its
     distinct word-``k``-gram shingles and how many also occur in the
     benchmark/eval set; emit ``overlap_x1000`` for thresholding.
+    ``keep_cols`` pass through unchanged (for chaining).
 
     Scale shape: the benchmark side is small by definition (an eval set) —
     its distinct shingle-hash set is reduced per-block, unioned once on the
@@ -253,16 +255,17 @@ def decontaminate(
         sh, soff = shingle_hashes(batch[text_col], shingle_k)
         hit = np.isin(sh, bench)
         n_sh, n_ov = _distinct_per_segment(sh, soff, hit)
-        return pa.table(
-            {
-                id_col: batch[id_col],
-                "n_shingles": pa.array(n_sh, pa.int64()),
-                "n_overlap": pa.array(n_ov, pa.int64()),
-                "overlap_x1000": pa.array(
-                    n_ov * 1000 // np.maximum(n_sh, 1), pa.int64()
-                ),
-            }
-        )
+        cols = {
+            id_col: batch[id_col],
+            "n_shingles": pa.array(n_sh, pa.int64()),
+            "n_overlap": pa.array(n_ov, pa.int64()),
+            "overlap_x1000": pa.array(
+                n_ov * 1000 // np.maximum(n_sh, 1), pa.int64()
+            ),
+        }
+        for c in keep_cols or ():
+            cols[c] = batch[c]
+        return pa.table(cols)
 
     return ds.map_batches(_check, batch_format="pyarrow")
 
