@@ -178,6 +178,10 @@ def run_queries() -> dict:
     timed("doc_dedup_exact", lambda: dedup.exact_dedup(docs(), num_partitions=16))
     timed("doc_minhash_pairs", lambda: dedup.minhash_lsh_pairs(docs(), num_partitions=16))
     timed("doc_lang_id", lambda: text_analysis.lang_id(docs()))
+
+    from hypertrace_ingester_ray.pipelines.docs import corpus_prep
+
+    timed("corpus_prep", lambda: corpus_prep(SF_DIR))
     return timings
 
 
