@@ -858,8 +858,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_prep": lambda sf: __import__(
             "hypertrace_ingester_ray.pipelines.docs", fromlist=["corpus_prep"]
         ).corpus_prep(sf),
+        # gaps-and-islands: merge overlapping 30-min activity intervals
+        # per user (segmented running-max via log-round doubling)
+        "user_activity_islands": _user_activity_islands,
     }
     return q
+
+
+def _user_activity_islands(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hypertrace_ingester_ray.stages import analytics
+
+    ds = _rpq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id"],
+    )
+
+    def _prep(t: pa.Table) -> pa.Table:
+        s = pc.cast(t["ts"], pa.int64())
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "event_id": t["event_id"],
+                "s": s,
+                "e": pc.add(s, pa.scalar(1_800_000_000, pa.int64())),
+            }
+        )
+
+    out = analytics.merge_intervals(
+        ds.map_batches(_prep, batch_format="pyarrow"),
+        key="user_id",
+        start_col="s",
+        end_col="e",
+        order_extra=["event_id"],
+        num_partitions=16,
+    )
+    return out.map_batches(
+        lambda t: t.rename_columns(
+            ["user_id", "island_seq", "island_start", "island_end", "n_rows"]
+        ),
+        batch_format="pyarrow",
+    )
 
 
 def _docs_profile(sf_dir: str):
@@ -1765,6 +1806,32 @@ FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
 """
     sql["order_revenue_skewjoin"] = sql["order_priority_revenue"]
+    sql["user_activity_islands"] = """
+WITH iv AS (
+  SELECT user_id, event_id, epoch_us(ts) AS s,
+         epoch_us(ts) + 1800000000 AS e
+  FROM events
+),
+m AS (
+  SELECT user_id, s, e,
+    MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max,
+    event_id
+  FROM iv
+),
+g AS (
+  SELECT user_id, s, e,
+    SUM(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END)
+      OVER (PARTITION BY user_id ORDER BY s, event_id
+            ROWS UNBOUNDED PRECEDING) AS island_seq
+  FROM m
+)
+SELECT user_id, CAST(island_seq AS BIGINT) AS island_seq,
+  CAST(MIN(s) AS BIGINT) AS island_start,
+  CAST(MAX(e) AS BIGINT) AS island_end,
+  CAST(count(*) AS BIGINT) AS n_rows
+FROM g GROUP BY user_id, island_seq
+"""
     # the WHOLE corpus-prep chain in one composed oracle: quality filter ->
     # exact dedup -> 3-gram decontamination vs the eval subset -> hash split
     sql["corpus_prep"] = """

@@ -49,11 +49,32 @@ __all__ = [
     "unpivot",
     "group_collect",
     "table_profile",
+    "merge_intervals",
+    "segmented_running",
 ]
 
 
 def _np_cols(part: pa.Table, cols: Sequence[str]):
     return [part[c].to_numpy(zero_copy_only=False) for c in cols]
+
+
+def segmented_running(red, v: np.ndarray, seg_start: np.ndarray) -> np.ndarray:
+    """Segment-aware prefix reduction (running max/min): guarded
+    Hillis-Steele doubling — after k rounds position i covers
+    ``[max(seg_start_i, i-2^k+1), i]``, converging to the full segment
+    prefix in log2(n) rounds with no per-segment Python loop.  ``red`` is
+    ``np.maximum`` or ``np.minimum``; ``seg_start`` is the per-row segment
+    start index."""
+    acc = v.copy()
+    n = len(acc)
+    shift = 1
+    while shift < n:
+        tgt = np.arange(shift, n)
+        ok = (tgt - shift) >= seg_start[shift:]
+        sel = tgt[ok]
+        acc[sel] = red(acc[sel], acc[sel - shift])
+        shift *= 2
+    return acc
 
 
 def window_functions(
@@ -65,6 +86,8 @@ def window_functions(
     lag: Optional[Dict[str, str]] = None,
     lead: Optional[Dict[str, str]] = None,
     cumsum: Optional[Dict[str, str]] = None,
+    cummax: Optional[Dict[str, str]] = None,
+    cummin: Optional[Dict[str, str]] = None,
     row_number: Optional[str] = None,
     rolling: Optional[Dict[str, tuple]] = None,
     rank: Optional[str] = None,
@@ -96,6 +119,8 @@ def window_functions(
     lag = dict(lag or {})
     lead = dict(lead or {})
     cumsum = dict(cumsum or {})
+    cummax = dict(cummax or {})
+    cummin = dict(cummin or {})
     rolling = dict(rolling or {})
 
     def _apply(part: pa.Table) -> pa.Table:
@@ -135,6 +160,19 @@ def window_functions(
             )
             out = out.append_column(out_name, pa.array(c - base))
         seg_start = np.repeat(bounds[:-1], np.diff(bounds))
+        if cummax or cummin:
+            for spec, red in ((cummax, np.maximum), (cummin, np.minimum)):
+                for out_name, src in spec.items():
+                    v = part[src].to_numpy(zero_copy_only=False)
+                    out_type = part[src].type if v.dtype.kind == "M" else None
+                    acc = segmented_running(
+                        red, v.view(np.int64) if v.dtype.kind == "M" else v,
+                        seg_start,
+                    )
+                    col = pa.array(acc)
+                    if out_type is not None:
+                        col = col.cast(out_type)
+                    out = out.append_column(out_name, col)
         if row_number:
             out = out.append_column(row_number, pa.array(idx - seg_start + 1))
         if rank or dense_rank or percent_rank or cume_dist:
@@ -617,4 +655,70 @@ def table_profile(ds: Dataset, columns: Optional[Sequence[str]] = None) -> pa.Ta
             "min_value": pa.array(out["min_value"], pa.string()),
             "max_value": pa.array(out["max_value"], pa.string()),
         }
+    )
+
+
+def merge_intervals(
+    ds: Dataset,
+    *,
+    key: Union[str, Sequence[str]],
+    start_col: str,
+    end_col: str,
+    order_extra: Optional[Sequence[str]] = None,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+) -> Dataset:
+    """Merge overlapping/touching intervals per key (the gaps-and-islands
+    problem): one output row per maximal run of intervals where each starts
+    no later than the running max of the previous ends.  Output:
+    ``key, island_seq, island_start, island_end, n_rows``.
+
+    Vectorized per partition: :func:`segmented_running` computes the
+    running end-max in log2(n) passes, a shifted compare marks island
+    starts, and a segmented cumsum numbers them — no per-key loop.  One
+    hash exchange; intervals of one key co-locate (the usual group_apply
+    contract).  Timestamp columns work natively (int64 view)."""
+    keys = [key] if isinstance(key, str) else list(key)
+
+    def _apply(part: pa.Table) -> pa.Table:
+        n = part.num_rows
+        empty = {
+            **{k: part[k].slice(0, 0) for k in keys},
+            "island_seq": pa.array([], pa.int64()),
+            "island_start": part[start_col].slice(0, 0),
+            "island_end": part[end_col].slice(0, 0),
+            "n_rows": pa.array([], pa.int64()),
+        }
+        if n == 0:
+            return pa.table(empty)
+        bounds = run_boundaries(*_np_cols(part, keys))
+        seg_start = np.repeat(bounds[:-1], np.diff(bounds))
+        sv = part[start_col].to_numpy(zero_copy_only=False)
+        ev = part[end_col].to_numpy(zero_copy_only=False)
+        s_type, e_type = part[start_col].type, part[end_col].type
+        if sv.dtype.kind == "M":
+            sv, ev = sv.view(np.int64), ev.view(np.int64)
+        run_end = segmented_running(np.maximum, ev, seg_start)
+        new_island = np.ones(n, dtype=bool)
+        inside = np.arange(n) > seg_start  # not the first row of its key
+        new_island[inside] = sv[inside] > run_end[np.flatnonzero(inside) - 1]
+        ib = np.flatnonzero(new_island)
+        ib = np.concatenate((ib, [n]))
+        firsts, lasts = ib[:-1], ib[1:] - 1
+        # island_seq: ordinal of the island within its key
+        key_first_island = np.searchsorted(ib[:-1], bounds[:-1], side="left")
+        island_key_seg = np.searchsorted(bounds[:-1], firsts, side="right") - 1
+        seq = np.arange(len(firsts)) - key_first_island[island_key_seg] + 1
+        out = {k: part[k].take(pa.array(firsts)) for k in keys}
+        out["island_seq"] = pa.array(seq.astype(np.int64))
+        out["island_start"] = pa.array(sv[firsts]).cast(s_type)
+        out["island_end"] = pa.array(run_end[lasts]).cast(e_type)
+        out["n_rows"] = pa.array((ib[1:] - ib[:-1]).astype(np.int64))
+        return pa.table(out)
+
+    return group_apply(
+        ds,
+        keys,
+        _apply,
+        sort_by=[start_col] + list(order_extra or []),
+        num_partitions=num_partitions,
     )

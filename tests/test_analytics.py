@@ -474,3 +474,61 @@ def test_table_profile_nulls_and_typed_minmax(ray_session):
     assert out.loc["i", "min_value"] == "2" and out.loc["i", "max_value"] == "10"
     assert out.loc["s", "n_nulls"] == 2
     assert out.loc["s", "min_value"] == "a" and out.loc["s", "max_value"] == "b"
+
+
+def test_cummax_cummin_window(ray_session):
+    pdf = pd.DataFrame(
+        {
+            "k": ["a"] * 5 + ["b"] * 3,
+            "o": list(range(5)) + list(range(3)),
+            "v": [3, 1, 4, 1, 5, 9, 2, 6],
+        }
+    )
+    out = (
+        analytics.window_functions(
+            ray.data.from_pandas(pdf).repartition(2),
+            key="k",
+            order_col="o",
+            cummax={"mx": "v"},
+            cummin={"mn": "v"},
+            num_partitions=2,
+        )
+        .to_pandas()
+        .sort_values(["k", "o"])
+        .reset_index(drop=True)
+    )
+    assert out["mx"].tolist() == [3, 3, 4, 4, 5, 9, 9, 9]
+    assert out["mn"].tolist() == [3, 1, 1, 1, 1, 9, 2, 2]
+
+
+def test_merge_intervals_islands(ray_session):
+    pdf = pd.DataFrame(
+        {
+            "k": [1, 1, 1, 1, 2],
+            "eid": [0, 1, 2, 3, 4],
+            # [0,10] [5,8] [9,12] | [20,25]  then key2: [0,1]
+            "s": [0, 5, 9, 20, 0],
+            "e": [10, 8, 12, 25, 1],
+        }
+    )
+    out = (
+        analytics.merge_intervals(
+            ray.data.from_pandas(pdf).repartition(2),
+            key="k",
+            start_col="s",
+            end_col="e",
+            order_extra=["eid"],
+            num_partitions=2,
+        )
+        .to_pandas()
+        .sort_values(["k", "island_seq"])
+        .reset_index(drop=True)
+    )
+    assert out[["k", "island_seq", "island_start", "island_end", "n_rows"]].values.tolist() == [
+        [1, 1, 0, 12, 3],
+        [1, 2, 20, 25, 1],
+        [2, 1, 0, 1, 1],
+    ]
+    # a contained interval ([5,8] inside [0,10]) must not split the island
+    # even though its end is lower than the running max — covered above
+
