@@ -861,6 +861,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # gaps-and-islands: merge overlapping 30-min activity intervals
         # per user (segmented running-max via log-round doubling)
         "user_activity_islands": _user_activity_islands,
+        # ordered funnel (nested first-occurrence-after walk, k passes)
+        "user_funnel": _user_funnel,
+        # cohort retention matrix (distinct-pair dedup inside the partition)
+        "user_retention": _user_retention,
+        # exact distributed z-score outliers (integer fixed-point, isqrt
+        # cutoffs on the driver, broadcast filter — zero shuffles)
+        "event_value_outliers": _event_value_outliers,
     }
     return q
 
@@ -908,6 +915,58 @@ def _docs_profile(sf_dir: str):
 
     return analytics.table_profile(
         _docs(sf_dir), columns=["doc_id", "lang", "source", "n_chars"]
+    )
+
+
+def _user_funnel(sf_dir: str):
+    """Ordered funnel signup -> view -> purchase per user (strict-after
+    semantics, stages/analytics.funnel)."""
+    from hypertrace_ingester_ray.stages import analytics
+
+    return analytics.funnel(
+        _rpq(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "ts", "event_type"],
+        ),
+        key="user_id",
+        ts_col="ts",
+        stage_col="event_type",
+        stages=["signup", "view", "purchase"],
+        num_partitions=16,
+    )
+
+
+def _user_retention(sf_dir: str):
+    """Cohort retention: distinct users active N days after their
+    first-event day (stages/analytics.retention)."""
+    from hypertrace_ingester_ray.stages import analytics
+
+    return analytics.retention(
+        _rpq(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "ts"],
+        ),
+        key="user_id",
+        ts_col="ts",
+        num_partitions=16,
+    )
+
+
+def _event_value_outliers(sf_dir: str):
+    """Exact per-type z-score outliers (value > mean + 2*stddev_pop),
+    integer fixed-point arithmetic end to end
+    (stages/analytics.group_zscore_outliers)."""
+    from hypertrace_ingester_ray.stages import analytics
+
+    return analytics.group_zscore_outliers(
+        _rpq(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_id", "event_type", "value"],
+        ),
+        key="event_type",
+        value_col="value",
+        keep_cols=["event_id", "event_type"],
+        sigma=2,
     )
 
 
@@ -2387,6 +2446,56 @@ FROM a2 a JOIN a2 b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
 JOIN e ea ON ea.vec_id = a.vec_id
 JOIN e eb ON eb.vec_id = b.vec_id
 WHERE list_cosine_similarity(ea.v, eb.v) >= 0.30
+"""
+    # ordered funnel: nested MIN(ts)-strictly-after chain, one row per user
+    sql["user_funnel"] = """
+WITH s1 AS (SELECT user_id, MIN(ts) AS ts_signup FROM events
+            WHERE event_type = 'signup' GROUP BY user_id),
+s2 AS (SELECT e.user_id, MIN(e.ts) AS ts_view FROM events e
+       JOIN s1 USING (user_id)
+       WHERE e.event_type = 'view' AND e.ts > s1.ts_signup GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, MIN(e.ts) AS ts_purchase FROM events e
+       JOIN s2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts > s2.ts_view
+       GROUP BY e.user_id)
+SELECT u.user_id,
+  CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3
+            WHEN s2.user_id IS NOT NULL THEN 2
+            WHEN s1.user_id IS NOT NULL THEN 1
+            ELSE 0 END AS BIGINT) AS stages_completed,
+  s1.ts_signup, s2.ts_view, s3.ts_purchase
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN s1 USING (user_id)
+LEFT JOIN s2 USING (user_id)
+LEFT JOIN s3 USING (user_id)
+"""
+    # cohort retention: cohort day = UTC day of the user's first event
+    sql["user_retention"] = """
+WITH f AS (SELECT user_id, MIN(date_trunc('day', ts)) AS cohort_day
+           FROM events GROUP BY user_id),
+a AS (SELECT DISTINCT e.user_id, f.cohort_day,
+        datediff('day', f.cohort_day, date_trunc('day', e.ts)) AS day_offset
+      FROM events e JOIN f USING (user_id))
+SELECT cohort_day, CAST(day_offset AS BIGINT) AS day_offset,
+  COUNT(*) AS n_users
+FROM a GROUP BY cohort_day, day_offset
+"""
+    # exact z-score outliers: the integer fixed-point criterion mirrored in
+    # HUGEINT — (v*n - S) > 0 AND (v*n - S)^2 > sigma^2 * (n*Q - S^2)
+    sql["event_value_outliers"] = """
+WITH cents AS (
+  SELECT event_id, event_type, CAST(FLOOR(value * 100) AS HUGEINT) AS v
+  FROM events
+),
+st AS (
+  SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n, SUM(v) AS s,
+         SUM(v * v) AS q
+  FROM cents GROUP BY event_type
+)
+SELECT c.event_id, c.event_type
+FROM cents c JOIN st USING (event_type)
+WHERE c.v * st.n - st.s > 0
+  AND (c.v * st.n - st.s) * (c.v * st.n - st.s) > 4 * (st.n * st.q - st.s * st.s)
 """
     # doc_fingerprint / doc_minhash_pairs / doc_simhash_pairs /
     # knn_ivf_top5 (approximate) / media_features (stubbed decode):

@@ -51,6 +51,9 @@ __all__ = [
     "table_profile",
     "merge_intervals",
     "segmented_running",
+    "funnel",
+    "retention",
+    "group_zscore_outliers",
 ]
 
 
@@ -722,3 +725,252 @@ def merge_intervals(
         sort_by=[start_col] + list(order_extra or []),
         num_partitions=num_partitions,
     )
+
+
+def funnel(
+    ds: Dataset,
+    *,
+    key: Union[str, Sequence[str]],
+    ts_col: str,
+    stage_col: str,
+    stages: Sequence[str],
+    order_extra: Optional[Sequence[str]] = None,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+) -> Dataset:
+    """Ordered funnel analysis: per key, the timestamp of the first
+    ``stages[i]`` event strictly after the matched ``stages[i-1]`` event.
+
+    One output row per key: the key columns, ``stages_completed`` (0..k),
+    and one ``ts_<stage>`` timestamp column per stage (null when the funnel
+    stalled before it).  Matches the classic nested ``MIN(ts) ...
+    WHERE ts > prev`` SQL funnel exactly (strict inequality).
+
+    Vectorized: one hash exchange co-locates each key's rows sorted by
+    ``ts``; each stage is then a boolean mask + first-row-per-segment pick
+    (``np.unique`` on segment ids — rows are ts-sorted, so the first
+    candidate IS the min), k passes total, no per-key loop.  The funnel
+    state (one int64 + one timestamp per key per stage) never leaves the
+    partition.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    stages = list(stages)
+
+    def _apply(part: pa.Table) -> pa.Table:
+        ts_type = part[ts_col].type
+        if part.num_rows == 0:
+            out = {k: part[k].slice(0, 0) for k in keys}
+            out["stages_completed"] = pa.array([], pa.int64())
+            for s in stages:
+                out[f"ts_{s}"] = part[ts_col].slice(0, 0)
+            return pa.table(out)
+        bounds = run_boundaries(*_np_cols(part, keys))
+        n_keys = len(bounds) - 1
+        seg = np.repeat(np.arange(n_keys, dtype=np.int64), np.diff(bounds))
+        ts = part[ts_col].to_numpy(zero_copy_only=False)
+        if ts.dtype.kind == "M":
+            ts = ts.view(np.int64)
+        stage_vals = part[stage_col].to_numpy(zero_copy_only=False)
+        prev = np.full(n_keys, np.iinfo(np.int64).min, dtype=np.int64)
+        reached = np.zeros(n_keys, dtype=np.int64)
+        out = {k: part[k].take(pa.array(bounds[:-1])) for k in keys}
+        stage_ts = []
+        for i, s in enumerate(stages):
+            alive = reached == i
+            cand = np.flatnonzero(
+                (stage_vals == s) & (ts > prev[seg]) & alive[seg]
+            )
+            hit_keys, first_pos = np.unique(seg[cand], return_index=True)
+            matched = ts[cand[first_pos]]
+            col = np.zeros(n_keys, dtype=np.int64)
+            mask = np.ones(n_keys, dtype=bool)
+            col[hit_keys] = matched
+            mask[hit_keys] = False
+            prev[hit_keys] = matched
+            reached[hit_keys] += 1
+            stage_ts.append(
+                pa.array(col, mask=mask).cast(
+                    ts_type if pa.types.is_timestamp(ts_type) else pa.int64()
+                )
+            )
+        out["stages_completed"] = pa.array(reached)
+        for s, col in zip(stages, stage_ts):
+            out[f"ts_{s}"] = col
+        return pa.table(out)
+
+    return group_apply(
+        ds,
+        keys,
+        _apply,
+        sort_by=[ts_col] + list(order_extra or []),
+        num_partitions=num_partitions,
+    )
+
+
+DAY_US = 86_400_000_000
+
+
+def retention(
+    ds: Dataset,
+    *,
+    key: str,
+    ts_col: str,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+) -> Dataset:
+    """Cohort retention matrix: cohort = UTC day of each key's first event;
+    one output row per (cohort_day, day_offset) with the exact count of
+    distinct keys active that many days after their cohort day.
+
+    Two narrow exchanges: (1) hash-exchange on ``key`` — per key the first
+    row (ts-sorted) fixes the cohort day and a shifted-compare dedups the
+    (key, offset) pairs, so only distinct pairs leave the partition;
+    (2) a tiny count exchange on (cohort_day, day_offset) — bounded by
+    cohorts x window, not by events — with per-batch partial counts so the
+    second shuffle moves pre-aggregated rows only.
+    """
+
+    def _pairs(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table(
+                {
+                    "cohort_day": pa.array([], pa.int64()),
+                    "day_offset": pa.array([], pa.int64()),
+                }
+            )
+        bounds = run_boundaries(*_np_cols(part, [key]))
+        seg = np.repeat(
+            np.arange(len(bounds) - 1, dtype=np.int64), np.diff(bounds)
+        )
+        ts_arr = part[ts_col]
+        if pa.types.is_timestamp(ts_arr.type):
+            ts_arr = ts_arr.cast(pa.timestamp("us"))
+        ts = ts_arr.to_numpy(zero_copy_only=False)
+        if ts.dtype.kind == "M":
+            ts = ts.view(np.int64)
+        day = ts // DAY_US
+        cohort = day[bounds[:-1]]  # first (min-ts) row per key
+        offset = day - cohort[seg]
+        # offsets are nondecreasing within each ts-sorted key: dedup by change
+        keep = np.ones(len(day), dtype=bool)
+        keep[1:] = (seg[1:] != seg[:-1]) | (offset[1:] != offset[:-1])
+        idx = np.flatnonzero(keep)
+        return pa.table(
+            {"cohort_day": cohort[seg[idx]], "day_offset": offset[idx]}
+        )
+
+    pairs = group_apply(
+        ds, key, _pairs, sort_by=[ts_col], num_partitions=num_partitions
+    )
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        batch = batch.append_column(
+            "n_users", pa.array(np.ones(batch.num_rows, dtype=np.int64))
+        )
+        return batch.group_by(["cohort_day", "day_offset"]).aggregate(
+            [("n_users", "sum")]
+        )
+
+    def _final(part: pa.Table) -> pa.Table:
+        agg = part.group_by(["cohort_day", "day_offset"]).aggregate(
+            [("n_users_sum", "sum")]
+        )
+        return pa.table(
+            {
+                "cohort_day": pc.cast(
+                    pc.multiply(agg["cohort_day"], pa.scalar(DAY_US)),
+                    pa.timestamp("us"),
+                ),
+                "day_offset": agg["day_offset"],
+                "n_users": agg["n_users_sum_sum"],
+            }
+        )
+
+    partials = pairs.map_batches(_partial, batch_format="pyarrow")
+    return group_apply(
+        partials,
+        ["cohort_day", "day_offset"],
+        _final,
+        num_partitions=min(8, num_partitions),
+    )
+
+
+def group_zscore_outliers(
+    ds: Dataset,
+    *,
+    key: str,
+    value_col: str,
+    keep_cols: Sequence[str],
+    sigma: int = 2,
+    cents_scale: int = 100,
+) -> Dataset:
+    """Exact distributed z-score outlier detection: rows whose value exceeds
+    ``mean + sigma * stddev_pop`` of their key-group — bit-exact, no float
+    drift between partitions.
+
+    The float value is fixed-pointed (``floor(value * cents_scale)``); each
+    batch pre-aggregates per-key ``(count, sum, sum-of-squares)`` int64
+    partials (the only thing that crosses the wire — a few rows per batch);
+    the driver combines them in arbitrary-precision Python ints and turns
+    the criterion ``v*n - S > sigma*sqrt(n*Q - S^2)`` into one integer
+    cutoff per key via ``math.isqrt``; a broadcast-filter pass then selects
+    rows vectorized.  Two streaming passes over the input, zero shuffles.
+
+    Exactness contract: outlier iff ``(v*n - S) > 0`` and
+    ``(v*n - S)^2 > sigma^2 * (n*Q - S^2)`` in exact integer arithmetic —
+    mirror it in SQL with HUGEINT.  Per-batch int64 partials bound
+    ``|v| <= ~2e6`` fixed-point units (guarded loudly).
+    """
+    import math
+
+    keys_col, vcol = key, value_col
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        v = np.floor(
+            batch[vcol].to_numpy(zero_copy_only=False) * cents_scale
+        ).astype(np.int64)
+        if len(v) and np.abs(v).max() > 2_000_000:
+            raise OverflowError(
+                "group_zscore_outliers: |value| too large for int64 "
+                "sum-of-squares partials; raise cents_scale precision "
+                "or shard the partial aggregation"
+            )
+        t = pa.table(
+            {
+                keys_col: batch[keys_col],
+                "n": pa.array(np.ones(len(v), dtype=np.int64)),
+                "s": pa.array(v),
+                "q": pa.array(v * v),
+            }
+        )
+        return t.group_by(keys_col).aggregate(
+            [("n", "sum"), ("s", "sum"), ("q", "sum")]
+        )
+
+    parts = ds.select_columns([keys_col, vcol]).map_batches(
+        _partial, batch_format="pyarrow"
+    )
+    cutoffs: dict = {}
+    for row in parts.take_all():  # rows = batches x keys: tiny by design
+        st = cutoffs.setdefault(row[keys_col], [0, 0, 0])
+        st[0] += int(row["n_sum"])
+        st[1] += int(row["s_sum"])
+        st[2] += int(row["q_sum"])
+    cut = {
+        k: (s + math.isqrt(sigma * sigma * (n * q - s * s))) // n + 1
+        for k, (n, s, q) in cutoffs.items()
+    }
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        v = np.floor(
+            batch[vcol].to_numpy(zero_copy_only=False) * cents_scale
+        ).astype(np.int64)
+        karr = batch[keys_col].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(karr, return_inverse=True)
+        thresholds = np.array(
+            [cut.get(u, np.iinfo(np.int64).max) for u in uniq],
+            dtype=np.int64,
+        )
+        return batch.select(list(keep_cols)).filter(
+            pa.array(v >= thresholds[inv])
+        )
+
+    return ds.map_batches(_filter, batch_format="pyarrow")

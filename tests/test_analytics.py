@@ -532,3 +532,157 @@ def test_merge_intervals_islands(ray_session):
     # a contained interval ([5,8] inside [0,10]) must not split the island
     # even though its end is lower than the running max — covered above
 
+
+
+def test_funnel_strict_after_semantics(ray_session):
+    # user 1 completes all 3 in order; user 2's B event (ts=20) lands after
+    # its A (ts=10) despite row order, so it completes 2; user 3 never hits
+    # stage A; user 4's first B ties ts with A (strict > rejects the tie)
+    # but a later B@11 completes stage 2
+    pdf = pd.DataFrame(
+        {
+            "u": [1, 1, 1, 2, 2, 3, 4, 4, 4],
+            "ts": pd.to_datetime(
+                [10, 20, 30, 20, 10, 5, 10, 10, 11], unit="s"
+            ),
+            "st": ["A", "B", "C", "B", "A", "B", "A", "B", "B"],
+        }
+    )
+    out = (
+        analytics.funnel(
+            ray.data.from_pandas(pdf).repartition(3),
+            key="u",
+            ts_col="ts",
+            stage_col="st",
+            stages=["A", "B", "C"],
+            num_partitions=2,
+        )
+        .to_pandas()
+        .sort_values("u")
+        .reset_index(drop=True)
+    )
+    assert out["stages_completed"].tolist() == [3, 2, 0, 2]
+    assert out["ts_A"].notna().tolist() == [True, True, False, True]
+    assert out.loc[3, "ts_B"] == pd.Timestamp(11, unit="s")
+
+
+def test_funnel_matches_nested_min_walk(ray_session):
+    rng = np.random.RandomState(11)
+    n = 3000
+    pdf = pd.DataFrame(
+        {
+            "u": rng.randint(0, 40, n),
+            "ts": pd.to_datetime(rng.randint(0, 10_000, n), unit="ms"),
+            "st": rng.choice(["A", "B", "C", "x"], n),
+        }
+    )
+    out = (
+        analytics.funnel(
+            ray.data.from_pandas(pdf).repartition(7),
+            key="u",
+            ts_col="ts",
+            stage_col="st",
+            stages=["A", "B", "C"],
+            num_partitions=4,
+        )
+        .to_pandas()
+        .set_index("u")
+        .sort_index()
+    )
+    for u, g in pdf.groupby("u"):
+        prev = pd.Timestamp.min
+        done = 0
+        for s in ["A", "B", "C"]:
+            c = g[(g["st"] == s) & (g["ts"] > prev)]
+            if len(c) == 0:
+                break
+            prev = c["ts"].min()
+            assert out.loc[u, f"ts_{s}"] == prev
+            done += 1
+        assert out.loc[u, "stages_completed"] == done
+
+
+def test_retention_matches_pandas(ray_session):
+    rng = np.random.RandomState(3)
+    n = 5000
+    pdf = pd.DataFrame(
+        {
+            "u": rng.randint(0, 60, n),
+            "ts": pd.to_datetime(
+                rng.randint(0, 20 * 86400, n), unit="s"
+            ),
+        }
+    )
+    out = (
+        analytics.retention(
+            ray.data.from_pandas(pdf).repartition(6),
+            key="u",
+            ts_col="ts",
+            num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values(["cohort_day", "day_offset"])
+        .reset_index(drop=True)
+    )
+    day = pdf["ts"].dt.floor("D")
+    first = day.groupby(pdf["u"]).transform("min")
+    pairs = pd.DataFrame(
+        {
+            "u": pdf["u"],
+            "cohort_day": first,
+            "day_offset": ((day - first).dt.days).astype("int64"),
+        }
+    ).drop_duplicates()
+    exp = (
+        pairs.groupby(["cohort_day", "day_offset"])
+        .size()
+        .rename("n_users")
+        .reset_index()
+        .sort_values(["cohort_day", "day_offset"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        out, exp, check_dtype=False, check_exact=True
+    )
+
+
+def test_zscore_outliers_exact_integer_cutoff(ray_session):
+    rng = np.random.RandomState(5)
+    n = 4000
+    pdf = pd.DataFrame(
+        {
+            "id": np.arange(n, dtype=np.int64),
+            "k": rng.choice(["a", "b", "c"], n),
+            "v": np.round(rng.gamma(2.0, 25.0, n), 2),
+        }
+    )
+    out = analytics.group_zscore_outliers(
+        ray.data.from_pandas(pdf).repartition(5),
+        key="k",
+        value_col="v",
+        keep_cols=["id", "k"],
+        sigma=2,
+    ).to_pandas()
+    import math
+
+    got = set(out["id"].tolist())
+    for k, g in pdf.groupby("k"):
+        v = np.floor(g["v"].to_numpy() * 100).astype(np.int64)
+        nn, s, q = len(v), int(v.sum()), int((v.astype(object) ** 2).sum())
+        d = 4 * (nn * q - s * s)
+        exp = set(g["id"].to_numpy()[v * nn - s > math.isqrt(d)].tolist())
+        assert exp == {i for i in got if pdf.loc[i, "k"] == k}
+    assert len(got) > 0  # gamma tail guarantees some outliers
+
+
+def test_zscore_outliers_overflow_guard(ray_session):
+    pdf = pd.DataFrame(
+        {"id": [1, 2], "k": ["a", "a"], "v": [1e9, 2e9]}
+    )
+    with pytest.raises(Exception, match="int64|OverflowError|too large"):
+        analytics.group_zscore_outliers(
+            ray.data.from_pandas(pdf),
+            key="k",
+            value_col="v",
+            keep_cols=["id"],
+        ).to_pandas()

@@ -61,7 +61,7 @@ def compare(name: str, mine: pd.DataFrame, oracle: pd.DataFrame) -> str:
     return "OK"
 
 
-def main(sf_dir: str):
+def main(sf_dir: str, only=None):
     import ray
 
     if not ray.is_initialized():
@@ -82,6 +82,12 @@ def main(sf_dir: str):
         )
 
     qs = entry.queries()
+    if only:
+        qs = {k: v for k, v in qs.items() if k in only}
+        missing = set(only) - set(qs)
+        if missing:
+            print("UNKNOWN QUERIES:", sorted(missing))
+            return 1
     oracles = entry.oracle_sql()
     failures = 0
     for name, fn in qs.items():
@@ -111,5 +117,11 @@ def main(sf_dir: str):
 
 
 if __name__ == "__main__":
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    raise SystemExit(1 if main(sf) else 0)
+    argv = sys.argv[1:]
+    only = None
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = [q for a in argv[i + 1 :] for q in a.split(",")]
+        argv = argv[:i]
+    sf = argv[0] if argv else "/root/testdata/sf0.01"
+    raise SystemExit(1 if main(sf, only=only) else 0)
