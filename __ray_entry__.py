@@ -868,6 +868,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact distributed z-score outliers (integer fixed-point, isqrt
         # cutoffs on the driver, broadcast filter — zero shuffles)
         "event_value_outliers": _event_value_outliers,
+        # integer fixed-point PageRank (bit-exact, unrolled-SQL oracle)
+        "graph_pagerank": _graph_pagerank,
     }
     return q
 
@@ -915,6 +917,37 @@ def _docs_profile(sf_dir: str):
 
     return analytics.table_profile(
         _docs(sf_dir), columns=["doc_id", "lang", "source", "n_chars"]
+    )
+
+
+def _graph_pagerank(sf_dir: str):
+    """Integer fixed-point PageRank (2 iterations) over the bidirectional
+    supplier<->part graph from lineitem (stages/graph.pagerank); the edge
+    list stays distributed, only node-sized state reaches the driver."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hypertrace_ingester_ray.stages import graph
+
+    li = _rpq(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_suppkey", "l_partkey"],
+    )
+
+    def _both_directions(t: pa.Table) -> pa.Table:
+        s = t["l_suppkey"]
+        p = pc.add(t["l_partkey"], pa.scalar(1_000_000, pa.int64()))
+        return pa.concat_tables(
+            [
+                pa.table({"src": s, "dst": p}),
+                pa.table({"src": p, "dst": s}),
+            ]
+        ).combine_chunks()
+
+    return graph.pagerank(
+        li.map_batches(_both_directions, batch_format="pyarrow"),
+        iters=2,
+        num_partitions=16,
     )
 
 
@@ -2496,6 +2529,30 @@ SELECT c.event_id, c.event_type
 FROM cents c JOIN st USING (event_type)
 WHERE c.v * st.n - st.s > 0
   AND (c.v * st.n - st.s) * (c.v * st.n - st.s) > 4 * (st.n * st.q - st.s * st.s)
+"""
+    # integer fixed-point PageRank, 2 iterations unrolled; every operation
+    # is exact integer division so the SQL mirror is bit-identical
+    sql["graph_pagerank"] = """
+WITH le AS (SELECT l_suppkey AS s, l_partkey + 1000000 AS p FROM lineitem),
+edges AS (SELECT DISTINCT src, dst FROM (
+    SELECT s AS src, p AS dst FROM le
+    UNION ALL SELECT p AS src, s AS dst FROM le)),
+nodes AS (SELECT DISTINCT src AS n FROM edges),
+deg AS (SELECT src AS n, COUNT(*) AS d FROM edges GROUP BY src),
+cnt AS (SELECT COUNT(*) AS c FROM nodes),
+r0 AS (SELECT n, 1000000000000 // (SELECT c FROM cnt) AS r FROM nodes),
+m1 AS (SELECT e.dst AS n, SUM(r0.r // dg.d) AS m FROM edges e
+       JOIN r0 ON r0.n = e.src JOIN deg dg ON dg.n = e.src GROUP BY e.dst),
+r1 AS (SELECT nodes.n,
+         15 * 1000000000000 // (100 * (SELECT c FROM cnt))
+           + COALESCE(85 * m1.m // 100, 0) AS r
+       FROM nodes LEFT JOIN m1 ON m1.n = nodes.n),
+m2 AS (SELECT e.dst AS n, SUM(r1.r // dg.d) AS m FROM edges e
+       JOIN r1 ON r1.n = e.src JOIN deg dg ON dg.n = e.src GROUP BY e.dst)
+SELECT nodes.n AS node,
+  CAST(15 * 1000000000000 // (100 * (SELECT c FROM cnt))
+       + COALESCE(85 * m2.m // 100, 0) AS BIGINT) AS "rank"
+FROM nodes LEFT JOIN m2 ON m2.n = nodes.n
 """
     # doc_fingerprint / doc_minhash_pairs / doc_simhash_pairs /
     # knn_ivf_top5 (approximate) / media_features (stubbed decode):

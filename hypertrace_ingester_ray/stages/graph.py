@@ -1,0 +1,173 @@
+"""Distributed graph computation over edge datasets.
+
+Reference parity: the reference's graph work is per-trace
+(``ApiTraceGraph`` builds an in-memory span DAG per trace,
+hypertrace-core-graph-builder/.../ApiTraceGraphBuilder — graphs of a few
+hundred nodes).  At corpus scale the interesting graphs span the WHOLE
+dataset (service call graphs, co-occurrence graphs, near-dup pair graphs),
+so these operators work on an *edge Dataset* instead: the edge list stays
+distributed and only node-sized state crosses to the driver.
+
+- :func:`pagerank` — fixed-point integer PageRank.  All arithmetic is
+  exact int64 (ranks scaled by ``scale``, per-edge contribution
+  ``rank // out_degree``, damping as ``(pct * m) // 100``), so the result
+  is bit-reproducible across partitionings AND mirrorable in SQL with
+  plain integer division — no float drift between engines.
+- :func:`distinct_edges` — exact edge dedup (batch-local pre-dedup, one
+  hash exchange).
+
+Partitioning assumptions (documented per the 100-TB contract):
+- the EDGE list is unbounded (streamed in blocks, pre-aggregated per batch
+  before anything crosses the wire);
+- the NODE set (rank vector + out-degrees) fits on the driver / in one
+  broadcast object — true for service graphs, entity graphs, cluster
+  graphs.  For node sets beyond driver memory, hash-partition the rank
+  vector and replace the broadcast with a cogroup join per iteration
+  (stages/grouping.cogroup gives the primitive); the per-iteration partial
+  tables here are already keyed by ``dst`` to make that swap mechanical.
+
+Related: connected components (BSP min-label propagation) lives in
+``stages/dedup.py`` next to its near-dup producers.
+"""
+
+from __future__ import annotations
+
+from typing import Union
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+from ray.data import Dataset
+
+from .grouping import DEFAULT_NUM_PARTITIONS, group_apply, run_boundaries
+
+__all__ = ["distinct_edges", "pagerank"]
+
+
+def distinct_edges(
+    ds: Dataset,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+) -> Dataset:
+    """Exact DISTINCT on (src, dst): batch-local dedup first so only unique
+    pairs per block cross the one hash exchange."""
+
+    def _local(batch: pa.Table) -> pa.Table:
+        return batch.select([src, dst]).group_by([src, dst]).aggregate([])
+
+    def _first(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return part
+        a = part[src].to_numpy(zero_copy_only=False)
+        b = part[dst].to_numpy(zero_copy_only=False)
+        firsts = run_boundaries(a, b)[:-1]
+        return part.take(pa.array(firsts))
+
+    return group_apply(
+        ds.map_batches(_local, batch_format="pyarrow"),
+        [src, dst],
+        _first,
+        num_partitions=num_partitions,
+    )
+
+
+def pagerank(
+    edges: Dataset,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 2,
+    scale: int = 10**12,
+    damping_pct: int = 85,
+    dedup: bool = True,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+) -> Dataset:
+    """Integer fixed-point PageRank over an edge Dataset.
+
+    Exact semantics (mirror in SQL with ``//`` integer division):
+
+    - ``N`` = count of distinct nodes (union of both edge endpoints)
+    - ``r_0(v) = scale // N``
+    - ``base  = (100 - damping_pct) * scale // (100 * N)``
+    - ``m_i(v) = sum over distinct edges u->v of  r_{i-1}(u) // deg(u)``
+    - ``r_i(v) = base + (damping_pct * m_i(v)) // 100``
+
+    Dangling nodes (no out-edges) leak their mass — the classic
+    "PageRank with leak" variant; totals stay <= ``scale`` so int64 never
+    overflows.  Returns one row per node: ``(node, rank)``.
+
+    Execution: the edge list is streamed every iteration; each batch
+    pre-aggregates per-dst contribution sums (node-side lookups are one
+    ``searchsorted`` against the broadcast rank vector), so the driver only
+    ever sees node-sized partials.  ``iters`` passes, zero all-to-all
+    shuffles beyond the optional initial edge dedup.
+    """
+    if dedup:
+        edges = distinct_edges(
+            ds=edges, src=src, dst=dst, num_partitions=num_partitions
+        )
+    edges = edges.select_columns([src, dst]).materialize()
+
+    # node set + out-degrees: per-batch partials, node-sized driver combine
+    # (dst-only nodes ride along with degree 0)
+    def _deg_partial(batch: pa.Table) -> pa.Table:
+        a = batch[src].to_numpy(zero_copy_only=False)
+        b = batch[dst].to_numpy(zero_copy_only=False)
+        us, cnt = np.unique(a, return_counts=True)
+        ud = np.unique(b)
+        return pa.table(
+            {
+                "n": pa.array(np.concatenate([us, ud])),
+                "d": pa.array(
+                    np.concatenate(
+                        [cnt.astype(np.int64), np.zeros(len(ud), np.int64)]
+                    )
+                ),
+            }
+        )
+
+    deg: dict = {}
+    node_set = set()
+    for row in edges.map_batches(_deg_partial, batch_format="pyarrow").take_all():
+        deg[row["n"]] = deg.get(row["n"], 0) + int(row["d"])
+        node_set.add(row["n"])
+
+    nodes = np.array(sorted(node_set))
+    n_nodes = len(nodes)
+    if n_nodes == 0:
+        return ray.data.from_arrow(
+            pa.table({"node": pa.array([]), "rank": pa.array([], pa.int64())})
+        )
+    deg_arr = np.zeros(n_nodes, dtype=np.int64)
+    idx_of = {n: i for i, n in enumerate(nodes.tolist())}
+    for k, v in deg.items():
+        deg_arr[idx_of[k]] = v
+
+    rank = np.full(n_nodes, scale // n_nodes, dtype=np.int64)
+    base = (100 - damping_pct) * scale // (100 * n_nodes)
+
+    for _ in range(iters):
+        contrib = np.where(deg_arr > 0, rank // np.maximum(deg_arr, 1), 0)
+        state_ref = ray.put((nodes, contrib))
+
+        def _emit(batch: pa.Table, ref=state_ref) -> pa.Table:
+            ns, cb = ray.get(ref)
+            s_idx = np.searchsorted(
+                ns, batch[src].to_numpy(zero_copy_only=False)
+            )
+            t = pa.table(
+                {"dst": batch[dst], "m": pa.array(cb[s_idx])}
+            )
+            return t.group_by("dst").aggregate([("m", "sum")])
+
+        m = np.zeros(n_nodes, dtype=np.int64)
+        for row in edges.map_batches(_emit, batch_format="pyarrow").take_all():
+            m[idx_of[row["dst"]]] += int(row["m_sum"])
+        rank = base + damping_pct * m // 100
+
+    return ray.data.from_arrow(
+        pa.table({"node": pa.array(nodes), "rank": pa.array(rank)})
+    )

@@ -1,0 +1,80 @@
+"""Distributed graph operators (stages/graph.py) vs exact references."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from hypertrace_ingester_ray.stages import graph
+
+
+def _reference_pagerank(edges, iters=2, scale=10**12, damping=85):
+    """Single-machine mirror of the exact integer recurrence."""
+    edges = sorted(set(edges))
+    nodes = sorted({n for e in edges for n in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    deg = np.zeros(len(nodes), dtype=np.int64)
+    for s, _ in edges:
+        deg[idx[s]] += 1
+    rank = np.full(len(nodes), scale // len(nodes), dtype=np.int64)
+    base = (100 - damping) * scale // (100 * len(nodes))
+    for _ in range(iters):
+        contrib = np.where(deg > 0, rank // np.maximum(deg, 1), 0)
+        m = np.zeros(len(nodes), dtype=np.int64)
+        for s, d in edges:
+            m[idx[d]] += contrib[idx[s]]
+        rank = base + damping * m // 100
+    return dict(zip(nodes, rank.tolist()))
+
+
+def test_pagerank_matches_reference_random_graph(ray_session):
+    rng = np.random.RandomState(13)
+    e = [(int(a), int(b)) for a, b in rng.randint(0, 50, (3000, 2)) if a != b]
+    pdf = pd.DataFrame(e * 2, columns=["src", "dst"])  # duplicates on purpose
+    out = (
+        graph.pagerank(
+            ray.data.from_pandas(pdf).repartition(6),
+            iters=3,
+            num_partitions=4,
+        )
+        .to_pandas()
+        .set_index("node")["rank"]
+        .to_dict()
+    )
+    assert out == _reference_pagerank(e, iters=3)
+
+
+def test_pagerank_dangling_leak_and_sink(ray_session):
+    # chain 1 -> 2 -> 3 (3 is dangling), plus isolated-source edge 4 -> 3
+    pdf = pd.DataFrame({"src": [1, 2, 4], "dst": [2, 3, 3]})
+    out = (
+        graph.pagerank(ray.data.from_pandas(pdf), iters=1, num_partitions=2)
+        .to_pandas()
+        .set_index("node")["rank"]
+        .to_dict()
+    )
+    scale, n = 10**12, 4
+    base = 15 * scale // (100 * n)
+    r0 = scale // n
+    assert out[1] == base  # no inbound
+    assert out[2] == base + 85 * r0 // 100
+    assert out[3] == base + 85 * (2 * r0) // 100  # from 2 and 4
+    assert out[4] == base
+    # dangling node 3 leaked its mass: total strictly below scale
+    assert sum(out.values()) < scale
+
+
+def test_distinct_edges(ray_session):
+    pdf = pd.DataFrame(
+        {"src": [1, 1, 1, 2, 2], "dst": [2, 2, 3, 1, 1]}
+    )
+    out = (
+        graph.distinct_edges(
+            ray.data.from_pandas(pdf).repartition(3), num_partitions=2
+        )
+        .to_pandas()
+        .sort_values(["src", "dst"])
+        .values.tolist()
+    )
+    assert out == [[1, 2], [1, 3], [2, 1]]
