@@ -870,6 +870,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_outliers": _event_value_outliers,
         # integer fixed-point PageRank (bit-exact, unrolled-SQL oracle)
         "graph_pagerank": _graph_pagerank,
+        # hard per-source quotas (data mixing; hash-ticket row_number)
+        "doc_quota_mix": _doc_quota_mix,
+        # duplicated-segment removal + reassembly (CCNet line dedup)
+        "doc_segment_dedup": _doc_segment_dedup,
     }
     return q
 
@@ -917,6 +921,31 @@ def _docs_profile(sf_dir: str):
 
     return analytics.table_profile(
         _docs(sf_dir), columns=["doc_id", "lang", "source", "n_chars"]
+    )
+
+
+def _doc_quota_mix(sf_dir: str):
+    """Hard per-source row budgets (data mixing): quota = formula of the
+    source id, selection by deterministic hash ticket
+    (stages/corpus.quota_sample)."""
+    docs = _docs(sf_dir).select_columns(["doc_id", "source"])
+    sources = set()
+    for row in docs.map_batches(
+        lambda t: t.select(["source"]).group_by("source").aggregate([]),
+        batch_format="pyarrow",
+    ).take_all():
+        sources.add(row["source"])
+    quotas = {s: 2 + (int(s[3:]) % 7) * 3 for s in sources}
+    return corpus.quota_sample(
+        docs, group_col="source", quotas=quotas, num_partitions=8
+    )
+
+
+def _doc_segment_dedup(sf_dir: str):
+    """Corpus-wide duplicated-segment removal (CCNet line-dedup analog):
+    3-word segments, keep-first, reassemble (stages/corpus.segment_dedup)."""
+    return corpus.segment_dedup(
+        _docs(sf_dir), seg_words=3, num_partitions=16
     )
 
 
@@ -2553,6 +2582,38 @@ SELECT nodes.n AS node,
   CAST(15 * 1000000000000 // (100 * (SELECT c FROM cnt))
        + COALESCE(85 * m2.m // 100, 0) AS BIGINT) AS "rank"
 FROM nodes LEFT JOIN m2 ON m2.n = nodes.n
+"""
+    # per-source hard quotas: same hash-ticket ordering as the operator
+    # (exact for doc_id < 2^32 — HUGEINT product mod 2^32)
+    sql["doc_quota_mix"] = """
+WITH r AS (
+  SELECT doc_id, source,
+    row_number() OVER (PARTITION BY source
+      ORDER BY (CAST(doc_id AS HUGEINT) * 2246822519) % 4294967296,
+               doc_id) AS rn
+  FROM documents)
+SELECT doc_id, source FROM r
+WHERE rn <= 2 + (CAST(substr(source, 4) AS INT) % 7) * 3
+"""
+    # duplicated-segment removal: 3-word segments, keep the corpus-wide
+    # first occurrence (min doc_id, seg_idx), reassemble per doc
+    sql["doc_segment_dedup"] = """
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+         unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+  FROM documents),
+segs AS (
+  SELECT doc_id, CAST((pos - 1) // 3 AS BIGINT) AS seg_idx,
+         string_agg(word, ' ' ORDER BY pos) AS seg
+  FROM w GROUP BY doc_id, seg_idx),
+k AS (
+  SELECT doc_id, seg_idx, seg,
+    row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn,
+    COUNT(*) OVER (PARTITION BY doc_id) AS n_total
+  FROM segs)
+SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS text,
+  COUNT(*) AS n_segs_kept, CAST(MIN(n_total) AS BIGINT) AS n_segs_total
+FROM k WHERE rn = 1 GROUP BY doc_id
 """
     # doc_fingerprint / doc_minhash_pairs / doc_simhash_pairs /
     # knn_ivf_top5 (approximate) / media_features (stubbed decode):

@@ -730,3 +730,161 @@ def ngram_top_k(
         lambda t: t.rename_columns(["ngram", "cnt"]), batch_format="pyarrow"
     )
     return agg.sort(["cnt", "ngram"], descending=[True, False]).limit(k)
+
+
+def quota_sample(
+    ds: Dataset,
+    *,
+    group_col: str,
+    quotas: dict,
+    id_col: str = "doc_id",
+    num_partitions: int = 16,
+) -> Dataset:
+    """Exact per-group quota sampling — the data-mixing primitive: keep AT
+    MOST ``quotas[group]`` rows per group, chosen by a deterministic hash
+    ticket (``(id * K) mod 2^32``, ties by id).  Unlike
+    :func:`stratified_sample` (a per-row keep-probability, output size
+    binomial) this enforces hard per-source row budgets, the way training
+    mixes specify "X documents of web, Y of code".
+
+    One hash exchange on ``group_col`` (complete groups per partition); the
+    per-partition kernel is a lexsort + segmented rank against the
+    per-group limit — reproducible across runs, cluster sizes and shard
+    layouts.  Groups absent from ``quotas`` are dropped.  SQL mirror:
+    ``row_number() OVER (PARTITION BY g ORDER BY (id*K) % 2^32, id)
+    <= quota[g]`` (HUGEINT product — exact for ids < 2^32, like
+    hash_split)."""
+
+    def _take(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return part
+        ids = part[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ticket = ((ids * _SAMPLE_K) % _MOD32).astype(np.int64)
+        uniq, inv = np.unique(
+            part[group_col].to_numpy(zero_copy_only=False), return_inverse=True
+        )
+        order = np.lexsort((ids.astype(np.int64), ticket, inv))
+        seg = segment_ids_from_boundaries(run_boundaries(inv[order]))
+        rank = segmented_cumcount(seg)
+        limits = np.array(
+            [int(quotas.get(u, 0)) for u in uniq], dtype=np.int64
+        )
+        keep = order[rank < limits[inv[order]]]
+        return part.take(pa.array(np.sort(keep)))
+
+    return group_apply(ds, group_col, _take, num_partitions=num_partitions)
+
+
+def segment_dedup(
+    ds: Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_words: int = 10,
+    num_partitions: int = 16,
+) -> Dataset:
+    """Corpus-wide duplicated-segment removal (the CCNet/C4 line-dedup
+    analog for unstructured text): split every document into fixed
+    ``seg_words``-word segments, keep each distinct segment's FIRST
+    occurrence corpus-wide (min ``(doc_id, seg_idx)``), and reassemble
+    documents from their surviving segments.
+
+    Output: ``(doc_id, text, n_segs_kept, n_segs_total)`` — documents whose
+    every segment was seen earlier elsewhere vanish entirely (same
+    semantics as the SQL mirror's GROUP BY over kept rows).
+
+    Fully vectorized explode: one ``split_pattern`` per batch, segment
+    strings built with ``ListArray.from_arrays`` over recomputed offsets +
+    ``binary_join`` (no per-segment Python).  Two hash exchanges: (1) by
+    64-bit segment-content hash — keep-first is one ``run_boundaries``
+    take; (2) by ``doc_id`` — reassembly is again offsets + binary_join.
+    Segment text crosses exchange 1 once (the unavoidable dedup payload)
+    and only survivors cross exchange 2.  Exact up to 64-bit content-hash
+    collisions (same contract as exact_dedup)."""
+    import pandas as pd
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        col = batch[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        la = pc.split_pattern(col, " ")
+        counts = pc.list_value_length(la).to_numpy().astype(np.int64)
+        flat = la.flatten()
+        n_segs = -(-counts // seg_words)
+        doc_word0 = np.concatenate(([0], np.cumsum(counts)))
+        within = (
+            np.arange(int(n_segs.sum()), dtype=np.int64)
+            - np.repeat(np.concatenate(([0], np.cumsum(n_segs)))[:-1], n_segs)
+        )
+        starts = np.repeat(doc_word0[:-1], n_segs) + within * seg_words
+        seg_offsets = np.append(starts, doc_word0[-1]).astype(np.int32)
+        segs = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(seg_offsets), flat),
+            " ",
+        )
+        h = pd.util.hash_array(
+            np.asarray(segs.to_pandas(), dtype=object), categorize=False
+        )
+        return pa.table(
+            {
+                "_h": pa.array(h.astype(np.int64)),
+                id_col: pc.take(
+                    batch[id_col],
+                    pa.array(np.repeat(np.arange(len(counts)), n_segs)),
+                ),
+                "_seg_idx": pa.array(within),
+                "_seg": segs,
+                "_n_total": pa.array(np.repeat(n_segs, n_segs)),
+            }
+        )
+
+    def _keep_first(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return part.drop_columns(["_h"])
+        firsts = run_boundaries(part["_h"].to_numpy(zero_copy_only=False))[:-1]
+        return part.take(pa.array(firsts)).drop_columns(["_h"])
+
+    kept = group_apply(
+        ds.select_columns([id_col, text_col]).map_batches(
+            _explode, batch_format="pyarrow"
+        ),
+        "_h",
+        _keep_first,
+        sort_by=[id_col, "_seg_idx"],
+        num_partitions=num_partitions,
+    )
+
+    def _reassemble(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: part[id_col],
+                    text_col: pa.array([], pa.string()),
+                    "n_segs_kept": pa.array([], pa.int64()),
+                    "n_segs_total": pa.array([], pa.int64()),
+                }
+            )
+        bounds = run_boundaries(part[id_col].to_numpy(zero_copy_only=False))
+        segs = part["_seg"]
+        if isinstance(segs, pa.ChunkedArray):
+            segs = segs.combine_chunks()
+        joined = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(bounds.astype(np.int32)), segs),
+            " ",
+        )
+        return pa.table(
+            {
+                id_col: part[id_col].take(pa.array(bounds[:-1])),
+                text_col: joined,
+                "n_segs_kept": pa.array(np.diff(bounds)),
+                "n_segs_total": part["_n_total"].take(pa.array(bounds[:-1])),
+            }
+        )
+
+    return group_apply(
+        kept,
+        id_col,
+        _reassemble,
+        sort_by=["_seg_idx"],
+        num_partitions=num_partitions,
+    )

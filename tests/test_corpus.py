@@ -389,3 +389,87 @@ def test_ngram_top_k_no_cross_doc_pairs(ray_session):
         .to_dict()
     )
     assert out3 == {"a b c": 1}
+
+
+def test_quota_sample_hard_budgets_and_determinism(ray_session):
+    rng = np.random.RandomState(9)
+    n = 3000
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "source": pa.array([f"s{int(i)}" for i in rng.randint(0, 6, n)]),
+        }
+    )
+    quotas = {"s0": 5, "s1": 0, "s2": 300, "s3": 10**9, "s5": 1}
+    outs = []
+    for parts in (2, 7):
+        out = (
+            corpus.quota_sample(
+                ray.data.from_arrow(t).repartition(parts),
+                group_col="source",
+                quotas=quotas,
+                num_partitions=4,
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        outs.append(out)
+    # identical result regardless of input sharding
+    assert outs[0].equals(outs[1])
+    got = outs[0].groupby("source").size().to_dict()
+    full = pa.table(t).to_pandas().groupby("source").size().to_dict()
+    assert got["s0"] == 5 and got["s2"] == 300 and got["s5"] == 1
+    assert got["s3"] == full["s3"]  # quota above group size: keep all
+    assert "s1" not in got and "s4" not in got  # zero / missing quota drop
+
+
+def test_segment_dedup_matches_bruteforce(ray_session):
+    rng = np.random.RandomState(21)
+    vocab = [f"w{i}" for i in range(12)]
+    texts = [
+        " ".join(rng.choice(vocab, rng.randint(4, 30)).tolist())
+        for _ in range(120)
+    ]
+    texts += texts[:10]  # whole-doc duplicates too
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+            "text": pa.array(texts),
+        }
+    )
+    sw = 3
+    out = (
+        corpus.segment_dedup(
+            ray.data.from_arrow(t).repartition(5),
+            seg_words=sw,
+            num_partitions=4,
+        )
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # brute force: global first-occurrence per segment string
+    seen = {}
+    exp = {}
+    for did, tx in enumerate(texts):
+        words = tx.split(" ")
+        segs = [
+            " ".join(words[i : i + sw]) for i in range(0, len(words), sw)
+        ]
+        for si, s in enumerate(segs):
+            seen.setdefault(s, (did, si))
+        exp[did] = segs
+    for did, segs in exp.items():
+        kept = [
+            s for si, s in enumerate(segs) if seen[s] == (did, si)
+        ]
+        if not kept:
+            assert did not in out.index
+            continue
+        row = out.loc[did]
+        assert row["text"] == " ".join(kept)
+        assert row["n_segs_kept"] == len(kept)
+        assert row["n_segs_total"] == len(segs)
+    # the duplicate tail docs must have vanished entirely
+    assert all(d not in out.index for d in range(120, 130))
