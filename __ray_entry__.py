@@ -870,6 +870,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_outliers": _event_value_outliers,
         # integer fixed-point PageRank (bit-exact, unrolled-SQL oracle)
         "graph_pagerank": _graph_pagerank,
+        # TPC-H Q3 analog: broadcast semi filter + co-shuffle join + top-k
+        "shipping_priority_q3": lambda sf: relational.shipping_priority_q3(sf),
+        # LEFT OUTER join: zero-count rows survive the null-extended side
+        "customer_order_counts": lambda sf: relational.customer_order_counts(sf),
         # hard per-source quotas (data mixing; hash-ticket row_number)
         "doc_quota_mix": _doc_quota_mix,
         # duplicated-segment removal + reassembly (CCNet line dedup)
@@ -2582,6 +2586,27 @@ SELECT nodes.n AS node,
   CAST(15 * 1000000000000 // (100 * (SELECT c FROM cnt))
        + COALESCE(85 * m2.m // 100, 0) AS BIGINT) AS "rank"
 FROM nodes LEFT JOIN m2 ON m2.n = nodes.n
+"""
+    sql["shipping_priority_q3"] = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+  CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+       AS BIGINT) AS revenue_cents
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01'
+  AND l_shipdate > TIMESTAMP '1998-06-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue_cents DESC, l_orderkey
+LIMIT 10
+"""
+    sql["customer_order_counts"] = """
+SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+FROM customer
+LEFT JOIN orders
+  ON c_custkey = o_custkey AND o_orderdate < TIMESTAMP '1995-07-01'
+GROUP BY c_custkey
 """
     # per-source hard quotas: same hash-ticket ordering as the operator
     # (exact for doc_id < 2^32 — HUGEINT product mod 2^32)

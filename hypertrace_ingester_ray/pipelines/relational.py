@@ -181,3 +181,155 @@ def events_hourly(sf_dir: str) -> Dataset:
         )
 
     return agg.map_batches(_final, batch_format="pyarrow")
+
+
+def shipping_priority_q3(
+    sf_dir: str,
+    *,
+    segment: str = "BUILDING",
+    cutoff: str = "1998-06-01",
+    k: int = 10,
+) -> Dataset:
+    """TPC-H Q3 analog: top-k unshipped orders of one market segment by
+    discounted revenue.
+
+    Plan: the segment's custkeys broadcast (small side via ``ray.put``);
+    orders date+semi filtered per batch; lineitem shipdate-filtered with
+    per-batch per-orderkey partial revenue sums (integer cents); ONE
+    co-shuffle hash join on orderkey; final small groupby + sort-limit.
+    At scale the date predicates belong in the parquet read's row-group
+    filter — here they run in the first map_batches over the pruned
+    column set."""
+    import pyarrow.parquet as pq
+
+    cutoff_us = np.datetime64(cutoff, "us")
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+    )
+    seg_keys = pc.filter(
+        cust["c_custkey"], pc.equal(cust["c_mktsegment"], segment)
+    ).to_numpy(zero_copy_only=False)
+    seg_ref = ray.put(np.sort(seg_keys))
+
+    def _orders(batch: pa.Table) -> pa.Table:
+        keys = ray.get(seg_ref)
+        od = batch["o_orderdate"].to_numpy(zero_copy_only=False)
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(keys, ck)
+        pos[pos == len(keys)] = 0
+        mask = (od < cutoff_us) & (keys[pos] == ck)
+        out = batch.select(
+            ["o_orderkey", "o_orderdate", "o_orderpriority"]
+        ).filter(pa.array(mask))
+        # ship the date as int64 us through join+groupby (datetime keys
+        # trip precision-conversion warnings in the shuffle internals)
+        return out.set_column(
+            1, "o_orderdate", pc.cast(out["o_orderdate"], pa.int64())
+        )
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(_orders, batch_format="pyarrow")
+
+    def _li(batch: pa.Table) -> pa.Table:
+        sd = batch["l_shipdate"].to_numpy(zero_copy_only=False)
+        batch = batch.filter(pa.array(sd > cutoff_us))
+        disc = pc.multiply(
+            pc.multiply(
+                batch["l_extendedprice"],
+                pc.subtract(pa.scalar(1.0), batch["l_discount"]),
+            ),
+            pa.scalar(100.0),
+        )
+        t = pa.table(
+            {
+                "l_orderkey": batch["l_orderkey"],
+                "revenue_cents": pc.cast(pc.floor(disc), pa.int64()),
+            }
+        )
+        return t.group_by("l_orderkey").aggregate([("revenue_cents", "sum")])
+
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    ).map_batches(_li, batch_format="pyarrow")
+
+    from ..stages.joins import hash_join
+
+    joined = hash_join(
+        li,
+        orders,
+        on=["l_orderkey"],
+        right_on=["o_orderkey"],
+        num_partitions=16,
+    )
+    agg = joined.groupby(["l_orderkey", "o_orderdate", "o_orderpriority"]).sum(
+        ["revenue_cents_sum"]
+    )
+
+    def _name(b: pa.Table) -> pa.Table:
+        b = b.rename_columns(
+            ["l_orderkey", "o_orderdate", "o_orderpriority", "revenue_cents"]
+        )
+        return b.set_column(
+            1, "o_orderdate", pc.cast(b["o_orderdate"], pa.timestamp("us"))
+        )
+
+    return (
+        agg.map_batches(_name, batch_format="pyarrow")
+        .sort(["revenue_cents", "l_orderkey"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def customer_order_counts(
+    sf_dir: str, *, before: str = "1995-07-01"
+) -> Dataset:
+    """LEFT OUTER join coverage: every customer with the count of orders
+    placed before ``before`` — customers with none keep a zero row (the
+    null-extended side of Ray's left_outer join).  Count = non-null keys,
+    partial-aggregated per batch after the join."""
+    cutoff_us = np.datetime64(before, "us")
+
+    def _early(batch: pa.Table) -> pa.Table:
+        od = batch["o_orderdate"].to_numpy(zero_copy_only=False)
+        return batch.select(["o_custkey", "o_orderkey"]).filter(
+            pa.array(od < cutoff_us)
+        )
+
+    orders = _read(
+        sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate"]
+    ).map_batches(_early, batch_format="pyarrow")
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+
+    from ..stages.joins import hash_join
+
+    joined = hash_join(
+        cust,
+        orders,
+        on=["c_custkey"],
+        right_on=["o_custkey"],
+        how="left_outer",
+        num_partitions=16,
+    )
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "c_custkey": batch["c_custkey"],
+                "n_orders": pc.cast(
+                    pc.is_valid(batch["o_orderkey"]), pa.int64()
+                ),
+            }
+        )
+        return t.group_by("c_custkey").aggregate([("n_orders", "sum")])
+
+    agg = (
+        joined.map_batches(_partial, batch_format="pyarrow")
+        .groupby("c_custkey")
+        .sum("n_orders_sum")
+    )
+    return agg.map_batches(
+        lambda b: b.rename_columns(["c_custkey", "n_orders"]),
+        batch_format="pyarrow",
+    )
