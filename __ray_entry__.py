@@ -878,6 +878,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quota_mix": _doc_quota_mix,
         # duplicated-segment removal + reassembly (CCNet line dedup)
         "doc_segment_dedup": _doc_segment_dedup,
+        # deterministic weighted sampling without replacement (integer
+        # Efraimidis–Spirakis): local top-k per batch, tiny global cut
+        "doc_weighted_sample": lambda sf: corpus.weighted_sample(
+            _docs(sf).select_columns(["doc_id", "source", "n_chars"]),
+            weight_col="n_chars",
+            k=60,
+        ),
+        # collocation mining: integer PMI over adjacency-masked bigrams
+        "doc_bigram_pmi": lambda sf: text_analysis.bigram_pmi(
+            _docs(sf).select_columns(["text"]), k=40
+        ),
     }
     return q
 
@@ -2607,6 +2618,33 @@ FROM customer
 LEFT JOIN orders
   ON c_custkey = o_custkey AND o_orderdate < TIMESTAMP '1995-07-01'
 GROUP BY c_custkey
+"""
+    # weighted sampling: identical integer priority, global k smallest
+    sql["doc_weighted_sample"] = """
+WITH p AS (
+  SELECT doc_id, source, n_chars,
+    (CAST(doc_id AS HUGEINT) * 2246822519) % 4294967296 * 1000000
+      // n_chars AS pri
+  FROM documents)
+SELECT doc_id, source, n_chars FROM p ORDER BY pri, doc_id LIMIT 60
+"""
+    # integer PMI collocations: marginals are bigram-occurrence window sums
+    sql["doc_bigram_pmi"] = """
+WITH toks AS (SELECT string_split(text, ' ') AS ws FROM documents),
+grams AS (SELECT unnest(list_transform(range(1, len(ws)),
+            i -> ws[i] || ' ' || ws[i + 1])) AS ngram FROM toks),
+cnt AS (SELECT ngram, CAST(COUNT(*) AS BIGINT) AS pair_cnt
+        FROM grams GROUP BY ngram),
+sp AS (SELECT ngram, pair_cnt, string_split(ngram, ' ')[1] AS l,
+              string_split(ngram, ' ')[2] AS r FROM cnt),
+sc AS (SELECT ngram, pair_cnt,
+         SUM(pair_cnt) OVER (PARTITION BY l) AS left_cnt,
+         SUM(pair_cnt) OVER (PARTITION BY r) AS right_cnt FROM sp)
+SELECT ngram, pair_cnt, CAST(left_cnt AS BIGINT) AS left_cnt,
+  CAST(right_cnt AS BIGINT) AS right_cnt,
+  CAST(CAST(pair_cnt AS HUGEINT) * 1000000000000
+       // (left_cnt * right_cnt) AS BIGINT) AS pmi_x1e12
+FROM sc ORDER BY pmi_x1e12 DESC, ngram LIMIT 40
 """
     # per-source hard quotas: same hash-ticket ordering as the operator
     # (exact for doc_id < 2^32 — HUGEINT product mod 2^32)

@@ -683,16 +683,14 @@ def chunk_documents(
     return ds.map_batches(_chunk, batch_format="pyarrow")
 
 
-def ngram_top_k(
-    ds: Dataset, *, text_col: str = "text", n: int = 2, k: int = 100
+def ngram_counts(
+    ds: Dataset, *, text_col: str = "text", n: int = 2
 ) -> Dataset:
-    """Corpus top-k word n-grams (language-model count tables).  Same scale
-    shape as :func:`vocab_top_k`: in-batch ``value_counts`` combiner first,
-    so the ``groupby`` exchange carries per-block n-gram vocabulary, then one
-    global sort+limit over the n-gram vocabulary only.  The n-gram build is
-    vectorized: flat token array + offsets, adjacency mask that excludes
-    cross-document pairs, one ``binary_join_element_wise`` — no Python loop.
-    Ties break by n-gram ascending (deterministic cut)."""
+    """Full corpus n-gram count table (``ngram, cnt``): in-batch
+    ``value_counts`` combiner, one ``groupby`` exchange bounded by per-block
+    n-gram vocabulary.  The n-gram build is vectorized: flat token array +
+    offsets, adjacency mask that excludes cross-document pairs, one
+    ``binary_join_element_wise`` — no Python loop."""
     if n < 2:
         raise ValueError("use vocab_top_k for unigrams")
 
@@ -726,9 +724,19 @@ def ngram_top_k(
         )
 
     agg = ds.map_batches(_partial, batch_format="pyarrow").groupby("ngram").sum("cnt")
-    agg = agg.map_batches(
+    return agg.map_batches(
         lambda t: t.rename_columns(["ngram", "cnt"]), batch_format="pyarrow"
     )
+
+
+def ngram_top_k(
+    ds: Dataset, *, text_col: str = "text", n: int = 2, k: int = 100
+) -> Dataset:
+    """Corpus top-k word n-grams (language-model count tables): the full
+    :func:`ngram_counts` table cut to ``k`` by one sort+limit over the
+    global n-gram vocabulary only.  Ties break by n-gram ascending
+    (deterministic cut)."""
+    agg = ngram_counts(ds, text_col=text_col, n=n)
     return agg.sort(["cnt", "ngram"], descending=[True, False]).limit(k)
 
 
@@ -887,4 +895,47 @@ def segment_dedup(
         _reassemble,
         sort_by=["_seg_idx"],
         num_partitions=num_partitions,
+    )
+
+
+def weighted_sample(
+    ds: Dataset,
+    *,
+    weight_col: str,
+    id_col: str = "doc_id",
+    k: int = 100,
+    pri_scale: int = 1_000_000,
+) -> Dataset:
+    """Deterministic weighted sampling without replacement (integer
+    Efraimidis–Spirakis analog): per-row priority
+    ``((id * K) mod 2^32) * pri_scale // weight`` — heavier rows draw
+    smaller priorities in expectation — keep the global ``k`` smallest
+    (ties by id).  Pure integer arithmetic: reproducible across runs,
+    cluster sizes and shard layouts, and bit-exact against a SQL
+    ``row_number() ... LIMIT k`` mirror.
+
+    Scale shape: each batch keeps only its local top-k before the global
+    sort-limit, so the sort input is ``k × num_blocks`` rows, not the
+    corpus.  Weights must be positive int64 (raises loudly otherwise)."""
+
+    def _local(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        w = batch[weight_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(w) and w.min() <= 0:
+            raise ValueError("weighted_sample: weights must be positive")
+        ticket = ((ids * _SAMPLE_K) % _MOD32).astype(np.int64)
+        pri = ticket * pri_scale // w
+        batch = batch.append_column("_pri", pa.array(pri))
+        if batch.num_rows > k:
+            keep = np.argpartition(pri, k)[:k]
+            batch = batch.take(pa.array(np.sort(keep)))
+        return batch
+
+    out = (
+        ds.map_batches(_local, batch_format="pyarrow")
+        .sort(["_pri", id_col])
+        .limit(k)
+    )
+    return out.map_batches(
+        lambda t: t.drop_columns(["_pri"]), batch_format="pyarrow"
     )

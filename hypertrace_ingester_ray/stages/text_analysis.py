@@ -323,3 +323,92 @@ def inverted_index(
     return group_apply(
         pairs, "word", _lists, sort_by=[id_col], num_partitions=num_partitions
     )
+
+
+def bigram_pmi(
+    ds: Dataset,
+    *,
+    text_col: str = "text",
+    k: int = 40,
+    scale: int = 10**12,
+) -> Dataset:
+    """Top-``k`` collocations by integer PMI: rank adjacent word pairs by
+    ``pair_cnt * scale // (left_cnt * right_cnt)`` where the marginals are
+    bigram-occurrence sums (``left_cnt = Σ_b pair(a,b)``).  The corpus-total
+    factor of true PMI is constant across pairs, so the log-free integer
+    ratio yields the identical ranking — and is bit-exact against a HUGEINT
+    SQL mirror (same ``//`` floors, ties by ngram ascending).
+
+    Scale shape: the pair table is built with the same in-batch combiner as
+    :func:`~.corpus.ngram_top_k` (adjacency-masked, cross-document pairs
+    excluded), aggregated once by ngram; the two marginal tables are
+    vocabulary-sized and broadcast via ``ray.put`` (swap for a hash_join
+    when the vocabulary outgrows the driver); scoring is one vectorized
+    pass.  Guards: pair counts above ``2^63 // scale`` raise loudly
+    (int64 scoring overflow)."""
+    import ray as _ray
+
+    from .corpus import ngram_counts
+
+    pairs = ngram_counts(ds, text_col=text_col, n=2)
+
+    def _marginal_partial(t: pa.Table) -> pa.Table:
+        s = pc.split_pattern(t["ngram"], " ")
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        out = []
+        for side, idx in (("l", 0), ("r", 1)):
+            m = pa.table(
+                {
+                    "side": pa.array([side] * t.num_rows),
+                    "word": pc.list_element(s, idx),
+                    "cnt": t["cnt"],
+                }
+            )
+            out.append(m.group_by(["side", "word"]).aggregate([("cnt", "sum")]))
+        return pa.concat_tables(out)
+
+    left: dict = {}
+    right: dict = {}
+    for row in (
+        pairs.map_batches(_marginal_partial, batch_format="pyarrow")
+        .groupby(["side", "word"])
+        .sum("cnt_sum")
+        .take_all()
+    ):  # vocabulary-sized by construction
+        d = left if row["side"] == "l" else right
+        d[row["word"]] = int(row["sum(cnt_sum)"])
+    lr_ref = _ray.put((left, right))
+
+    def _score(t: pa.Table) -> pa.Table:
+        lcnt, rcnt = _ray.get(lr_ref)
+        s = pc.split_pattern(t["ngram"], " ")
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        lw = pc.list_element(s, 0).to_numpy(zero_copy_only=False)
+        rw = pc.list_element(s, 1).to_numpy(zero_copy_only=False)
+        cnt = t["cnt"].to_numpy(zero_copy_only=False)
+        if len(cnt) and cnt.max() > (2**63 - 1) // scale:
+            raise OverflowError(
+                "bigram_pmi: pair count too large for int64 scoring; "
+                "lower `scale`"
+            )
+        lu, li = np.unique(lw, return_inverse=True)
+        ru, ri = np.unique(rw, return_inverse=True)
+        la = np.array([lcnt[w] for w in lu], dtype=np.int64)[li]
+        ra = np.array([rcnt[w] for w in ru], dtype=np.int64)[ri]
+        return pa.table(
+            {
+                "ngram": t["ngram"],
+                "pair_cnt": t["cnt"],
+                "left_cnt": pa.array(la),
+                "right_cnt": pa.array(ra),
+                "pmi_x1e12": pa.array(cnt * scale // (la * ra)),
+            }
+        )
+
+    return (
+        pairs.map_batches(_score, batch_format="pyarrow")
+        .sort(["pmi_x1e12", "ngram"], descending=[True, False])
+        .limit(k)
+    )

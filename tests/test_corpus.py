@@ -473,3 +473,82 @@ def test_segment_dedup_matches_bruteforce(ray_session):
         assert row["n_segs_total"] == len(segs)
     # the duplicate tail docs must have vanished entirely
     assert all(d not in out.index for d in range(120, 130))
+
+
+def test_weighted_sample_deterministic_and_exact(ray_session):
+    rng = np.random.RandomState(17)
+    n = 2000
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "w": pa.array(rng.randint(1, 500, n).astype(np.int64)),
+        }
+    )
+    K, MOD = 2246822519, 1 << 32
+    pri = [
+        ((i * K) % MOD * 1_000_000 // int(t["w"][i].as_py()), i)
+        for i in range(n)
+    ]
+    exp = sorted(i for _, i in sorted(pri)[:50])
+    for parts in (3, 9):
+        out = (
+            corpus.weighted_sample(
+                ray.data.from_arrow(t).repartition(parts),
+                weight_col="w",
+                k=50,
+            )
+            .to_pandas()["doc_id"]
+            .sort_values()
+            .tolist()
+        )
+        assert out == exp
+    with pytest.raises(Exception, match="positive"):
+        bad = pa.table(
+            {"doc_id": pa.array([1, 2]), "w": pa.array([3, 0])}
+        )
+        corpus.weighted_sample(
+            ray.data.from_arrow(bad), weight_col="w", k=1
+        ).to_pandas()
+
+
+def test_bigram_pmi_matches_bruteforce(ray_session):
+    from collections import Counter
+
+    from hypertrace_ingester_ray.stages import text_analysis
+
+    rng = np.random.RandomState(23)
+    vocab = [f"t{i}" for i in range(9)]
+    texts = [
+        " ".join(rng.choice(vocab, rng.randint(1, 25)).tolist())
+        for _ in range(200)
+    ]
+    pairs = Counter()
+    for tx in texts:
+        ws = tx.split(" ")
+        for a, b in zip(ws, ws[1:]):
+            pairs[(a, b)] += 1
+    lc, rc = Counter(), Counter()
+    for (a, b), c in pairs.items():
+        lc[a] += c
+        rc[b] += c
+    scored = sorted(
+        (
+            -(c * 10**12 // (lc[a] * rc[b])),
+            f"{a} {b}",
+            c,
+            lc[a],
+            rc[b],
+        )
+        for (a, b), c in pairs.items()
+    )[:15]
+    out = (
+        text_analysis.bigram_pmi(
+            ray.data.from_arrow(pa.table({"text": pa.array(texts)}))
+            .repartition(4),
+            k=15,
+        )
+        .to_pandas()
+        .values.tolist()
+    )
+    exp = [[g, c, l, r, -s] for s, g, c, l, r in scored]
+    assert out == exp
