@@ -35,7 +35,9 @@ def test_sigkill_then_resume(tmp_path):
         )
         if kill_after is not None:
             manifests = os.path.join(out, "_manifests")
-            deadline = time.time() + 120
+            # generous deadline: under external load (full suite + bench in
+            # parallel) the first partitions can take >120s to commit
+            deadline = time.time() + 420
             while time.time() < deadline:
                 done = len(os.listdir(manifests)) if os.path.isdir(manifests) else 0
                 if done >= kill_after:
