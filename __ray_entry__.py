@@ -889,8 +889,109 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bigram_pmi": lambda sf: text_analysis.bigram_pmi(
             _docs(sf).select_columns(["text"]), k=40
         ),
+        # fuzzy (edit-distance) pair matching: blocked banded Levenshtein,
+        # P-vectorized DP verify (typo-class similarity MinHash misses)
+        "doc_fuzzy_pairs": _doc_fuzzy_pairs,
+        # exact per-key mode with deterministic smallest-value tie-break
+        "user_mode_event": _user_mode_event,
+        # robust stats: integer lower-median + MAD + outlier counts per key
+        "event_value_mad": _event_value_mad,
+        # multi-touch attribution (first/last/linear) over touch windows
+        "touch_attribution": _touch_attribution,
+        # grok-style JSON scalar extraction from the events.props payload
+        "events_props_k": _events_props_k,
     }
     return q
+
+
+def _doc_fuzzy_pairs(sf_dir: str):
+    """Blocked fuzzy pairs: same first char, |Δn_chars|<=16, prefix-24
+    Levenshtein <= 12 (stages/fuzzy.fuzzy_pairs)."""
+    from hypertrace_ingester_ray.stages.fuzzy import fuzzy_pairs
+
+    return fuzzy_pairs(
+        _rpq(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text", "n_chars"],
+        ),
+        prefix_len=24,
+        band=16,
+        max_dist=12,
+        num_partitions=16,
+    )
+
+
+def _user_mode_event(sf_dir: str):
+    """Per-user modal event type, ties to the smallest value
+    (stages/analytics.group_mode)."""
+    from hypertrace_ingester_ray.stages.analytics import group_mode
+
+    return group_mode(
+        _rpq(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "event_type"],
+        ),
+        key="user_id",
+        value_col="event_type",
+        num_partitions=16,
+    )
+
+
+def _event_value_mad(sf_dir: str):
+    """Exact integer median/MAD/outlier-count per event type
+    (stages/analytics.mad_stats)."""
+    from hypertrace_ingester_ray.stages.analytics import mad_stats
+
+    return mad_stats(
+        _rpq(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_type", "value"],
+        ),
+        key="event_type",
+        value_col="value",
+        num_partitions=8,
+    )
+
+
+def _touch_attribution(sf_dir: str):
+    """First/last/linear multi-touch attribution of purchases to view/click
+    touches in a 7-day window (stages/analytics.attribution)."""
+    from hypertrace_ingester_ray.stages.analytics import attribution
+
+    return attribution(
+        _rpq(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "ts", "event_type", "event_id"],
+        ),
+        user_col="user_id",
+        ts_col="ts",
+        type_col="event_type",
+        id_col="event_id",
+        conversion_type="purchase",
+        touch_types=["view", "click"],
+        window_us=7 * 24 * 3600 * 1_000_000,
+        num_partitions=16,
+    )
+
+
+def _events_props_k(sf_dir: str):
+    """Row-level JSON integer extraction from props
+    (functions/maps.extract_json_int)."""
+    import pyarrow as pa
+
+    from hypertrace_ingester_ray.functions.maps import extract_json_int
+
+    def _extract(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "k": extract_json_int(batch["props"], "k"),
+            }
+        )
+
+    return _rpq(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "props"]
+    ).map_batches(_extract, batch_format="pyarrow")
 
 
 def _user_activity_islands(sf_dir: str):
@@ -2677,6 +2778,71 @@ k AS (
 SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS text,
   COUNT(*) AS n_segs_kept, CAST(MIN(n_total) AS BIGINT) AS n_segs_total
 FROM k WHERE rn = 1 GROUP BY doc_id
+"""
+    # fuzzy pairs: the blocking contract (same first char, length band)
+    # is part of the operator semantics and mirrored verbatim
+    sql["doc_fuzzy_pairs"] = """
+WITH p AS (SELECT doc_id, n_chars, substr(text, 1, 1) AS fc,
+                  substr(text, 1, 24) AS pre
+           FROM documents)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  CAST(levenshtein(a.pre, b.pre) AS BIGINT) AS dist
+FROM p a JOIN p b
+  ON a.fc = b.fc AND abs(a.n_chars - b.n_chars) <= 16 AND a.doc_id < b.doc_id
+WHERE levenshtein(a.pre, b.pre) <= 12
+"""
+    # exact mode, ties to the smallest value
+    sql["user_mode_event"] = """
+SELECT user_id, mode_value, n FROM (
+  SELECT user_id, event_type AS mode_value, COUNT(*) AS n,
+    ROW_NUMBER() OVER (PARTITION BY user_id
+                       ORDER BY COUNT(*) DESC, event_type ASC) AS rn
+  FROM events GROUP BY user_id, event_type)
+WHERE rn = 1
+"""
+    # robust stats: quantile_disc(0.5) IS the lower median (rank (n-1)//2+1)
+    sql["event_value_mad"] = """
+WITH cents AS (SELECT event_type, CAST(FLOOR(value * 100) AS BIGINT) AS v
+               FROM events),
+med AS (SELECT event_type, quantile_disc(v, 0.5) AS med FROM cents GROUP BY 1),
+dev AS (SELECT c.event_type, c.v, ABS(c.v - m.med) AS d
+        FROM cents c JOIN med m USING (event_type)),
+mad AS (SELECT event_type, quantile_disc(d, 0.5) AS mad FROM dev GROUP BY 1)
+SELECT d.event_type, COUNT(*) AS n, MIN(m.med) AS median_cents,
+  MIN(md.mad) AS mad_cents,
+  CAST(SUM(CASE WHEN d.d > 3 * md.mad THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_outliers
+FROM dev d JOIN med m USING (event_type) JOIN mad md USING (event_type)
+GROUP BY 1
+"""
+    # multi-touch attribution: strict window [conv_ts - 7d, conv_ts],
+    # first/last tie-break on (ts, event_id), integer floor-div credit
+    sql["touch_attribution"] = """
+WITH conv AS (SELECT user_id, ts, event_id FROM events
+              WHERE event_type = 'purchase'),
+t AS (SELECT user_id, ts, event_id, event_type FROM events
+      WHERE event_type IN ('view', 'click')),
+j AS (SELECT c.event_id AS conv_id, t.event_type AS channel,
+             t.ts AS tts, t.event_id AS tid
+      FROM conv c JOIN t ON t.user_id = c.user_id
+       AND t.ts >= c.ts - INTERVAL 7 DAY AND t.ts <= c.ts),
+n AS (SELECT conv_id, COUNT(*) AS n FROM j GROUP BY 1),
+r AS (SELECT j.*, n.n,
+   ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY tts DESC, tid DESC) AS rl,
+   ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY tts ASC, tid ASC) AS rf
+   FROM j JOIN n USING (conv_id))
+SELECT channel,
+  CAST(SUM(CASE WHEN rf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS first_touch,
+  CAST(SUM(CASE WHEN rl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS last_touch,
+  CAST(SUM(1000000 // n) AS BIGINT) AS linear_micros
+FROM r GROUP BY channel
+"""
+    # grok-style JSON integer extraction (row-level parse equality)
+    sql["events_props_k"] = """
+SELECT event_id,
+  CAST(NULLIF(regexp_extract(props, '"k"\\s*:\\s*(-?\\d+)', 1), '') AS BIGINT)
+    AS k
+FROM events
 """
     # doc_fingerprint / doc_minhash_pairs / doc_simhash_pairs /
     # knn_ivf_top5 (approximate) / media_features (stubbed decode):

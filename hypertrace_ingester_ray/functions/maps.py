@@ -15,6 +15,7 @@ per-row Python.
 
 from __future__ import annotations
 
+import re
 from typing import Optional, Sequence
 
 import numpy as np
@@ -217,3 +218,18 @@ def serialize_map(col, *, entry_sep: str = ";", kv_sep: str = "=") -> pa.Array:
         pa.ListArray.from_arrays(pa.array(offsets.astype(np.int32)), kv),
         entry_sep,
     )
+
+
+def extract_json_int(col, key: str) -> pa.Array:
+    """Vectorized extraction of an integer field from a flat JSON-object
+    string column (``{"k": 69}`` → 69), the grok-style parse for the
+    ``events.props`` payload — one compiled-regex kernel pass, no json.loads
+    per row.  Null where the key is absent or non-integer.
+
+    Reference parity: the reference greps span attributes out of serialized
+    maps the same way (HttpFieldsGenerator.java — tag-string parsing); this
+    is that parse recast as a pyarrow.compute kernel over a JSON column.
+    """
+    pat = r'"' + re.escape(key) + r'"\s*:\s*(?P<v>-?\d+)'
+    st = pc.extract_regex(col, pattern=pat)
+    return pc.cast(pc.struct_field(st, ["v"]), pa.int64())

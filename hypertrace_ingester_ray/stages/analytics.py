@@ -974,3 +974,298 @@ def group_zscore_outliers(
         )
 
     return ds.map_batches(_filter, batch_format="pyarrow")
+
+
+def _first_per_segment(ok: np.ndarray, seg: np.ndarray) -> np.ndarray:
+    """Index of the first True per segment (segments with no True omitted)."""
+    idxs = np.flatnonzero(ok)
+    if len(idxs) == 0:
+        return idxs
+    return idxs[np.unique(seg[idxs], return_index=True)[1]]
+
+
+def group_mode(
+    ds: Dataset,
+    *,
+    key: str,
+    value_col: str,
+    num_partitions: int = 32,
+) -> Dataset:
+    """Exact per-key mode (most frequent value), ties broken by the smallest
+    value — fully deterministic, so it hash-matches a SQL
+    ``ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, value ASC)`` mirror.
+
+    Each batch pre-counts ``(key, value)`` pairs with Arrow's C++ group-by
+    (only unique pairs cross the shuffle); one hash exchange on ``key``
+    co-locates each key's count table; the winner pick is a segmented
+    max + first-hit scan (no per-key loop).  Output: ``key, mode_value, n``.
+    """
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        t = batch.select([key, value_col]).group_by([key, value_col]).aggregate(
+            [([], "count_all")]
+        )
+        return t.rename_columns([key, value_col, "cnt"])
+
+    def _pick(part: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                key: pa.array([], part.schema.field(key).type),
+                "mode_value": pa.array([], part.schema.field(value_col).type),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if part.num_rows == 0:
+            return empty
+        k = part[key].to_numpy(zero_copy_only=False)
+        v = part[value_col].to_numpy(zero_copy_only=False)
+        c = part["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b2 = run_boundaries(k, v)  # sorted by (key, value) by group_apply
+        cnt_u = np.add.reduceat(c, b2[:-1])
+        rows_u = b2[:-1]  # representative part-row per unique (key, value)
+        bk = run_boundaries(k[rows_u])
+        sizes = np.diff(bk)
+        seg = np.repeat(np.arange(len(sizes)), sizes)
+        maxc = np.repeat(np.maximum.reduceat(cnt_u, bk[:-1]), sizes)
+        first = _first_per_segment(cnt_u == maxc, seg)
+        take = pa.array(rows_u[first])
+        return pa.table(
+            {
+                key: part[key].take(take),
+                "mode_value": part[value_col].take(take),
+                "n": pa.array(cnt_u[first]),
+            }
+        )
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow")
+    return group_apply(
+        parts, key, _pick, sort_by=[value_col], num_partitions=num_partitions
+    )
+
+
+def mad_stats(
+    ds: Dataset,
+    *,
+    key: str,
+    value_col: str,
+    cents_scale: int = 100,
+    k_sigma: int = 3,
+    num_partitions: int = 16,
+) -> Dataset:
+    """Exact per-key robust statistics in integer fixed point: lower median,
+    MAD (median absolute deviation, lower-median convention), and the count
+    of ``|v - median| > k_sigma * MAD`` outliers.
+
+    "Lower median" = the value at 1-indexed rank ``(n-1)//2 + 1`` — exactly
+    DuckDB's ``quantile_disc(x, 0.5)`` — so the whole row hash-matches a SQL
+    mirror with no float drift.
+
+    Only the per-batch ``(key, cents, count)`` tables cross the shuffle
+    (bounded by the value cardinality, not the row count); medians are then
+    weighted-rank scans over each key's count table: segmented cumsum + one
+    first-hit pick per key, repeated on ``|v - med|`` re-sorted per key.
+    Output: ``key, n, median_cents, mad_cents, n_outliers``.
+    """
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        cents = np.floor(
+            batch[value_col].to_numpy(zero_copy_only=False) * cents_scale
+        ).astype(np.int64)
+        t = pa.table({key: batch[key], "v": pa.array(cents)})
+        return t.group_by([key, "v"]).aggregate([([], "count_all")]).rename_columns(
+            [key, "v", "cnt"]
+        )
+
+    def _weighted_lower_median(
+        c: np.ndarray, bk: np.ndarray, seg: np.ndarray, target_per_row: np.ndarray
+    ) -> np.ndarray:
+        """First index per segment where the running count reaches target."""
+        cum = np.cumsum(c)
+        base = np.repeat(np.concatenate(([0], cum[bk[1:-1] - 1])), np.diff(bk))
+        return _first_per_segment(cum - base >= target_per_row, seg)
+
+    def _stats(part: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                key: pa.array([], part.schema.field(key).type),
+                "n": pa.array([], pa.int64()),
+                "median_cents": pa.array([], pa.int64()),
+                "mad_cents": pa.array([], pa.int64()),
+                "n_outliers": pa.array([], pa.int64()),
+            }
+        )
+        if part.num_rows == 0:
+            return empty
+        k = part[key].to_numpy(zero_copy_only=False)
+        v = part["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = part["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # combine duplicate (key, v) rows from different batches
+        b2 = run_boundaries(k, v)
+        c = np.add.reduceat(c, b2[:-1])
+        rows_u = b2[:-1]
+        k, v = k[rows_u], v[rows_u]
+        bk = run_boundaries(k)
+        sizes = np.diff(bk)
+        seg = np.repeat(np.arange(len(sizes)), sizes)
+        n_k = np.add.reduceat(c, bk[:-1])
+        target = np.repeat((n_k - 1) // 2 + 1, sizes)
+        med_idx = _weighted_lower_median(c, bk, seg, target)
+        med = np.repeat(v[med_idx], sizes)
+        d = np.abs(v - med)
+        # re-sort each key's rows by deviation for the MAD rank scan
+        order = np.lexsort((d, seg))
+        mad_idx = _weighted_lower_median(c[order], bk, seg, target)
+        mad = np.repeat(d[order][mad_idx], sizes)
+        out_mask = d > k_sigma * mad
+        n_out = np.zeros(len(sizes), dtype=np.int64)
+        np.add.at(n_out, seg[out_mask], c[out_mask])
+        take = pa.array(rows_u[bk[:-1]])
+        return pa.table(
+            {
+                key: part[key].take(take),
+                "n": pa.array(n_k),
+                "median_cents": pa.array(v[med_idx]),
+                "mad_cents": pa.array(d[order][mad_idx]),
+                "n_outliers": pa.array(n_out),
+            }
+        )
+
+    parts = ds.select_columns([key, value_col]).map_batches(
+        _partial, batch_format="pyarrow"
+    )
+    return group_apply(parts, key, _stats, sort_by=["v"], num_partitions=num_partitions)
+
+
+def attribution(
+    ds: Dataset,
+    *,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    id_col: str,
+    conversion_type: str,
+    touch_types: Sequence[str],
+    window_us: int,
+    credit_scale: int = 1_000_000,
+    num_partitions: int = 32,
+) -> Dataset:
+    """Multi-touch attribution: for every conversion event, credit the touch
+    events of the same user in ``[conv_ts - window, conv_ts]`` under three
+    models at once — first-touch, last-touch, and linear.
+
+    Deterministic ties: first/last pick by ``(ts, id)`` order; linear credit
+    is integer micro-credits ``credit_scale // n_touches`` (floor division in
+    both engines, so the totals hash-match SQL exactly).
+
+    One hash exchange on the user key; per partition the touch windows are
+    located with two ``searchsorted`` calls over a rank-compressed composite
+    key (the ``range_join`` machinery), first/last picks are O(conversions),
+    and only the linear model pays the output-sized ragged expansion.
+    Output: ``channel, first_touch, last_touch, linear_micros`` (one row per
+    touch channel).
+    """
+    touch_set = set(touch_types)
+
+    def _credit(part: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "channel": pa.array([], part.schema.field(type_col).type),
+                "first_touch": pa.array([], pa.int64()),
+                "last_touch": pa.array([], pa.int64()),
+                "linear_micros": pa.array([], pa.int64()),
+            }
+        )
+        if part.num_rows == 0:
+            return empty
+        ucol = part[user_col].combine_chunks()
+        if not pa.types.is_integer(ucol.type):
+            ucol = ucol.dictionary_encode().indices
+        u = ucol.to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = (
+            part[ts_col]
+            .combine_chunks()
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        types = part[type_col].to_numpy(zero_copy_only=False)
+        conv = np.flatnonzero(types == conversion_type)
+        touch = np.flatnonzero(np.isin(types, list(touch_set)))
+        if len(conv) == 0 or len(touch) == 0:
+            return empty
+        # part is sorted by (user, ts, id) → touch slice keeps that order
+        tu, tt = u[touch], ts[touch]
+        cu, ct = u[conv], ts[conv]
+        lo_ts = ct - np.int64(window_us)
+        all_ts = np.unique(np.concatenate([tt, ct, lo_ts]))
+        base = np.int64(len(all_ts) + 1)
+        # rank-compress user ids too: composite = urank * base + ts_rank
+        uu = np.unique(u)
+        if len(uu) * int(base) >= (1 << 62):
+            raise OverflowError(
+                "attribution partition too wide for int64 composite key; "
+                "raise num_partitions"
+            )
+        tur = np.searchsorted(uu, tu)
+        cur_ = np.searchsorted(uu, cu)
+        t_comp = tur * base + np.searchsorted(all_ts, tt)
+        lo = np.searchsorted(
+            t_comp, cur_ * base + np.searchsorted(all_ts, lo_ts), side="left"
+        )
+        hi = np.searchsorted(
+            t_comp, cur_ * base + np.searchsorted(all_ts, ct), side="right"
+        )
+        counts = hi - lo
+        has = counts > 0
+        first_rows = touch[lo[has]]
+        last_rows = touch[hi[has] - 1]
+        # linear: ragged expansion to touch rows, floor-divided credit
+        cts = counts[has]
+        total = int(cts.sum())
+        csum = np.concatenate(([0], np.cumsum(cts)[:-1]))
+        flat = np.repeat(lo[has], cts) + (np.arange(total) - np.repeat(csum, cts))
+        lin_rows = touch[flat]
+        lin_credit = np.repeat(credit_scale // cts, cts)
+
+        chan_arr = part[type_col].combine_chunks()
+        out = {}
+        for rows, col, weights in (
+            (first_rows, "first_touch", None),
+            (last_rows, "last_touch", None),
+            (lin_rows, "linear_micros", lin_credit),
+        ):
+            ch = chan_arr.take(pa.array(rows)).to_numpy(zero_copy_only=False)
+            uniq, inv = np.unique(ch, return_inverse=True)
+            agg = np.zeros(len(uniq), dtype=np.int64)
+            np.add.at(agg, inv, weights if weights is not None else 1)
+            out[col] = dict(zip(uniq, agg))
+        channels = sorted(set().union(*[d.keys() for d in out.values()]))
+        return pa.table(
+            {
+                "channel": pa.array(channels, part.schema.field(type_col).type),
+                "first_touch": pa.array(
+                    [out["first_touch"].get(c, 0) for c in channels], pa.int64()
+                ),
+                "last_touch": pa.array(
+                    [out["last_touch"].get(c, 0) for c in channels], pa.int64()
+                ),
+                "linear_micros": pa.array(
+                    [out["linear_micros"].get(c, 0) for c in channels], pa.int64()
+                ),
+            }
+        )
+
+    def _combine(part: pa.Table) -> pa.Table:
+        return part.group_by("channel").aggregate(
+            [("first_touch", "sum"), ("last_touch", "sum"), ("linear_micros", "sum")]
+        ).rename_columns(["channel", "first_touch", "last_touch", "linear_micros"])
+
+    projected = ds.select_columns([user_col, ts_col, type_col, id_col])
+    partials = group_apply(
+        projected,
+        user_col,
+        _credit,
+        sort_by=[ts_col, id_col],
+        num_partitions=num_partitions,
+    )
+    # tiny: channels x partitions rows
+    return group_apply(partials, "channel", _combine, num_partitions=1)
