@@ -564,8 +564,13 @@ def verified_near_dup_pairs(
     work (shingling, banding) is fully vectorized upstream.
 
     Returns (doc_a, doc_b, jaccard_x1000:int64), a < b.
+
+    The two text-attach joins CHAIN (j2's left input is j1's output stream),
+    which trips a schema-loss race in Ray's native join operator when a
+    partition arrives empty — so they use :func:`cogroup_join`, the
+    schema-explicit exchange that is safe to chain.
     """
-    from .joins import hash_join
+    from .joins import cogroup_join
 
     cands = minhash_lsh_pairs(
         ds.select_columns([id_col, text_col]),
@@ -581,7 +586,7 @@ def verified_near_dup_pairs(
         **kw,
     ).select_columns(["doc_a", "doc_b"])
     docs = ds.select_columns([id_col, text_col])
-    j1 = hash_join(
+    j1 = cogroup_join(
         cands,
         docs.map_batches(
             lambda t: t.rename_columns(["doc_a", "text_a"]),
@@ -590,7 +595,7 @@ def verified_near_dup_pairs(
         on=["doc_a"],
         num_partitions=8,
     )
-    j2 = hash_join(
+    j2 = cogroup_join(
         j1,
         docs.map_batches(
             lambda t: t.rename_columns(["doc_b", "text_b"]),

@@ -29,7 +29,7 @@ import ray
 import ray.data
 from ray.data import Dataset
 
-from .grouping import group_apply, run_boundaries
+from .grouping import cogroup, group_apply, run_boundaries
 
 
 def broadcast_join(
@@ -82,6 +82,56 @@ def hash_join(
         on=tuple(on),
         right_on=tuple(right_on) if right_on else None,
     )
+
+
+_COGROUP_JOIN_TYPES = {
+    "inner": "inner",
+    "left_outer": "left outer",
+    "right_outer": "right outer",
+    "full_outer": "full outer",
+    "left_semi": "left semi",
+    "left_anti": "left anti",
+}
+
+
+def cogroup_join(
+    left: Dataset,
+    right: Dataset,
+    *,
+    on: Sequence[str],
+    right_on: Optional[Sequence[str]] = None,
+    how: str = "inner",
+    num_partitions: int = 32,
+) -> Dataset:
+    """Distributed hash join built on :func:`cogroup`: one explicit hash
+    exchange per side, then a LOCAL ``pyarrow.Table.join`` per partition
+    (matching keys are co-located by construction, so the union of the
+    per-partition local joins IS the global join).
+
+    Exists alongside :func:`hash_join` (Ray's native join operator) because
+    the native operator loses the left-side schema when a partition of a
+    CHAINED join (join whose input is another join's output) receives zero
+    rows — a race that intermittently raises ``ArrowInvalid: No match ...
+    FieldRef`` at finalize.  The cogroup exchange carries both schemas
+    explicitly and builds typed empty tables for empty partitions, so this
+    variant is safe to chain and safe on arbitrarily sparse keys.  Use it
+    whenever a join input may itself be a streamed join output.
+    """
+    keys = list(on)
+    rkeys = list(right_on or on)
+    if rkeys != keys:
+        mapping = dict(zip(rkeys, keys))
+
+        def _rename(t: pa.Table) -> pa.Table:
+            return t.rename_columns([mapping.get(c, c) for c in t.column_names])
+
+        right = right.map_batches(_rename, batch_format="pyarrow")
+    join_type = _COGROUP_JOIN_TYPES[how]
+
+    def _local_join(lp: pa.Table, rp: pa.Table) -> pa.Table:
+        return lp.join(rp, keys=keys, join_type=join_type)
+
+    return cogroup(left, right, keys, _local_join, num_partitions=num_partitions)
 
 
 def asof_join(

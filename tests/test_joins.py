@@ -7,7 +7,12 @@ import pytest
 import ray.data
 
 from hypertrace_ingester_ray.stages.explode import explode_tokens_batch
-from hypertrace_ingester_ray.stages.joins import asof_join, broadcast_join, hash_join
+from hypertrace_ingester_ray.stages.joins import (
+    asof_join,
+    broadcast_join,
+    cogroup_join,
+    hash_join,
+)
 
 
 def test_explode_tokens_batch():
@@ -42,6 +47,49 @@ def test_hash_join_inner(ray_session):
     )
     out = hash_join(left, right, on=["k"], num_partitions=4).to_pandas()
     assert sorted(out.k.tolist()) == [2, 3]
+
+
+def test_cogroup_join_matches_hash_join(ray_session):
+    """cogroup_join (schema-explicit exchange) produces the same rows as the
+    native join for inner and left_outer, including a renamed right key."""
+    left = ray.data.from_arrow(
+        pa.table(
+            {"k": pa.array([1, 2, 3, 5], pa.int64()), "l": pa.array(list("abce"))}
+        )
+    )
+    right = ray.data.from_arrow(
+        pa.table(
+            {"rk": pa.array([2, 3, 4], pa.int64()), "r": pa.array(list("BCD"))}
+        )
+    )
+    inner = cogroup_join(
+        left, right, on=["k"], right_on=["rk"], num_partitions=4
+    ).to_pandas()
+    assert sorted(inner.k.tolist()) == [2, 3]
+    louter = cogroup_join(
+        left, right, on=["k"], right_on=["rk"], how="left_outer", num_partitions=4
+    ).to_pandas()
+    assert sorted(louter.k.tolist()) == [1, 2, 3, 5]
+    assert louter.set_index("k").r.isna().sum() == 2
+
+
+def test_cogroup_join_chained(ray_session):
+    """The chained-join shape that races in the native operator (empty
+    partitions of a join-output stream): join the output of a cogroup_join
+    into a second cogroup_join with far more partitions than keys."""
+    a = ray.data.from_arrow(
+        pa.table({"x": pa.array([1, 2], pa.int64()), "y": pa.array([10, 20], pa.int64())})
+    )
+    b = ray.data.from_arrow(
+        pa.table({"x": pa.array([1, 2], pa.int64()), "z": pa.array([7, 8], pa.int64())})
+    )
+    c = ray.data.from_arrow(
+        pa.table({"y": pa.array([10, 20], pa.int64()), "w": pa.array([5, 6], pa.int64())})
+    )
+    j1 = cogroup_join(a, b, on=["x"], num_partitions=8)
+    j2 = cogroup_join(j1, c, on=["y"], num_partitions=8).to_pandas()
+    assert sorted(j2.w.tolist()) == [5, 6]
+    assert set(j2.columns) == {"x", "y", "z", "w"}
 
 
 def test_asof_join_backward(ray_session):
