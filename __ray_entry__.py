@@ -900,8 +900,58 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "touch_attribution": _touch_attribution,
         # grok-style JSON scalar extraction from the events.props payload
         "events_props_k": _events_props_k,
+        # GROUP BY CUBE: all 2^k grouping sets from ONE distributed pass
+        "events_cube": _events_cube,
+        # CCNet-style LM quality proxy: integer mean inverse unigram
+        # frequency (rank-equivalent to unigram cross-entropy, bit-exact)
+        "doc_rarity": lambda sf: text_analysis.unigram_surprisal(
+            _docs(sf).select_columns(["doc_id", "text"])
+        ),
     }
     return q
+
+
+def _events_cube(sf_dir: str):
+    """All four grouping sets of (event_type, hour) with counts + cents sums
+    (stages/analytics.cube_counts)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hypertrace_ingester_ray.stages import analytics
+
+    ds = _rpq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["ts", "event_type", "value"],
+    )
+
+    def _prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "hour_us": pc.cast(
+                    pc.floor_temporal(t["ts"], unit="hour"), pa.int64()
+                ),
+                "cents": pc.cast(
+                    pc.floor(pc.multiply(t["value"], 100.0)), pa.int64()
+                ),
+            }
+        )
+
+    out = analytics.cube_counts(
+        ds.map_batches(_prep, batch_format="pyarrow"),
+        dims=["event_type", "hour_us"],
+        sum_col="cents",
+        num_partitions=16,
+    )
+
+    def _fin(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.column_names.index("hour_us"),
+            "hour",
+            pc.cast(t["hour_us"], pa.timestamp("us")),
+        )
+
+    return out.map_batches(_fin, batch_format="pyarrow")
 
 
 def _doc_fuzzy_pairs(sf_dir: str):
@@ -2843,6 +2893,26 @@ SELECT event_id,
   CAST(NULLIF(regexp_extract(props, '"k"\\s*:\\s*(-?\\d+)', 1), '') AS BIGINT)
     AS k
 FROM events
+"""
+    sql["events_cube"] = """
+WITH e AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+                  CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events)
+SELECT event_type, hour, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM e GROUP BY CUBE (event_type, hour)
+"""
+    # same integer arithmetic as the engine: per-token term is
+    # total*1e6 // cnt (HUGEINT), per-doc score is term-sum // n_tokens
+    sql["doc_rarity"] = """
+WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+           FROM documents),
+cnt AS (SELECT word, CAST(count(*) AS BIGINT) AS c FROM w GROUP BY word),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM w)
+SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+  CAST(SUM(CAST(tot.t AS HUGEINT) * 1000000 // cnt.c) // count(*) AS BIGINT)
+    AS rarity_x1e6
+FROM w JOIN cnt USING (word) CROSS JOIN tot
+GROUP BY w.doc_id
 """
     # doc_fingerprint / doc_minhash_pairs / doc_simhash_pairs /
     # knn_ivf_top5 (approximate) / media_features (stubbed decode):

@@ -492,6 +492,96 @@ def rollup_counts(
     return rolled.union(_rd.from_arrow(pa.table(cols)))
 
 
+def cube_counts(
+    ds: Dataset,
+    *,
+    dims: Sequence[str],
+    sum_col: Optional[str] = None,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+) -> Dataset:
+    """``GROUP BY CUBE(*dims)``: counts (and optionally an integer sum) at
+    EVERY subset of the dimensions (2^k grouping sets), excluded dimensions
+    emitted as NULL — the SQL cube contract.  Complements
+    :func:`rollup_counts` (prefix levels only).
+
+    Scale shape: the row-sized work is ONE distributed pass — per-batch
+    partial aggregation at the finest level, then one exchange keyed on
+    ``dims[0]`` — producing the distinct-combination table.  All 2^k
+    grouping sets are then folded from that table, which is bounded by the
+    product of dimension cardinalities (NOT by input rows); the fold runs on
+    the driver exactly like :func:`rollup_counts`' grand-total level and
+    carries the same contract.  ``len(dims) > 4`` raises (16+ grouping sets
+    over a high-cardinality cube wants an explicit composition instead).
+    """
+    dims = list(dims)
+    if len(dims) > 4:
+        raise ValueError(
+            "cube_counts supports at most 4 dims (2^k grouping sets); "
+            "compose rollup_counts / group_apply explicitly beyond that"
+        )
+    n_col, s_col = "n_rows", f"sum_{sum_col}" if sum_col else None
+    metric_names = [n_col] + ([s_col] if sum_col else [])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        cols = dims + ([sum_col] if sum_col else [])
+        t = batch.select(cols)
+        t = t.append_column("__one", pa.array(np.ones(t.num_rows, np.int64)))
+        aggs = [("__one", "sum")] + ([(sum_col, "sum")] if sum_col else [])
+        agg = t.group_by(dims).aggregate(aggs)
+        return agg.select(
+            dims + ["__one_sum"] + ([f"{sum_col}_sum"] if sum_col else [])
+        ).rename_columns(dims + metric_names)
+
+    def _final(part: pa.Table) -> pa.Table:
+        agg = part.group_by(dims).aggregate(
+            [(c, "sum") for c in metric_names]
+        )
+        return agg.select(
+            dims + [f"{c}_sum" for c in metric_names]
+        ).rename_columns(dims + metric_names)
+
+    combos = group_apply(
+        ds.map_batches(_partial, batch_format="pyarrow"),
+        dims[0],
+        _final,
+        num_partitions=num_partitions,
+    ).materialize()
+
+    import ray as _ray
+    import ray.data as _rd
+
+    tables = [t for t in _ray.get(combos.to_arrow_refs()) if t.num_rows]
+    if not tables:
+        return combos
+    allrows = pa.concat_tables(tables)  # distinct-combination-sized
+    outs = []
+    for mask in range(1 << len(dims)):
+        keep = [d for i, d in enumerate(dims) if mask & (1 << i)]
+        if keep:
+            agg = allrows.group_by(keep).aggregate(
+                [(c, "sum") for c in metric_names]
+            )
+            agg = agg.select(
+                keep + [f"{c}_sum" for c in metric_names]
+            ).rename_columns(keep + metric_names)
+        else:
+            agg = pa.table(
+                {
+                    c: pa.array(
+                        [pc.sum(allrows[c]).as_py() or 0], pa.int64()
+                    )
+                    for c in metric_names
+                }
+            )
+        for d in dims:
+            if d not in keep:
+                agg = agg.append_column(
+                    d, pa.nulls(agg.num_rows, allrows.schema.field(d).type)
+                )
+        outs.append(agg.select(dims + metric_names))
+    return _rd.from_arrow(pa.concat_tables(outs))
+
+
 def group_quantiles(
     ds: Dataset,
     *,

@@ -586,6 +586,7 @@ def verified_near_dup_pairs(
         **kw,
     ).select_columns(["doc_a", "doc_b"])
     docs = ds.select_columns([id_col, text_col])
+    npart = int(kw.get("num_partitions", 8))
     j1 = cogroup_join(
         cands,
         docs.map_batches(
@@ -593,7 +594,7 @@ def verified_near_dup_pairs(
             batch_format="pyarrow",
         ),
         on=["doc_a"],
-        num_partitions=8,
+        num_partitions=npart,
     )
     j2 = cogroup_join(
         j1,
@@ -602,7 +603,7 @@ def verified_near_dup_pairs(
             batch_format="pyarrow",
         ),
         on=["doc_b"],
-        num_partitions=8,
+        num_partitions=npart,
     )
 
     def _verify(batch: pa.Table) -> pa.Table:

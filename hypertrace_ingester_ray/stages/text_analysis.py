@@ -412,3 +412,103 @@ def bigram_pmi(
         .sort(["pmi_x1e12", "ngram"], descending=[True, False])
         .limit(k)
     )
+
+
+def unigram_surprisal(
+    ds: Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scale: int = 10**6,
+) -> Dataset:
+    """CCNet-style LM quality proxy: score every document by its mean
+    inverse corpus unigram frequency — ``rarity = (Σ_t total*scale//cnt[t])
+    // n_tokens`` over the document's tokens.  Rare-token-dense documents
+    (gibberish, OCR noise, boilerplate-free tails) score high, common-word
+    prose scores low; CCNet buckets its corpus into head/middle/tail on
+    exactly this kind of LM score.  The log-free integer form preserves the
+    ranking of a unigram-LM cross-entropy (both are monotone in mean
+    inverse frequency) and is bit-exact against a HUGEINT SQL mirror —
+    a float KenLM-style scorer would be rows-only checkable.
+
+    Scale shape: pass 1 is the corpus unigram count table (in-batch
+    ``value_counts`` combiner → one vocabulary-bounded ``groupby``
+    exchange), collected and broadcast via ``ray.put`` (vocabulary-sized,
+    Zipf-small; swap for a hash_join against an exploded token table when
+    the vocabulary outgrows the driver).  Pass 2 is one vectorized batch
+    pass: split → dictionary-encode → per-DISTINCT-word lookup fanned out
+    via codes → ``np.add.reduceat`` per-document sums.  Guards: both the
+    per-word term (``total*scale``) and the per-document sum are checked
+    against int64 and raise loudly — never a silent wrap.
+
+    Emits (id_col, n_tokens:int64, rarity_x1e6:int64).
+    """
+    import ray as _ray
+
+    def _count_partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch[text_col], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        vc = toks.flatten().value_counts()
+        return pa.table(
+            {
+                "word": vc.field("values"),
+                "cnt": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    counts: dict = {}
+    for row in (
+        ds.map_batches(_count_partial, batch_format="pyarrow")
+        .groupby("word")
+        .sum("cnt")
+        .take_all()
+    ):  # vocabulary-sized by construction
+        counts[row["word"]] = int(row["sum(cnt)"])
+    total = sum(counts.values())
+    if total > (2**63 - 1) // scale:
+        raise OverflowError(
+            "unigram_surprisal: corpus token total too large for int64 "
+            "scoring at this scale; lower `scale`"
+        )
+    cnt_ref = _ray.put(counts)
+
+    def _score(batch: pa.Table) -> pa.Table:
+        cmap = _ray.get(cnt_ref)
+        toks = pc.split_pattern(batch[text_col], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        off = np.asarray(toks.offsets, dtype=np.int64)
+        n_tok = np.diff(off)
+        enc = flat.dictionary_encode()
+        uniq = enc.dictionary.to_pylist()
+        inv = np.array(
+            [total * scale // cmap[w] for w in uniq], dtype=np.int64
+        )
+        per_tok = inv[enc.indices.to_numpy(zero_copy_only=False)]
+        sums = np.zeros(batch.num_rows, dtype=np.int64)
+        nz = n_tok > 0
+        if per_tok.size:
+            # float shadow-sum with a 2x margin (53-bit mantissa) catches
+            # any document whose exact int64 sum could wrap
+            shadow = np.add.reduceat(per_tok.astype(np.float64), off[:-1][nz])
+            if shadow.size and shadow.max() > float(2**62):
+                raise OverflowError(
+                    "unigram_surprisal: per-document rarity sum would "
+                    "overflow int64; lower `scale`"
+                )
+            sums[nz] = np.add.reduceat(per_tok, off[:-1][nz])
+        rarity = np.zeros(batch.num_rows, dtype=np.int64)
+        rarity[nz] = sums[nz] // n_tok[nz]
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_tokens": pa.array(n_tok),
+                "rarity_x1e6": pa.array(rarity),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        _score, batch_format="pyarrow"
+    )

@@ -345,6 +345,38 @@ def test_rollup_matches_duckdb(ray_session):
     pd.testing.assert_frame_equal(key(out), key(exp.rename(columns={})), check_names=False)
 
 
+def test_cube_matches_duckdb(ray_session):
+    import duckdb
+
+    rng = np.random.RandomState(5)
+    pdf = pd.DataFrame(
+        {
+            "lang": [["en", "fr", "de"][i] for i in rng.randint(0, 3, 300)],
+            "source": [["web", "book"][i] for i in rng.randint(0, 2, 300)],
+            "n": rng.randint(1, 100, 300).astype(np.int64),
+        }
+    )
+    out = analytics.cube_counts(
+        ray.data.from_pandas(pdf).repartition(4),
+        dims=["lang", "source"],
+        sum_col="n",
+        num_partitions=2,
+    ).to_pandas()
+    exp = duckdb.sql(
+        "SELECT lang, source, CAST(count(*) AS BIGINT) AS n_rows, "
+        "CAST(SUM(n) AS BIGINT) AS sum_n FROM pdf GROUP BY CUBE(lang, source)"
+    ).df()
+    assert len(out) == len(exp)
+    key = lambda df: df.astype(str).sort_values(list(df.columns)).reset_index(drop=True)
+    pd.testing.assert_frame_equal(key(out), key(exp), check_names=False)
+
+
+def test_cube_rejects_wide_dims(ray_session):
+    pdf = pd.DataFrame({c: [1] for c in "abcde"})
+    with pytest.raises(ValueError, match="at most 4 dims"):
+        analytics.cube_counts(ray.data.from_pandas(pdf), dims=list("abcde"))
+
+
 def test_group_quantiles_ceil_rank(ray_session):
     pdf = pd.DataFrame(
         {"g": ["x"] * 4 + ["y"] * 1, "v": [10, 20, 30, 40, 7]}

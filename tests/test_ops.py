@@ -183,6 +183,32 @@ def test_hopping_window_counts(ray_session):
     assert dict(zip(w0.event_type, w0.num_events)) == {"a": 2, "b": 1}
 
 
+def test_unigram_surprisal_exact(ray_session):
+    """Integer mean-inverse-frequency scores match a hand Python mirror,
+    including the empty-token edge (single empty-string token)."""
+    texts = ["a a b", "b c", "a", ""]
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    out = (
+        text_analysis.unigram_surprisal(ray.data.from_arrow(t))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # corpus tokens: a a b | b c | a | '' -> counts a:3 b:2 c:1 '':1, total 7
+    cnt = {"a": 3, "b": 2, "c": 1, "": 1}
+    total, scale = 7, 10**6
+    for i, txt in enumerate(texts):
+        toks = txt.split(" ")
+        exp = sum(total * scale // cnt[w] for w in toks) // len(toks)
+        assert out.loc[i, "n_tokens"] == len(toks)
+        assert out.loc[i, "rarity_x1e6"] == exp
+
+
 def test_verified_near_dup_pairs(ray_session):
     """LSH candidates + exact jaccard verification: dup docs pair up with
     jaccard 1000, dissimilar docs never appear."""
