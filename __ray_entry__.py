@@ -907,6 +907,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_rarity": lambda sf: text_analysis.unigram_surprisal(
             _docs(sf).select_columns(["doc_id", "text"])
         ),
+        # token budgeting in BOTH conventions: whitespace words + GPT-2-ish
+        # BPE pre-tokenizer pieces (RE2 on both engine and oracle side)
+        "doc_bpe_tokens": lambda sf: text_analysis.bpe_token_counts(
+            _docs(sf).select_columns(["doc_id", "text"])
+        ),
     }
     return q
 
@@ -2913,6 +2918,16 @@ SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
     AS rarity_x1e6
 FROM w JOIN cnt USING (word) CROSS JOIN tot
 GROUP BY w.doc_id
+"""
+    # same RE2 pattern as text_analysis.BPE_TOKEN_PATTERN (DuckDB's regexp
+    # functions are RE2 too, so the piece count is bit-identical)
+    sql["doc_bpe_tokens"] = r"""
+SELECT doc_id,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+  CAST(len(regexp_extract_all(text,
+    '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
+    AS BIGINT) AS n_bpe_tokens
+FROM documents
 """
     # doc_fingerprint / doc_minhash_pairs / doc_simhash_pairs /
     # knn_ivf_top5 (approximate) / media_features (stubbed decode):

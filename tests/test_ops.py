@@ -183,6 +183,29 @@ def test_hopping_window_counts(ray_session):
     assert dict(zip(w0.event_type, w0.num_events)) == {"a": 2, "b": 1}
 
 
+def test_bpe_token_counts(ray_session):
+    """BPE-ish piece counts: contractions split, letter/digit/punct runs are
+    one piece each, CJK counts per run — whitespace counts stay word-level."""
+    texts = ["it's 2026, really?!", "你好 world", ""]
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    out = (
+        text_analysis.bpe_token_counts(ray.data.from_arrow(t))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # "it's 2026, really?!" -> it | 's | " 2026" | "," | " really" | "?!"
+    assert out.loc[0, "n_bpe_tokens"] == 6 and out.loc[0, "n_ws_tokens"] == 3
+    # "你好 world" -> 你好 | " world"
+    assert out.loc[1, "n_bpe_tokens"] == 2 and out.loc[1, "n_ws_tokens"] == 2
+    assert out.loc[2, "n_bpe_tokens"] == 0 and out.loc[2, "n_ws_tokens"] == 1
+
+
 def test_unigram_surprisal_exact(ray_session):
     """Integer mean-inverse-frequency scores match a hand Python mirror,
     including the empty-token edge (single empty-string token)."""
