@@ -912,6 +912,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bpe_tokens": lambda sf: text_analysis.bpe_token_counts(
             _docs(sf).select_columns(["doc_id", "text"])
         ),
+        # integer BM25-variant retrieval (exact tf saturation + length
+        # normalization, reciprocal-df idf surrogate; bit-exact oracle)
+        "doc_bm25_top10": lambda sf: text_analysis.bm25_topk(
+            _docs(sf).select_columns(["doc_id", "text"]),
+            {
+                0: ["hash", "join", "merge"],
+                1: ["slow", "scan", "filter"],
+                2: ["customer", "order", "data"],
+            },
+            k=10,
+        ),
     }
     return q
 
@@ -2928,6 +2939,41 @@ SELECT doc_id,
     '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
     AS BIGINT) AS n_bpe_tokens
 FROM documents
+"""
+    # integer BM25 variant: same floored arithmetic as bm25_topk —
+    # IDF = N*1e6 // (df+1); TFW = tf*220*1000 // DEN;
+    # DEN = tf*100 + (120*X)//100; X = 25 + (75*L100)//100;
+    # L100 = dl*N*100 // total_tokens
+    sql["doc_bm25_top10"] = """
+WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+           FROM documents),
+dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM w GROUP BY doc_id),
+q(query_id, term) AS (VALUES
+  (0,'hash'),(0,'join'),(0,'merge'),
+  (1,'slow'),(1,'scan'),(1,'filter'),
+  (2,'customer'),(2,'order'),(2,'data')),
+tf AS (SELECT q.query_id, q.term, w.doc_id, CAST(count(*) AS BIGINT) AS tf
+       FROM w JOIN q ON w.word = q.term GROUP BY ALL),
+df AS (SELECT q.query_id, q.term,
+              CAST(count(DISTINCT w.doc_id) AS BIGINT) AS df
+       FROM q LEFT JOIN w ON w.word = q.term GROUP BY ALL),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+t AS (SELECT CAST(count(*) AS BIGINT) AS t FROM w),
+sc AS (SELECT tf.query_id, tf.doc_id,
+  SUM( (CAST(n.n AS HUGEINT) * 1000000 // (df.df + 1))
+     * (CAST(tf.tf AS HUGEINT) * 220 * 1000 //
+        (tf.tf * 100 +
+         (120 * (25 + (75 * (dl.dl * n.n * 100 // t.t)) // 100)) // 100))
+     ) AS score
+  FROM tf JOIN df USING (query_id, term) JOIN dl USING (doc_id)
+       CROSS JOIN n CROSS JOIN t
+  GROUP BY tf.query_id, tf.doc_id),
+r AS (SELECT query_id, doc_id, CAST(score AS BIGINT) AS score,
+        row_number() OVER (PARTITION BY query_id
+                           ORDER BY score DESC, doc_id) AS rank
+      FROM sc WHERE score > 0)
+SELECT query_id, doc_id, score, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 10
 """
     # doc_fingerprint / doc_minhash_pairs / doc_simhash_pairs /
     # knn_ivf_top5 (approximate) / media_features (stubbed decode):

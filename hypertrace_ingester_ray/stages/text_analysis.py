@@ -550,3 +550,171 @@ def bpe_token_counts(
     return ds.select_columns([id_col, text_col]).map_batches(
         _count, batch_format="pyarrow"
     )
+
+
+def bm25_topk(
+    ds: Dataset,
+    queries: "dict[int, list[str]]",
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    k1_x100: int = 120,
+    b_x100: int = 75,
+    idf_scale: int = 10**6,
+    tf_scale: int = 10**3,
+) -> pa.Table:
+    """Integer BM25-variant retrieval: top-``k`` documents per query by
+
+        score(d, q) = Σ_{t∈q}  IDF(t) · TFW(t, d)
+        IDF(t)   = N·idf_scale // (df_t + 1)
+        TFW(t,d) = tf·(100+k1_x100)·tf_scale // DEN
+        DEN      = tf·100 + (k1_x100·X) // 100
+        X        = 100 − b_x100 + (b_x100·L100) // 100
+        L100     = dl·N·100 // total_tokens            (dl/avgdl ×100)
+
+    i.e. BM25's exact tf-saturation and length-normalization shape with an
+    integer reciprocal-df surrogate in place of the log idf — every division
+    floors, so the score is bit-exact against a HUGEINT SQL mirror (the
+    same trade :func:`bigram_pmi` makes; a float log-idf BM25 would be
+    rows-only checkable).  Ties rank by doc id ascending.
+
+    Scale shape: pass 1 aggregates N, total_tokens and per-term df (term-
+    list-sized, broadcast back); pass 2 is one vectorized batch scan
+    emitting a LOCAL top-k per query per batch, merged on the driver —
+    bounded by tasks × |queries| × k, the :func:`~.similarity.knn_bruteforce`
+    contract.  Loud int64 overflow guard on the maximum possible
+    contribution.  Returns (query_id, doc_id, score:int64, rank:int64).
+    """
+    import ray as _ray
+
+    from .grouping import run_boundaries
+
+    terms = sorted({t for ts in queries.values() for t in ts})
+    term_arr = pa.array(terms, pa.string())
+
+    def _stats(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch[text_col], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        off = np.asarray(toks.offsets, dtype=np.int64)
+        names = ["\x00N", "\x00T"]
+        vals = [batch.num_rows, len(flat)]
+        for t in terms:
+            per_tok = pc.cast(
+                pc.equal(flat, pa.scalar(t)), pa.int64()
+            ).to_numpy(zero_copy_only=False)
+            per_doc = (
+                np.add.reduceat(per_tok, off[:-1])
+                if per_tok.size
+                else np.zeros(0, np.int64)
+            )
+            per_doc = np.where(np.diff(off) == 0, 0, per_doc)
+            names.append(t)
+            vals.append(int((per_doc > 0).sum()))
+        return pa.table(
+            {"key": pa.array(names), "val": pa.array(vals, pa.int64())}
+        )
+
+    agg = {
+        r["key"]: int(r["sum(val)"])
+        for r in ds.map_batches(_stats, batch_format="pyarrow")
+        .groupby("key")
+        .sum("val")
+        .take_all()
+    }
+    n_docs, total_tok = agg["\x00N"], agg["\x00T"]
+    df = {t: agg.get(t, 0) for t in terms}
+    max_idf = n_docs * idf_scale // 1
+    max_tfw = (100 + k1_x100) * tf_scale // 100 + 1
+    if max_idf * max_tfw * max(len(ts) for ts in queries.values()) > 2**63 - 1:
+        raise OverflowError(
+            "bm25_topk: max score would overflow int64; lower idf_scale/"
+            "tf_scale"
+        )
+    state_ref = _ray.put(
+        {"queries": queries, "df": df, "N": n_docs, "T": total_tok}
+    )
+
+    def _score(batch: pa.Table) -> pa.Table:
+        st = _ray.get(state_ref)
+        N, T = st["N"], st["T"]
+        toks = pc.split_pattern(batch[text_col], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        off = np.asarray(toks.offsets, dtype=np.int64)
+        dl = np.diff(off)
+        docs = batch[id_col].to_numpy(zero_copy_only=False)
+        # shared per-term tf vectors (terms may appear in several queries)
+        tf_by_term = {}
+        for t in set(st["df"]):
+            per_tok = pc.cast(
+                pc.equal(flat, pa.scalar(t)), pa.int64()
+            ).to_numpy(zero_copy_only=False)
+            tf = (
+                np.add.reduceat(per_tok, off[:-1])
+                if per_tok.size
+                else np.zeros(0, np.int64)
+            )
+            tf_by_term[t] = np.where(dl == 0, 0, tf)
+        L100 = dl.astype(np.int64) * N * 100 // max(T, 1)
+        X = 100 - b_x100 + (b_x100 * L100) // 100
+        out_q, out_d, out_s = [], [], []
+        for qid, ts in st["queries"].items():
+            score = np.zeros(batch.num_rows, dtype=np.int64)
+            for t in ts:
+                tf = tf_by_term[t]
+                idf = N * idf_scale // (st["df"][t] + 1)
+                den = tf * 100 + (k1_x100 * X) // 100
+                nz = tf > 0
+                tfw = np.zeros_like(tf)
+                tfw[nz] = tf[nz] * (100 + k1_x100) * tf_scale // den[nz]
+                score += idf * tfw
+            nzs = np.flatnonzero(score > 0)
+            if not len(nzs):
+                continue
+            order = np.lexsort((docs[nzs], -score[nzs]))[:k]
+            sel = nzs[order]
+            out_q.append(np.full(len(sel), qid, dtype=np.int64))
+            out_d.append(docs[sel])
+            out_s.append(score[sel])
+        if not out_q:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "doc_id": pa.array(np.concatenate(out_d)),
+                "score": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+    partials = ds.select_columns([id_col, text_col]).map_batches(
+        _score, batch_format="pyarrow"
+    )
+    tbl = pa.concat_tables(
+        [_ray.get(r) for r in partials.to_arrow_refs()]
+    )  # tasks × |queries| × k rows: small
+    qid = tbl["query_id"].to_numpy(zero_copy_only=False)
+    did = tbl["doc_id"].to_numpy(zero_copy_only=False)
+    sc = tbl["score"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((did, -sc, qid))
+    qid, did, sc = qid[order], did[order], sc[order]
+    bounds = run_boundaries(qid)
+    pos = np.arange(len(qid)) - np.repeat(bounds[:-1], np.diff(bounds))
+    keep = pos < k
+    return pa.table(
+        {
+            "query_id": pa.array(qid[keep]),
+            "doc_id": pa.array(did[keep]),
+            "score": pa.array(sc[keep]),
+            "rank": pa.array((pos[keep] + 1).astype(np.int64)),
+        }
+    )

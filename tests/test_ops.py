@@ -183,6 +183,44 @@ def test_hopping_window_counts(ray_session):
     assert dict(zip(w0.event_type, w0.num_events)) == {"a": 2, "b": 1}
 
 
+def test_bm25_topk_integer_exact(ray_session):
+    """Scores match a hand-rolled Python mirror of the integer formula;
+    ranking ties break by doc_id; docs with no query term never appear."""
+    texts = ["x x y", "x z z z", "y y", "w w w w"]
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(4)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    out = text_analysis.bm25_topk(
+        ray.data.from_arrow(t), {7: ["x", "y"]}, k=3
+    ).to_pandas()
+    # hand mirror
+    toks = [s.split(" ") for s in texts]
+    N, T = 4, sum(len(ts) for ts in toks)
+    df = {"x": 2, "y": 2}
+    exp = {}
+    for d, ts in enumerate(toks):
+        score = 0
+        L100 = len(ts) * N * 100 // T
+        X = 25 + (75 * L100) // 100
+        for term in ("x", "y"):
+            tf = ts.count(term)
+            if tf == 0:
+                continue
+            idf = N * 10**6 // (df[term] + 1)
+            den = tf * 100 + (120 * X) // 100
+            score += idf * (tf * 220 * 1000 // den)
+        if score:
+            exp[d] = score
+    ranked = sorted(exp.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert list(out.doc_id) == [d for d, _ in ranked]
+    assert list(out.score) == [s for _, s in ranked]
+    assert list(out["rank"]) == [1, 2, 3]
+    assert 3 not in set(out.doc_id)  # "w w w w" has no query term
+
+
 def test_bpe_token_counts(ray_session):
     """BPE-ish piece counts: contractions split, letter/digit/punct runs are
     one piece each, CJK counts per run — whitespace counts stay word-level."""
