@@ -912,6 +912,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bpe_tokens": lambda sf: text_analysis.bpe_token_counts(
             _docs(sf).select_columns(["doc_id", "text"])
         ),
+        # exact distinct users per sliding 1h window (hop 15min): window
+        # explode + in-batch pair dedup + one distinct-count exchange
+        "events_sliding_users": _events_sliding_users,
         # integer BM25-variant retrieval (exact tf saturation + length
         # normalization, reciprocal-df idf surrogate; bit-exact oracle)
         "doc_bm25_top10": lambda sf: text_analysis.bm25_topk(
@@ -925,6 +928,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
     }
     return q
+
+
+def _events_sliding_users(sf_dir: str):
+    """Distinct users per sliding 1h/15min window
+    (stages/metrics.hopping_window_distinct)."""
+    from hypertrace_ingester_ray.stages.metrics import hopping_window_distinct
+
+    return hopping_window_distinct(
+        _rpq(os.path.join(sf_dir, "events.parquet"), columns=["ts", "user_id"]),
+        window_us=3_600_000_000,
+        hop_us=900_000_000,
+        value_col="user_id",
+        num_partitions=16,
+    )
 
 
 def _events_cube(sf_dir: str):
@@ -2939,6 +2956,13 @@ SELECT doc_id,
     '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
     AS BIGINT) AS n_bpe_tokens
 FROM documents
+"""
+    sql["events_sliding_users"] = """
+SELECT make_timestamp((CAST(floor(epoch_us(ts)/900000000) AS BIGINT) - i)
+    * 900000000) AS window_start,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
+FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) h
+GROUP BY window_start
 """
     # integer BM25 variant: same floored arithmetic as bm25_topk —
     # IDF = N*1e6 // (df+1); TFW = tf*220*1000 // DEN;

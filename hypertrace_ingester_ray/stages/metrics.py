@@ -131,3 +131,68 @@ def hopping_window_counts(
         )
 
     return agg.map_batches(_final, batch_format="pyarrow")
+
+
+def hopping_window_distinct(
+    ds: Dataset,
+    *,
+    window_us: int,
+    hop_us: int,
+    value_col: str,
+    ts_col: str = "ts",
+    num_partitions: int = 16,
+) -> Dataset:
+    """Exact ``COUNT(DISTINCT value_col)`` per sliding (hopping) window —
+    the streaming-analytics staple ("distinct users in the last hour, every
+    15 minutes") that a plain count can't answer because the same user may
+    appear in many hops.
+
+    Composition, not new machinery: the window explosion + in-batch
+    (window, value) dedup happen inside ``map_batches`` (so only UNIQUE
+    pairs per block leave the read task), then
+    :func:`~.analytics.distinct_count` runs its single hash exchange with
+    the two-``searchsorted`` run-count kernel.  Shuffle volume is bounded
+    by unique (window, value) pairs per block — never rows × hops.
+
+    Emits (window_start:timestamp[us], n_distinct:int64).
+    """
+    if window_us % hop_us:
+        raise ValueError("window_us must be a multiple of hop_us")
+    n_hops = window_us // hop_us
+
+    def _explode_unique(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        ts = (
+            batch[ts_col].combine_chunks().cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        smax = (ts // hop_us) * hop_us
+        starts = (
+            smax[:, None]
+            - (np.arange(n_hops, dtype=np.int64) * hop_us)[None, :]
+        ).reshape(-1)
+        rep = pa.array(np.repeat(np.arange(n, dtype=np.int64), n_hops))
+        t = pa.table(
+            {
+                "window_start": pa.array(starts),
+                value_col: batch[value_col].take(rep),
+            }
+        )
+        return t.group_by(["window_start", value_col]).aggregate([])
+
+    from .analytics import distinct_count
+
+    pairs = ds.map_batches(_explode_unique, batch_format="pyarrow")
+    out = distinct_count(
+        pairs,
+        key="window_start",
+        value_col=value_col,
+        num_partitions=num_partitions,
+    )
+
+    def _final(b: pa.Table) -> pa.Table:
+        return b.set_column(
+            0, "window_start", pc.cast(b["window_start"], pa.timestamp("us"))
+        )
+
+    return out.map_batches(_final, batch_format="pyarrow")

@@ -718,3 +718,45 @@ def test_zscore_outliers_overflow_guard(ray_session):
             value_col="v",
             keep_cols=["id"],
         ).to_pandas()
+
+
+def test_hopping_window_distinct(ray_session):
+    """Same user in several hops counts once per window; counts match a
+    pandas brute force over the exploded windows."""
+    import pandas as pd
+
+    from hypertrace_ingester_ray.stages.metrics import hopping_window_distinct
+
+    ts = np.array([0, 10, 25, 40, 55, 70], dtype=np.int64) * 1_000_000
+    users = np.array([1, 1, 2, 1, 3, 2], dtype=np.int64)
+    t = pa.table(
+        {
+            "ts": pa.array(ts).cast(pa.timestamp("us")),
+            "user_id": pa.array(users),
+        }
+    )
+    out = (
+        hopping_window_distinct(
+            ray.data.from_arrow(t),
+            window_us=60_000_000,
+            hop_us=15_000_000,
+            value_col="user_id",
+            num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+    rows = []
+    for s, u in zip(ts, users):
+        base = (s // 15_000_000) * 15_000_000
+        for i in range(4):
+            rows.append((base - i * 15_000_000, u))
+    exp = (
+        pd.DataFrame(rows, columns=["w", "u"])
+        .groupby("w")
+        .u.nunique()
+        .reset_index()
+    )
+    assert list(out.window_start.astype(np.int64)) == list(exp.w)
+    assert list(out.n_distinct) == list(exp.u)
