@@ -915,6 +915,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact distinct users per sliding 1h window (hop 15min): window
         # explode + in-batch pair dedup + one distinct-count exchange
         "events_sliding_users": _events_sliding_users,
+        # per-key quantile clamping (feature-prep winsorization), exact
+        # ceil-rank percentile convention shared with group_quantiles
+        "event_value_winsorized": _event_value_winsorized,
         # integer BM25-variant retrieval (exact tf saturation + length
         # normalization, reciprocal-df idf surrogate; bit-exact oracle)
         "doc_bm25_top10": lambda sf: text_analysis.bm25_topk(
@@ -928,6 +931,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
     }
     return q
+
+
+def _event_value_winsorized(sf_dir: str):
+    """Clamp every event's cents value into its event_type's [P5, P95] band
+    (stages/analytics.winsorize)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hypertrace_ingester_ray.stages import analytics
+
+    ds = _rpq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "event_type", "value"],
+    )
+
+    def _cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "event_type": t["event_type"],
+                "cents": pc.cast(
+                    pc.floor(pc.multiply(t["value"], 100.0)), pa.int64()
+                ),
+            }
+        )
+
+    out = analytics.winsorize(
+        ds.map_batches(_cents, batch_format="pyarrow"),
+        key="event_type",
+        value_col="cents",
+        lo_pct=5,
+        hi_pct=95,
+        num_partitions=16,
+    )
+    return out.select_columns(["event_id", "event_type", "cents_wins"])
 
 
 def _events_sliding_users(sf_dir: str):
@@ -2956,6 +2994,23 @@ SELECT doc_id,
     '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
     AS BIGINT) AS n_bpe_tokens
 FROM documents
+"""
+    # same ceil-rank percentile convention as doc_quantiles_by_source
+    sql["event_value_winsorized"] = """
+WITH o AS (SELECT event_id, event_type,
+                  CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events),
+r AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY cents)
+          AS rn,
+        count(*) OVER (PARTITION BY event_type) AS c FROM o),
+q AS (SELECT event_type,
+        MIN(CASE WHEN rn >= GREATEST((5 * c + 99) // 100, 1)
+                 THEN cents END) AS lo,
+        MIN(CASE WHEN rn >= GREATEST((95 * c + 99) // 100, 1)
+                 THEN cents END) AS hi
+      FROM r GROUP BY event_type)
+SELECT o.event_id, o.event_type,
+       CAST(LEAST(GREATEST(o.cents, q.lo), q.hi) AS BIGINT) AS cents_wins
+FROM o JOIN q USING (event_type)
 """
     sql["events_sliding_users"] = """
 SELECT make_timestamp((CAST(floor(epoch_us(ts)/900000000) AS BIGINT) - i)

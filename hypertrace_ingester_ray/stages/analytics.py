@@ -1359,3 +1359,63 @@ def attribution(
     )
     # tiny: channels x partitions rows
     return group_apply(partials, "channel", _combine, num_partitions=1)
+
+
+def winsorize(
+    ds: Dataset,
+    *,
+    key: Union[str, Sequence[str]],
+    value_col: str,
+    lo_pct: int = 5,
+    hi_pct: int = 95,
+    out_col: Optional[str] = None,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+) -> Dataset:
+    """Per-key winsorization (outlier clamping for feature prep): every
+    value is clamped into its OWN key's ``[P_lo, P_hi]`` percentile band,
+    using the exact ceil-rank percentile convention of
+    :func:`group_quantiles` — so the SQL oracle is the identical
+    row_number mirror plus LEAST/GREATEST.
+
+    Scale shape: the percentile pass is one hash exchange producing a
+    key-cardinality-sized (key, lo, hi) table, broadcast via ``ray.put``
+    (swap for a hash join back when keys outgrow the driver — same
+    documented trade as every broadcast lookup here); the clamp is one
+    vectorized pass with per-DISTINCT-key probe fan-out.  Appends
+    ``out_col`` (default ``{value_col}_wins``) to the input rows.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    if len(keys) != 1:
+        raise ValueError("winsorize supports a single key column")
+    kcol = keys[0]
+    out_col = out_col or f"{value_col}_wins"
+
+    import ray as _ray
+
+    bands: dict = {}
+    for row in group_quantiles(
+        ds.select_columns([kcol, value_col]),
+        key=kcol,
+        value_col=value_col,
+        pcts=(lo_pct, hi_pct),
+        num_partitions=num_partitions,
+    ).take_all():  # key-cardinality-sized by construction
+        lo, hi = bands.setdefault(row[kcol], [None, None])
+        if row["pct"] == lo_pct:
+            bands[row[kcol]][0] = int(row["value"])
+        else:
+            bands[row[kcol]][1] = int(row["value"])
+    bands_ref = _ray.put(bands)
+
+    def _clamp(batch: pa.Table) -> pa.Table:
+        b = _ray.get(bands_ref)
+        enc = batch[kcol].combine_chunks().dictionary_encode()
+        uniq = enc.dictionary.to_pylist()
+        lo = np.array([b[u][0] for u in uniq], dtype=np.int64)
+        hi = np.array([b[u][1] for u in uniq], dtype=np.int64)
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        clamped = np.minimum(np.maximum(v, lo[idx]), hi[idx])
+        return batch.append_column(out_col, pa.array(clamped))
+
+    return ds.map_batches(_clamp, batch_format="pyarrow")

@@ -760,3 +760,32 @@ def test_hopping_window_distinct(ray_session):
     )
     assert list(out.window_start.astype(np.int64)) == list(exp.w)
     assert list(out.n_distinct) == list(exp.u)
+
+
+def test_winsorize_clamps_to_group_band(ray_session):
+    """Values clamp into their own group's [P25, P75] band; other groups'
+    bands don't leak."""
+    t = pa.table(
+        {
+            "g": pa.array(["a"] * 8 + ["b"] * 4),
+            "v": pa.array(
+                [1, 2, 3, 4, 5, 6, 7, 100, 10, 20, 30, 40], pa.int64()
+            ),
+        }
+    )
+    out = (
+        analytics.winsorize(
+            ray.data.from_arrow(t), key="g", value_col="v",
+            lo_pct=25, hi_pct=75, num_partitions=2,
+        )
+        .to_pandas()
+        .sort_values(["g", "v"])
+        .reset_index(drop=True)
+    )
+    # group a: ranks ceil(25*8/100)=2 -> lo=2; ceil(75*8/100)=6 -> hi=6
+    a = out[out.g == "a"]
+    assert a.v_wins.min() == 2 and a.v_wins.max() == 6
+    assert a[a.v == 100].v_wins.iloc[0] == 6
+    # group b: lo = rank 1 -> 10, hi = rank 3 -> 30
+    b = out[out.g == "b"]
+    assert list(b.v_wins) == [10, 20, 30, 30]
