@@ -918,6 +918,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-key quantile clamping (feature-prep winsorization), exact
         # ceil-rank percentile convention shared with group_quantiles
         "event_value_winsorized": _event_value_winsorized,
+        # MERGE-INTO / CDC apply: next snapshot = snapshot + upserts/deletes
+        # (cogroup; both sides corpus-sized, inverse of keyed_diff)
+        "docs_apply_changes": _docs_apply_changes,
         # integer BM25-variant retrieval (exact tf saturation + length
         # normalization, reciprocal-df idf surrogate; bit-exact oracle)
         "doc_bm25_top10": lambda sf: text_analysis.bm25_topk(
@@ -931,6 +934,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
     }
     return q
+
+
+def _docs_apply_changes(sf_dir: str):
+    """Apply a deterministic change stream to the documents snapshot:
+    doc_id%7==0 delete, %7==1 upsert with n_chars+1000, %7==2 insert a new
+    key doc_id+1000000 (stages/joins.apply_changes)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hypertrace_ingester_ray.stages.joins import apply_changes
+
+    snap = _rpq(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "n_chars"]
+    )
+
+    def _changes(t: pa.Table) -> pa.Table:
+        mod = pa.array(t["doc_id"].to_numpy(zero_copy_only=False) % 7)
+        dels = t.filter(pc.equal(mod, 0))
+        ups = t.filter(pc.equal(mod, 1))
+        ins = t.filter(pc.equal(mod, 2))
+        return pa.table(
+            {
+                "doc_id": pa.concat_arrays(
+                    [
+                        dels["doc_id"].combine_chunks(),
+                        ups["doc_id"].combine_chunks(),
+                        pc.add(ins["doc_id"], 1_000_000).combine_chunks(),
+                    ]
+                ),
+                "n_chars": pa.concat_arrays(
+                    [
+                        pa.nulls(dels.num_rows, pa.int64()),
+                        pc.add(ups["n_chars"], 1000).combine_chunks(),
+                        ins["n_chars"].combine_chunks(),
+                    ]
+                ),
+                "op": pa.array(
+                    ["delete"] * dels.num_rows
+                    + ["upsert"] * (ups.num_rows + ins.num_rows)
+                ),
+            }
+        )
+
+    changes = snap.map_batches(_changes, batch_format="pyarrow")
+    return apply_changes(snap, changes, key="doc_id", num_partitions=16)
 
 
 def _event_value_winsorized(sf_dir: str):
@@ -2994,6 +3042,20 @@ SELECT doc_id,
     '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
     AS BIGINT) AS n_bpe_tokens
 FROM documents
+"""
+    sql["docs_apply_changes"] = """
+WITH snap AS (SELECT doc_id, n_chars FROM documents),
+ch AS (
+  SELECT doc_id, CAST(NULL AS BIGINT) AS n_chars, 'delete' AS op
+  FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id, n_chars + 1000, 'upsert' FROM documents WHERE doc_id % 7 = 1
+  UNION ALL
+  SELECT doc_id + 1000000, n_chars, 'upsert' FROM documents WHERE doc_id % 7 = 2)
+SELECT s.doc_id, s.n_chars FROM snap s
+WHERE s.doc_id NOT IN (SELECT doc_id FROM ch)
+UNION ALL
+SELECT doc_id, n_chars FROM ch WHERE op = 'upsert'
 """
     # same ceil-rank percentile convention as doc_quantiles_by_source
     sql["event_value_winsorized"] = """

@@ -614,3 +614,53 @@ def skew_join(
         _split, batch_format="pyarrow", fn_kwargs={"col": on, "keep_hot": True}
     ).map_batches(_probe_hot, batch_format="pyarrow")
     return cold.union(hot_joined)
+
+
+def apply_changes(
+    snapshot: Dataset,
+    changes: Dataset,
+    *,
+    key: str,
+    op_col: str = "op",
+    num_partitions: int = 32,
+) -> Dataset:
+    """MERGE-INTO (CDC apply): produce the next snapshot from the current
+    one plus a changes table whose ``op_col`` is ``'upsert'`` or
+    ``'delete'`` — the batch form of applying a change stream to a keyed
+    store (the inverse of :func:`keyed_diff`).  Upserts replace or insert
+    their key's row; deletes drop it; all other snapshot rows pass through.
+
+    Built on :func:`~..grouping.cogroup`: both sides may be corpus-sized
+    (one exchange per side, nothing broadcast).  ``changes`` must carry the
+    snapshot's exact payload columns plus ``op_col``; duplicate keys within
+    either side raise loudly (an unordered batch can't arbitrate
+    last-writer-wins — pre-reduce the change stream by sequence number
+    upstream, e.g. with ``top_k_per_group(k=1)``).
+    """
+    from .grouping import cogroup, run_boundaries
+
+    snap_cols = snapshot.schema().names
+    ops = pa.array(["upsert", "delete"])
+
+    def _merge(lt: pa.Table, rt: pa.Table) -> pa.Table:
+        ko = lt[key].to_numpy(zero_copy_only=False)
+        kc = rt[key].to_numpy(zero_copy_only=False)
+        for side, arr in (("snapshot", ko), ("changes", kc)):
+            b = run_boundaries(arr)
+            if len(arr) and (np.diff(b) > 1).any():
+                raise ValueError(
+                    f"apply_changes: duplicate {key} values in {side}"
+                )
+        bad = pc.invert(pc.is_in(rt[op_col], value_set=ops))
+        if pc.any(bad).as_py():
+            raise ValueError(
+                "apply_changes: op values must be 'upsert' or 'delete', got "
+                f"{set(rt.filter(bad)[op_col].to_pylist())}"
+            )
+        keep = lt.filter(pa.array(~np.isin(ko, kc)))
+        ups = rt.filter(pc.equal(rt[op_col], "upsert")).select(snap_cols)
+        return pa.concat_tables([keep.select(snap_cols), ups])
+
+    return cogroup(
+        snapshot, changes, key, _merge, num_partitions=num_partitions
+    )

@@ -324,3 +324,47 @@ def test_skew_join_no_hot_keys_falls_back(ray_session):
         num_partitions=4,
     ).to_pandas()
     assert sorted(out["k"].tolist()) == list(range(50, 100))
+
+
+def test_apply_changes_merge(ray_session):
+    """Upserts replace/insert, deletes drop, untouched rows pass through;
+    bad ops and duplicate keys raise."""
+    snap = ray.data.from_arrow(
+        pa.table(
+            {"k": pa.array([1, 2, 3, 4], pa.int64()),
+             "v": pa.array([10, 20, 30, 40], pa.int64())}
+        )
+    )
+    ch = ray.data.from_arrow(
+        pa.table(
+            {"k": pa.array([2, 4, 9], pa.int64()),
+             "v": pa.array([99, None, 90], pa.int64()),
+             "op": pa.array(["upsert", "delete", "upsert"])}
+        )
+    )
+    from hypertrace_ingester_ray.stages.joins import apply_changes
+
+    out = (
+        apply_changes(snap, ch, key="k", num_partitions=4)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert list(out.k) == [1, 2, 3, 9]
+    assert list(out.v) == [10, 99, 30, 90]
+
+    bad_op = ray.data.from_arrow(
+        pa.table({"k": pa.array([1], pa.int64()),
+                  "v": pa.array([0], pa.int64()),
+                  "op": pa.array(["replace"])})
+    )
+    with pytest.raises(Exception, match="op values"):
+        apply_changes(snap, bad_op, key="k", num_partitions=2).materialize()
+
+    dup = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 1], pa.int64()),
+                  "v": pa.array([0, 1], pa.int64()),
+                  "op": pa.array(["upsert", "upsert"])})
+    )
+    with pytest.raises(Exception, match="duplicate"):
+        apply_changes(snap, dup, key="k", num_partitions=2).materialize()
