@@ -921,6 +921,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # MERGE-INTO / CDC apply: next snapshot = snapshot + upserts/deletes
         # (cogroup; both sides corpus-sized, inverse of keyed_diff)
         "docs_apply_changes": _docs_apply_changes,
+        # curriculum/data-mixing quartile buckets over global length
+        # quantiles (histogram walk + broadcast thresholds, zero shuffles)
+        "doc_length_buckets": lambda sf: corpus.length_buckets(
+            _docs(sf).select_columns(["doc_id", "n_chars"])
+        ),
+        # trending: top-3 event types per hour (tumbling counts composed
+        # with the generic top-k-per-group exchange)
+        "trending_types_hourly": _trending_types_hourly,
         # integer BM25-variant retrieval (exact tf saturation + length
         # normalization, reciprocal-df idf surrogate; bit-exact oracle)
         "doc_bm25_top10": lambda sf: text_analysis.bm25_topk(
@@ -934,6 +942,55 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
     }
     return q
+
+
+def _trending_types_hourly(sf_dir: str):
+    """Top-3 event types per hour by count: tumbling-hour partial counts
+    (combiner in map_batches) composed with corpus.top_k_per_group."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hypertrace_ingester_ray.stages.corpus import top_k_per_group
+
+    ds = _rpq(os.path.join(sf_dir, "events.parquet"), columns=["ts", "event_type"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        h = pa.table(
+            {
+                "hour_us": pc.cast(
+                    pc.floor_temporal(t["ts"], unit="hour"), pa.int64()
+                ),
+                "event_type": t["event_type"],
+            }
+        )
+        agg = h.group_by(["hour_us", "event_type"]).aggregate([([], "count_all")])
+        return agg.rename_columns(["hour_us", "event_type", "cnt"])
+
+    counts = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby(["hour_us", "event_type"])
+        .sum("cnt")
+        .map_batches(
+            lambda t: t.rename_columns(["hour_us", "event_type", "cnt"]),
+            batch_format="pyarrow",
+        )
+    )
+    top = top_k_per_group(
+        counts, group_col="hour_us", order_col="cnt", id_col="event_type", k=3,
+        num_partitions=16,
+    )
+
+    def _fin(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "hour": pc.cast(t["hour_us"], pa.timestamp("us")),
+                "event_type": t["event_type"],
+                "cnt": t["cnt"],
+                "rank": t["rank"],
+            }
+        )
+
+    return top.map_batches(_fin, batch_format="pyarrow")
 
 
 def _docs_apply_changes(sf_dir: str):
@@ -3042,6 +3099,30 @@ SELECT doc_id,
     '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
     AS BIGINT) AS n_bpe_tokens
 FROM documents
+"""
+    sql["trending_types_hourly"] = """
+WITH h AS (SELECT date_trunc('hour', ts) AS hour, event_type,
+                  CAST(count(*) AS BIGINT) AS cnt
+           FROM events GROUP BY hour, event_type),
+r AS (SELECT *, row_number() OVER (PARTITION BY hour
+          ORDER BY cnt DESC, event_type) AS rn FROM h)
+SELECT hour, event_type, cnt, CAST(rn - 1 AS BIGINT) AS rank
+FROM r WHERE rn <= 3
+"""
+    # same ceil-rank quantile fence as doc_length_quantiles; bucket =
+    # number of quartile thresholds strictly below the value
+    sql["doc_length_buckets"] = """
+WITH o AS (SELECT n_chars AS v, row_number() OVER (ORDER BY n_chars) AS rn
+           FROM documents),
+n AS (SELECT count(*) AS c FROM documents),
+q AS (SELECT unnest([25, 50, 75]) AS pct),
+thr AS (SELECT q.pct, MIN(o.v) AS qv
+        FROM q CROSS JOIN n JOIN o ON o.rn >= ((q.pct * n.c + 99) // 100)
+        GROUP BY q.pct)
+SELECT d.doc_id, d.n_chars,
+  CAST((SELECT count(*) FROM thr WHERE thr.qv < d.n_chars) AS BIGINT)
+    AS bucket
+FROM documents d
 """
     sql["docs_apply_changes"] = """
 WITH snap AS (SELECT doc_id, n_chars FROM documents),

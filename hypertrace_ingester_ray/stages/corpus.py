@@ -939,3 +939,42 @@ def weighted_sample(
     return out.map_batches(
         lambda t: t.drop_columns(["_pri"]), batch_format="pyarrow"
     )
+
+
+def length_buckets(
+    ds: Dataset,
+    *,
+    col: str = "n_chars",
+    id_col: str = "doc_id",
+    pcts: Sequence[int] = (25, 50, 75),
+    bucket_col: str = "bucket",
+) -> Dataset:
+    """Curriculum / data-mixing bucketing: assign every document the index
+    of its global length quantile band — ``bucket = Σ_p (value > q_p)``
+    over the exact ceil-rank quantiles of :func:`length_quantiles` (so
+    quartile ``pcts`` yield buckets 0-3).  Downstream, mixing weights or
+    curriculum order key off the bucket instead of re-sorting the corpus.
+
+    Scale shape: the quantile pass is the distinct-value-bounded histogram
+    walk; the thresholds (len(pcts) ints) broadcast in the task closure; the
+    assignment is one vectorized ``searchsorted`` pass, zero shuffles.
+    """
+    q = length_quantiles(ds, col=col, pcts=pcts)
+    thresholds = np.asarray(q["value"].to_numpy(zero_copy_only=False), np.int64)
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        v = batch[col].to_numpy(zero_copy_only=False).astype(np.int64)
+        # number of thresholds strictly below v (ties belong to the lower
+        # band: v == q_p does not clear the q_p fence)
+        bucket = np.searchsorted(thresholds, v, side="left").astype(np.int64)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                col: batch[col],
+                bucket_col: pa.array(bucket),
+            }
+        )
+
+    return ds.select_columns([id_col, col]).map_batches(
+        _assign, batch_format="pyarrow"
+    )

@@ -552,3 +552,25 @@ def test_bigram_pmi_matches_bruteforce(ray_session):
     )
     exp = [[g, c, l, r, -s] for s, g, c, l, r in scored]
     assert out == exp
+
+
+def test_length_buckets_quartiles(ray_session):
+    """Ties sit in the lower band; buckets are 0..len(pcts)."""
+    import pyarrow as pa
+
+    from hypertrace_ingester_ray.stages.corpus import length_buckets
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(8)), pa.int64()),
+            "n_chars": pa.array([1, 2, 3, 4, 5, 6, 7, 8], pa.int64()),
+        }
+    )
+    out = (
+        length_buckets(ray.data.from_arrow(t))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # ceil-rank quartiles of 1..8: q25=2, q50=4, q75=6
+    assert list(out.bucket) == [0, 0, 1, 1, 2, 2, 3, 3]
