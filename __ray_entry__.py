@@ -929,6 +929,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # trending: top-3 event types per hour (tumbling counts composed
         # with the generic top-k-per-group exchange)
         "trending_types_hourly": _trending_types_hourly,
+        # CCNet-style normalization pre-pass (lowercase, strip punct,
+        # collapse whitespace) — RE2 kernels, character-identical oracle
+        "doc_text_normalized": lambda sf: corpus.normalize_text(
+            _docs(sf).select_columns(["doc_id", "text"])
+        ),
         # integer BM25-variant retrieval (exact tf saturation + length
         # normalization, reciprocal-df idf surrogate; bit-exact oracle)
         "doc_bm25_top10": lambda sf: text_analysis.bm25_topk(
@@ -3098,6 +3103,13 @@ SELECT doc_id,
   CAST(len(regexp_extract_all(text,
     '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
     AS BIGINT) AS n_bpe_tokens
+FROM documents
+"""
+    sql["doc_text_normalized"] = r"""
+SELECT doc_id,
+  trim(regexp_replace(
+    regexp_replace(lower(text), '[^\p{L}\p{N}\s]', '', 'g'),
+    '\s+', ' ', 'g')) AS text_norm
 FROM documents
 """
     sql["trending_types_hourly"] = """

@@ -978,3 +978,34 @@ def length_buckets(
     return ds.select_columns([id_col, col]).map_batches(
         _assign, batch_format="pyarrow"
     )
+
+
+def normalize_text(
+    ds: Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "text_norm",
+    strip_punct: bool = True,
+) -> Dataset:
+    """CCNet-style text normalization before dedup/fingerprinting:
+    lowercase, optionally strip everything that is not a letter / digit /
+    whitespace, collapse whitespace runs to single spaces, trim.  Running
+    dedup on normalized text is what makes "Hello,  World!" and
+    "hello world" collide — the standard pre-pass for MinHash/exact dedup.
+
+    Pure vectorized RE2 kernels (``utf8_lower`` +
+    ``replace_substring_regex``), zero shuffles; DuckDB's regexp functions
+    are RE2 as well, so the oracle is character-identical.
+    """
+
+    def _norm(batch: pa.Table) -> pa.Table:
+        s = pc.utf8_lower(batch[text_col])
+        if strip_punct:
+            s = pc.replace_substring_regex(s, r"[^\p{L}\p{N}\s]", "")
+        s = pc.utf8_trim_whitespace(pc.replace_substring_regex(s, r"\s+", " "))
+        return pa.table({id_col: batch[id_col], out_col: s})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        _norm, batch_format="pyarrow"
+    )

@@ -574,3 +574,22 @@ def test_length_buckets_quartiles(ray_session):
     )
     # ceil-rank quartiles of 1..8: q25=2, q50=4, q75=6
     assert list(out.bucket) == [0, 0, 1, 1, 2, 2, 3, 3]
+
+
+def test_normalize_text(ray_session):
+    import pyarrow as pa
+
+    from hypertrace_ingester_ray.stages.corpus import normalize_text
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["  Hello,   WORLD!! ", "Ün 你好\t42"], pa.string()),
+        }
+    )
+    out = (
+        normalize_text(ray.data.from_arrow(t))
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert list(out.text_norm) == ["hello world", "ün 你好 42"]
