@@ -368,3 +368,54 @@ def test_apply_changes_merge(ray_session):
     )
     with pytest.raises(Exception, match="duplicate"):
         apply_changes(snap, dup, key="k", num_partitions=2).materialize()
+
+
+def test_cogroup_join_randomized_vs_duckdb(ray_session):
+    """Seeded randomized equivalence: cogroup_join inner/left_outer matches
+    DuckDB on tables with duplicate keys, missing keys, and null payloads."""
+    import duckdb
+
+    rng = np.random.RandomState(11)
+    for trial in range(5):
+        nl, nr = rng.randint(0, 40, 2)
+        lt = pa.table(
+            {
+                "k": pa.array(rng.randint(0, 12, nl), pa.int64()),
+                "lv": pa.array(
+                    [None if x % 7 == 0 else int(x) for x in rng.randint(0, 50, nl)],
+                    pa.int64(),
+                ),
+            }
+        )
+        rt = pa.table(
+            {
+                "k": pa.array(rng.randint(0, 12, nr), pa.int64()),
+                "rv": pa.array(rng.randint(0, 50, nr), pa.int64()),
+            }
+        )
+        ldf, rdf = lt.to_pandas(), rt.to_pandas()
+        for how, sqlj in (("inner", "JOIN"), ("left_outer", "LEFT JOIN")):
+            got = (
+                cogroup_join(
+                    ray.data.from_arrow(lt),
+                    ray.data.from_arrow(rt),
+                    on=["k"],
+                    how=how,
+                    num_partitions=5,
+                )
+                .to_pandas()
+                .sort_values(["k", "lv", "rv"], na_position="first")
+                .reset_index(drop=True)
+            )
+            exp = (
+                duckdb.sql(f"SELECT l.k, l.lv, r.rv FROM ldf l {sqlj} rdf r USING (k)")
+                .df()
+                .sort_values(["k", "lv", "rv"], na_position="first")
+                .reset_index(drop=True)
+            )
+            assert len(got) == len(exp), (trial, how, len(got), len(exp))
+            if len(exp):
+                for c in ("k", "lv", "rv"):
+                    a = got[c].astype("float64")
+                    b = exp[c].astype("float64")
+                    assert ((a == b) | (a.isna() & b.isna())).all(), (trial, how, c)
