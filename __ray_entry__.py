@@ -934,6 +934,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_text_normalized": lambda sf: corpus.normalize_text(
             _docs(sf).select_columns(["doc_id", "text"])
         ),
+        # Simpson diversity of each user's event-type mix (integer-exact
+        # log-free entropy twin)
+        "user_event_diversity": _user_event_diversity,
         # integer BM25-variant retrieval (exact tf saturation + length
         # normalization, reciprocal-df idf surrogate; bit-exact oracle)
         "doc_bm25_top10": lambda sf: text_analysis.bm25_topk(
@@ -947,6 +950,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
     }
     return q
+
+
+def _user_event_diversity(sf_dir: str):
+    """Simpson diversity index of each user's event-type distribution
+    (stages/analytics.group_diversity)."""
+    from hypertrace_ingester_ray.stages.analytics import group_diversity
+
+    return group_diversity(
+        _rpq(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "event_type"],
+        ),
+        key="user_id",
+        value_col="event_type",
+        num_partitions=16,
+    )
 
 
 def _trending_types_hourly(sf_dir: str):
@@ -3104,6 +3123,16 @@ SELECT doc_id,
     '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
     AS BIGINT) AS n_bpe_tokens
 FROM documents
+"""
+    sql["user_event_diversity"] = """
+WITH c AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt
+           FROM events GROUP BY user_id, event_type),
+s AS (SELECT user_id, SUM(cnt) AS n, SUM(CAST(cnt AS HUGEINT) * cnt) AS ss
+      FROM c GROUP BY user_id)
+SELECT user_id, CAST(n AS BIGINT) AS n_events,
+  CAST((CAST(n AS HUGEINT) * n - ss) * 1000000 //
+       (CAST(n AS HUGEINT) * n) AS BIGINT) AS simpson_x1e6
+FROM s
 """
     sql["doc_text_normalized"] = r"""
 SELECT doc_id,

@@ -1419,3 +1419,62 @@ def winsorize(
         return batch.append_column(out_col, pa.array(clamped))
 
     return ds.map_batches(_clamp, batch_format="pyarrow")
+
+
+def group_diversity(
+    ds: Dataset,
+    *,
+    key: str,
+    value_col: str,
+    scale: int = 10**6,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+) -> Dataset:
+    """Simpson diversity index per key — ``1 − Σ_t p_t²`` over the key's
+    ``value_col`` distribution, as the exact integer
+    ``(n² − Σ c_t²)·scale // n²`` (0 = all events one type, → scale for an
+    even spread).  The log-free diversity twin of Shannon entropy: identical
+    zero/max points and monotone in evenness, but bit-exact against a
+    HUGEINT SQL mirror (the :func:`~.text_analysis.bigram_pmi` trade).
+
+    Scale shape: per-batch (key, value) pre-count in ``map_batches`` so the
+    single exchange carries distinct pairs per block, then one vectorized
+    per-partition pass (duplicate-pair combine + two ``reduceat``).  Loud
+    int64 overflow guard on n²·scale.
+
+    Emits (key, n_events:int64, simpson_x1e6:int64).
+    """
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        agg = batch.select([key, value_col]).group_by(
+            [key, value_col]
+        ).aggregate([([], "count_all")])
+        return agg.rename_columns([key, value_col, "cnt"])
+
+    def _final(part: pa.Table) -> pa.Table:
+        agg = part.group_by([key, value_col]).aggregate([("cnt", "sum")])
+        agg = agg.rename_columns([key, value_col, "cnt"]).sort_by(
+            [(key, "ascending"), (value_col, "ascending")]
+        )
+        kb = run_boundaries(*_np_cols(agg, [key]))
+        cnt = agg["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = np.add.reduceat(cnt, kb[:-1])
+        if len(n) and int(n.max()) ** 2 > (2**63 - 1) // scale:
+            raise OverflowError(
+                "group_diversity: n^2*scale overflows int64; lower `scale`"
+            )
+        ss = np.add.reduceat(cnt * cnt, kb[:-1])
+        nn = n * n
+        simpson = (nn - ss) * scale // nn
+        firsts = pa.array(kb[:-1])
+        return pa.table(
+            {
+                key: agg[key].take(firsts),
+                "n_events": pa.array(n),
+                "simpson_x1e6": pa.array(simpson),
+            }
+        )
+
+    pairs = ds.map_batches(_partial, batch_format="pyarrow")
+    return group_apply(
+        pairs, key, _final, sort_by=[value_col], num_partitions=num_partitions
+    )

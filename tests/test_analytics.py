@@ -789,3 +789,25 @@ def test_winsorize_clamps_to_group_band(ray_session):
     # group b: lo = rank 1 -> 10, hi = rank 3 -> 30
     b = out[out.g == "b"]
     assert list(b.v_wins) == [10, 20, 30, 30]
+
+
+def test_group_diversity_simpson(ray_session):
+    """0 for single-type keys; exact integer value for a known mix."""
+    t = pa.table(
+        {
+            "u": pa.array([1] * 4 + [2] * 3, pa.int64()),
+            "e": pa.array(["a", "a", "b", "b", "x", "x", "x"]),
+        }
+    )
+    out = (
+        analytics.group_diversity(
+            ray.data.from_arrow(t), key="u", value_col="e", num_partitions=2
+        )
+        .to_pandas()
+        .set_index("u")
+        .sort_index()
+    )
+    # u=1: n=4, ss=4+4=8 -> (16-8)*1e6//16 = 500000
+    assert out.loc[1, "simpson_x1e6"] == 500_000 and out.loc[1, "n_events"] == 4
+    # u=2: single type -> 0
+    assert out.loc[2, "simpson_x1e6"] == 0
