@@ -937,6 +937,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Simpson diversity of each user's event-type mix (integer-exact
         # log-free entropy twin)
         "user_event_diversity": _user_event_diversity,
+        # Count-Min Sketch point frequencies (approximate by design →
+        # rows-only; the ≥-true guarantee is pytest-checked)
+        "token_counts_cms": _token_counts_cms,
         # integer BM25-variant retrieval (exact tf saturation + length
         # normalization, reciprocal-df idf surrogate; bit-exact oracle)
         "doc_bm25_top10": lambda sf: text_analysis.bm25_topk(
@@ -950,6 +953,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
     }
     return q
+
+
+def _token_counts_cms(sf_dir: str):
+    """CMS point-frequency estimates for the retrieval query terms over the
+    exploded token stream (stages/sketches.cms_counts)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hypertrace_ingester_ray.stages.sketches import cms_counts
+
+    ds = _docs(sf_dir).select_columns(["text"])
+
+    def _explode(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        return pa.table({"word": toks.flatten()})
+
+    return cms_counts(
+        ds.map_batches(_explode, batch_format="pyarrow"),
+        ["hash", "join", "merge", "slow", "scan", "filter",
+         "customer", "order", "data"],
+        value_col="word",
+    )
 
 
 def _user_event_diversity(sf_dir: str):

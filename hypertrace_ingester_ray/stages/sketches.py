@@ -404,3 +404,75 @@ def binned_quantiles(
             "value": pa.array(out_v, pa.float64()),
         }
     )
+
+
+def cms_counts(
+    ds: Dataset,
+    terms: Sequence,
+    *,
+    value_col: str,
+    depth: int = 4,
+    width: int = 4096,
+) -> pa.Table:
+    """Count-Min Sketch point-frequency estimates for ``terms`` over
+    ``value_col`` — approximate counts whose exchange is bounded by the
+    SKETCH size (``depth × width`` cells), never the value cardinality.
+    The missing piece between ``heavy_hitters`` (who is frequent?) and a
+    vocabulary-sized exact count: "how often are THESE values?" at fixed
+    memory.  Guarantees: estimate ≥ true count (deterministic), and
+    overestimates by ≤ e·N/width with probability 1−(1/e)^depth.
+
+    Per batch: one fused ``bincount`` over the flattened (row, cell) index;
+    only NONZERO cells ship (Zipf inputs touch a fraction of the sketch).
+    The global merge is a cell-keyed groupby-sum (≤ depth·width rows);
+    estimates resolve on the driver (terms-sized).  Returns a
+    ``pa.Table`` (term:string, approx_cnt:int64), ordered as ``terms``.
+    """
+    seeds = (np.arange(depth, dtype=np.uint64) + np.uint64(1)) * np.uint64(
+        0x9E3779B97F4A7C15
+    )
+
+    def _cells(vals_hash: np.ndarray) -> np.ndarray:
+        # (depth, n) cell ids: re-finalize the value hash per row seed
+        return np.stack(
+            [
+                (splitmix64(vals_hash + s) % np.uint64(width)).astype(np.int64)
+                + d * width
+                for d, s in enumerate(seeds)
+            ]
+        )
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        col = batch[value_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        valid = pc.is_valid(col)
+        if not pc.all(valid).as_py():
+            col = col.filter(valid)
+        h = _hash64(col)
+        flat = _cells(h).ravel()
+        cnt = np.bincount(flat, minlength=depth * width).astype(np.int64)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {"cell": pa.array(nz.astype(np.int64)), "cnt": pa.array(cnt[nz])}
+        )
+
+    rows = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("cell")
+        .sum("cnt")
+        .take_all()
+    )  # bounded by depth*width cells
+    sketch = np.zeros(depth * width, dtype=np.int64)
+    for r in rows:
+        sketch[r["cell"]] = r["sum(cnt)"]
+
+    term_arr = pa.array(list(terms))
+    th = _cells(_hash64(term_arr))  # (depth, n_terms)
+    est = sketch[th].min(axis=0)
+    return pa.table(
+        {
+            "term": term_arr.cast(pa.string()),
+            "approx_cnt": pa.array(est.astype(np.int64)),
+        }
+    )

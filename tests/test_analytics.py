@@ -811,3 +811,25 @@ def test_group_diversity_simpson(ray_session):
     assert out.loc[1, "simpson_x1e6"] == 500_000 and out.loc[1, "n_events"] == 4
     # u=2: single type -> 0
     assert out.loc[2, "simpson_x1e6"] == 0
+
+
+def test_cms_counts_bounds(ray_session):
+    """CMS estimates never undercount; with a sketch far wider than the
+    vocabulary they are exact, and partitioning never changes the answer."""
+    rng = np.random.RandomState(9)
+    words = [f"w{i}" for i in rng.zipf(1.5, 3000) % 40]
+    t = pa.table({"word": pa.array(words)})
+    exact = pd.Series(words).value_counts()
+    terms = ["w1", "w2", "w17", "absent"]
+    a = sketches.cms_counts(
+        ray.data.from_arrow(t), terms, value_col="word", depth=4, width=4096
+    ).to_pandas().set_index("term").approx_cnt
+    b = sketches.cms_counts(
+        ray.data.from_arrow(t).repartition(7), terms,
+        value_col="word", depth=4, width=4096,
+    ).to_pandas().set_index("term").approx_cnt
+    assert (a == b).all()  # deterministic across partitioning
+    for w in terms:
+        true = int(exact.get(w, 0))
+        assert a[w] >= true
+        assert a[w] == true  # width 4096 >> 40 distinct: no collisions
