@@ -19,6 +19,7 @@ from __future__ import annotations
 import argparse
 import json
 import sys
+import os
 
 
 def main(argv=None):
@@ -67,10 +68,18 @@ def main(argv=None):
     import ray
 
     if not ray.is_initialized():
-        kwargs = {"num_cpus": args.num_cpus} if args.num_cpus else {}
-        if args.object_store_gb:
-            kwargs["object_store_memory"] = int(args.object_store_gb * 1024**3)
-        ray.init(address="local", include_dashboard=False, **kwargs)
+        # Under `ray job submit` the job server exports RAY_ADDRESS pointing
+        # at the cluster — attach to it (per-node resources are the
+        # cluster's own; the sizing flags only apply to a fresh local
+        # session).  Default to a fresh local instance otherwise.
+        addr = os.environ.get("RAY_ADDRESS", "local")
+        if addr == "local":
+            kwargs = {"num_cpus": args.num_cpus} if args.num_cpus else {}
+            if args.object_store_gb:
+                kwargs["object_store_memory"] = int(args.object_store_gb * 1024**3)
+            ray.init(address="local", include_dashboard=False, **kwargs)
+        else:
+            ray.init(address=addr)
     try:
         from .pipelines.ingest import PipelineConfig, run_pipeline
         from .sources.transcripts import transcripts_from_events
