@@ -833,3 +833,54 @@ def test_cms_counts_bounds(ray_session):
         true = int(exact.get(w, 0))
         assert a[w] >= true
         assert a[w] == true  # width 4096 >> 40 distinct: no collisions
+
+
+def test_partition_count_invariance(ray_session):
+    """Operator outputs must not depend on num_partitions (the multi-node
+    determinism invariant: same answer on any cluster shape)."""
+    rng = np.random.RandomState(21)
+    n = 800
+    t = pa.table(
+        {
+            "k": pa.array([f"g{i}" for i in rng.randint(0, 9, n)]),
+            "v": pa.array(rng.randint(0, 500, n).astype(np.int64)),
+        }
+    )
+
+    def run(op, p):
+        return (
+            op(ray.data.from_arrow(t).repartition(3), p)
+            .to_pandas()
+            .sort_values(lambda_cols)
+            .reset_index(drop=True)
+        )
+
+    cases = {
+        "distinct": (
+            lambda ds, p: analytics.distinct_count(
+                ds, key="k", value_col="v", num_partitions=p
+            ),
+            ["k"],
+        ),
+        "cube": (
+            lambda ds, p: analytics.cube_counts(
+                ds, dims=["k"], sum_col="v", num_partitions=p
+            ),
+            ["k"],
+        ),
+        "winsorize": (
+            lambda ds, p: analytics.winsorize(
+                ds, key="k", value_col="v", num_partitions=p
+            ),
+            ["k", "v", "v_wins"],
+        ),
+        "diversity": (
+            lambda ds, p: analytics.group_diversity(
+                ds, key="k", value_col="v", num_partitions=p
+            ),
+            ["k"],
+        ),
+    }
+    for name, (op, lambda_cols) in cases.items():
+        a, b = run(op, 2), run(op, 7)
+        assert a.equals(b), f"{name}: differs across partition counts"
