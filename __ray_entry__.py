@@ -940,6 +940,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Count-Min Sketch point frequencies (approximate by design →
         # rows-only; the ≥-true guarantee is pytest-checked)
         "token_counts_cms": _token_counts_cms,
+        # market-basket co-occurrence: conversations using both tools
+        "tool_cooccurrence": _tool_cooccurrence,
         # integer BM25-variant retrieval (exact tf saturation + length
         # normalization, reciprocal-df idf surrogate; bit-exact oracle)
         "doc_bm25_top10": lambda sf: text_analysis.bm25_topk(
@@ -953,6 +955,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
     }
     return q
+
+
+def _tool_cooccurrence(sf_dir: str):
+    """Unordered tool pairs co-used within a conversation, with the number
+    of conversations using both (stages/analytics.cooccurrence_counts)."""
+    from hypertrace_ingester_ray.sources.transcripts import transcripts_from_events
+    from hypertrace_ingester_ray.stages.analytics import cooccurrence_counts
+
+    ds = transcripts_from_events(sf_dir).select_columns(["conv_id", "tool"])
+    return cooccurrence_counts(
+        ds,
+        key="conv_id",
+        value_col="tool",
+        out_a="tool_a",
+        out_b="tool_b",
+        num_partitions=16,
+    )
 
 
 def _token_counts_cms(sf_dir: str):
@@ -3150,6 +3169,14 @@ SELECT doc_id,
     '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
     AS BIGINT) AS n_bpe_tokens
 FROM documents
+"""
+    sql["tool_cooccurrence"] = f"""
+WITH {TRANSCRIPTS_CTE},
+d AS (SELECT DISTINCT conv_id, tool FROM transcripts WHERE tool IS NOT NULL)
+SELECT a.tool AS tool_a, b.tool AS tool_b,
+       CAST(count(*) AS BIGINT) AS n_keys
+FROM d a JOIN d b ON a.conv_id = b.conv_id AND a.tool < b.tool
+GROUP BY tool_a, tool_b
 """
     sql["user_event_diversity"] = """
 WITH c AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt

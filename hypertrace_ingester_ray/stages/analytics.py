@@ -1478,3 +1478,79 @@ def group_diversity(
     return group_apply(
         pairs, key, _final, sort_by=[value_col], num_partitions=num_partitions
     )
+
+
+def cooccurrence_counts(
+    ds: Dataset,
+    *,
+    key: str,
+    value_col: str,
+    out_a: str = "value_a",
+    out_b: str = "value_b",
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+) -> Dataset:
+    """Market-basket co-occurrence: for every unordered pair of DISTINCT
+    values appearing under the same key, the number of keys where both
+    occur — (tool A, tool B) → conversations using both, the input to lift
+    / association-rule mining and the key-level cousin of
+    :func:`~.text_analysis.bigram_pmi`'s adjacency pairs.
+
+    Scale shape: per-batch distinct (key, value) dedup, one hash exchange
+    on the key, then a fully vectorized within-key pair expansion (the
+    ragged repeat/arange construction the range join uses — no per-key
+    Python loop).  Output pairs per key are quadratic in the key's DISTINCT
+    value count — bounded by design for category-like values (tools,
+    event types); guard upstream if a key can carry thousands of distinct
+    values.  Pair order is canonical (a < b by sort).
+    """
+
+    def _local_unique(batch: pa.Table) -> pa.Table:
+        t = batch.select([key, value_col])
+        if t[value_col].null_count:
+            t = t.filter(pc.is_valid(t[value_col]))
+        return t.group_by([key, value_col]).aggregate([])
+
+    def _pairs(part: pa.Table) -> pa.Table:
+        # part sorted by (key, value); combine cross-block duplicates first
+        part = part.group_by([key, value_col]).aggregate([]).sort_by(
+            [(key, "ascending"), (value_col, "ascending")]
+        )
+        n = part.num_rows
+        empty = pa.table(
+            {
+                out_a: pa.array([], part.schema.field(value_col).type),
+                out_b: pa.array([], part.schema.field(value_col).type),
+                "n_keys": pa.array([], pa.int64()),
+            }
+        )
+        if n == 0:
+            return empty
+        kb = run_boundaries(*_np_cols(part, [key]))
+        idx = np.arange(n, dtype=np.int64)
+        seg_end = np.repeat(kb[1:], np.diff(kb))
+        c = seg_end - idx - 1  # later elements in the same key-segment
+        total = int(c.sum())
+        if total == 0:
+            return empty
+        firsts = np.repeat(idx, c)
+        starts = np.concatenate(([0], np.cumsum(c)))[:-1]
+        seconds = firsts + (np.arange(total) - np.repeat(starts, c)) + 1
+        v = part[value_col].combine_chunks()
+        t = pa.table(
+            {
+                out_a: v.take(pa.array(firsts)),
+                out_b: v.take(pa.array(seconds)),
+            }
+        )
+        agg = t.group_by([out_a, out_b]).aggregate([([], "count_all")])
+        return agg.rename_columns([out_a, out_b, "n_keys"])
+
+    uniq = ds.map_batches(_local_unique, batch_format="pyarrow")
+    local = group_apply(
+        uniq, key, _pairs, sort_by=[value_col], num_partitions=num_partitions
+    )
+    agg = local.groupby([out_a, out_b]).sum("n_keys")
+    return agg.map_batches(
+        lambda t: t.rename_columns([out_a, out_b, "n_keys"]),
+        batch_format="pyarrow",
+    )

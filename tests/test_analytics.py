@@ -884,3 +884,24 @@ def test_partition_count_invariance(ray_session):
     for name, (op, lambda_cols) in cases.items():
         a, b = run(op, 2), run(op, 7)
         assert a.equals(b), f"{name}: differs across partition counts"
+
+
+def test_cooccurrence_counts(ray_session):
+    """Pairs are unordered (a<b), counted once per key even with repeats,
+    and null values are ignored."""
+    t = pa.table(
+        {
+            "k": pa.array(["c1"] * 4 + ["c2"] * 2 + ["c3"]),
+            "v": pa.array(["x", "y", "x", None, "y", "x", "z"]),
+        }
+    )
+    out = (
+        analytics.cooccurrence_counts(
+            ray.data.from_arrow(t), key="k", value_col="v", num_partitions=3
+        )
+        .to_pandas()
+        .set_index(["value_a", "value_b"])
+        .n_keys
+    )
+    # c1: {x,y}; c2: {x,y}; c3: {z} alone -> only pair (x,y) with count 2
+    assert out.to_dict() == {("x", "y"): 2}
