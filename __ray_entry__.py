@@ -942,6 +942,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts_cms": _token_counts_cms,
         # market-basket co-occurrence: conversations using both tools
         "tool_cooccurrence": _tool_cooccurrence,
+        # Johnson-Lindenstrauss random projection (float output →
+        # rows-only; distance preservation is pytest-checked)
+        "embedding_projected": lambda sf: similarity.random_projection(
+            _rpq(os.path.join(sf, "embeddings.parquet")), out_dim=16
+        ),
         # integer BM25-variant retrieval (exact tf saturation + length
         # normalization, reciprocal-df idf surrogate; bit-exact oracle)
         "doc_bm25_top10": lambda sf: text_analysis.bm25_topk(

@@ -15,7 +15,7 @@ data.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Sequence
 
 import numpy as np
 import pyarrow as pa
@@ -298,3 +298,48 @@ def kmeans(
     return ds.map_batches(
         _assign_fn(cref, idref, keep_vec=include_vec), batch_format="pyarrow"
     )
+
+
+def random_projection(
+    ds: Dataset,
+    *,
+    out_dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "embedding_rp",
+    seed: int = 7,
+    keep_cols: Sequence[str] = (),
+) -> Dataset:
+    """Johnson–Lindenstrauss dimensionality reduction: project every
+    embedding through one FIXED random ±1/√k sign matrix — the standard
+    cheapening step before brute-force/IVF search at 100 TB (k=64–256
+    preserves pairwise distances within ~10% for millions of points; the
+    guarantee is dimension-free in the corpus size).
+
+    The matrix is generated from ``seed`` INSIDE each task
+    (``default_rng`` — a few KB of state, cheaper to regenerate than to
+    ship), so the projection is deterministic across partitioning, runs,
+    and cluster shapes.  One zero-copy matmul per batch, no shuffle.
+    """
+
+    def _project(batch: pa.Table) -> pa.Table:
+        col = batch[vec_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        m = _to_matrix(pa.chunked_array([col]))
+        in_dim = m.shape[1] if m.size else 0
+        rng = np.random.default_rng(seed)
+        proj = rng.choice((-1.0, 1.0), size=(max(in_dim, 1), out_dim))
+        proj /= np.sqrt(out_dim)
+        red = (m @ proj[:in_dim]).astype(np.float32) if m.size else np.zeros(
+            (batch.num_rows, out_dim), np.float32
+        )
+        cols = {id_col: batch[id_col]}
+        for c in keep_cols:
+            cols[c] = batch[c]
+        cols[out_col] = pa.FixedSizeListArray.from_arrays(
+            pa.array(red.ravel(), pa.float32()), out_dim
+        )
+        return pa.table(cols)
+
+    return ds.map_batches(_project, batch_format="pyarrow")

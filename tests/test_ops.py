@@ -496,3 +496,36 @@ def test_semantic_dedup_pairs(ray_session):
         itertools.combinations(odds, 2)
     )
     assert got == expect  # all within-blob pairs, no cross-blob pair
+
+
+def test_random_projection_jl(ray_session):
+    """Deterministic across partitioning; pairwise distances preserved
+    within JL tolerance at k=64."""
+    rng = np.random.RandomState(3)
+    n, d = 60, 128
+    m = rng.randn(n, d).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(m.ravel(), pa.float32()), d
+            ),
+        }
+    )
+    def run(parts):
+        out = (
+            similarity.random_projection(
+                ray.data.from_arrow(t).repartition(parts), out_dim=64
+            )
+            .to_pandas()
+            .sort_values("vec_id")
+        )
+        return np.stack(out.embedding_rp.to_numpy())
+    a, b = run(1), run(5)
+    assert np.array_equal(a, b)  # partitioning-invariant
+    # JL distance preservation: sampled pair distances within 40% (loose
+    # bound at k=64, deterministic seed)
+    for i, j in [(0, 1), (5, 40), (17, 59), (3, 30)]:
+        orig = np.linalg.norm(m[i] - m[j])
+        proj = np.linalg.norm(a[i] - a[j])
+        assert abs(proj - orig) / orig < 0.4, (i, j, orig, proj)
