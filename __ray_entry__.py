@@ -947,6 +947,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_projected": lambda sf: similarity.random_projection(
             _rpq(os.path.join(sf, "embeddings.parquet")), out_dim=16
         ),
+        # exact triangle count of the supplier co-order graph (wedge
+        # expansion + chain-safe pair join; T = closed wedges // 3)
+        "graph_triangles": _graph_triangles,
         # integer BM25-variant retrieval (exact tf saturation + length
         # normalization, reciprocal-df idf surrogate; bit-exact oracle)
         "doc_bm25_top10": lambda sf: text_analysis.bm25_topk(
@@ -960,6 +963,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
     }
     return q
+
+
+def _graph_triangles(sf_dir: str):
+    """Triangles in the supplier co-order graph: edge (s1, s2) iff both
+    supply some common order (stages/graph.triangle_count)."""
+    from hypertrace_ingester_ray.stages.analytics import cooccurrence_counts
+    from hypertrace_ingester_ray.stages.graph import triangle_count
+
+    li = _rpq(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey"],
+    )
+    edges = cooccurrence_counts(
+        li,
+        key="l_orderkey",
+        value_col="l_suppkey",
+        out_a="src",
+        out_b="dst",
+        num_partitions=16,
+    ).select_columns(["src", "dst"])
+    return triangle_count(edges, num_partitions=16)
 
 
 def _tool_cooccurrence(sf_dir: str):
@@ -3174,6 +3198,15 @@ SELECT doc_id,
     '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
     AS BIGINT) AS n_bpe_tokens
 FROM documents
+"""
+    # triangle (a<b<c) counted once via the three ordered edges
+    sql["graph_triangles"] = """
+WITH e AS (SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey)
+SELECT CAST(count(*) AS BIGINT) AS n_triangles
+FROM e e1 JOIN e e2 ON e2.u = e1.v
+          JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
 """
     sql["tool_cooccurrence"] = f"""
 WITH {TRANSCRIPTS_CTE},

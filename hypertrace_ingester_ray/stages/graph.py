@@ -36,6 +36,7 @@ from typing import Union
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 from ray.data import Dataset
@@ -170,4 +171,87 @@ def pagerank(
 
     return ray.data.from_arrow(
         pa.table({"node": pa.array(nodes), "rank": pa.array(rank)})
+    )
+
+
+def triangle_count(
+    edges: Dataset,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+) -> Dataset:
+    """Exact global triangle count of the undirected simple graph — the
+    classic MapReduce wedge-check algorithm, fully composed from this
+    repo's own primitives:
+
+    1. canonicalize + dedup edges (u < v) — :func:`distinct_edges` shape;
+    2. WEDGES: for every center node, all unordered neighbor pairs with
+       their multiplicity = common-neighbor count, via
+       :func:`~.analytics.cooccurrence_counts` (ragged pair expansion, one
+       exchange);
+    3. CLOSE: wedge (v, w) forms triangles iff edge (v, w) exists — one
+       :func:`~.joins.cogroup_join` on the composite pair key (chain-safe
+       exchange, both sides distributed);
+    4. every triangle closes exactly 3 wedges ⇒ ``T = Σ closed // 3``.
+
+    Wedge volume is Σ deg² — for skewed graphs orient edges by degree
+    first (the arboricity-bounded variant) before step 2; the synthetic
+    corpora here don't need it and the hook is the same ``cooccurrence``
+    call on the oriented adjacency.  Returns a one-row Dataset
+    ``(n_triangles:int64)``.
+    """
+    from .analytics import cooccurrence_counts
+    from .joins import cogroup_join
+
+    def _canon(batch: pa.Table) -> pa.Table:
+        a = batch[src].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        b = batch[dst].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = a != b  # drop self-loops
+        a, b = a[keep], b[keep]
+        return pa.table(
+            {"u": pa.array(np.minimum(a, b)), "v": pa.array(np.maximum(a, b))}
+        )
+
+    canon = distinct_edges(
+        edges.map_batches(_canon, batch_format="pyarrow"),
+        src="u",
+        dst="v",
+        num_partitions=num_partitions,
+    )
+
+    # adjacency in both directions: center -> neighbor
+    def _adj(batch: pa.Table) -> pa.Table:
+        return pa.concat_tables(
+            [
+                pa.table({"center": batch["u"], "nbr": batch["v"]}),
+                pa.table({"center": batch["v"], "nbr": batch["u"]}),
+            ]
+        )
+
+    wedges = cooccurrence_counts(
+        canon.map_batches(_adj, batch_format="pyarrow"),
+        key="center",
+        value_col="nbr",
+        out_a="u",
+        out_b="v",
+        num_partitions=num_partitions,
+    )  # (u, v, n_keys = common-neighbor count), u < v by construction
+
+    closed = cogroup_join(
+        wedges, canon, on=["u", "v"], num_partitions=num_partitions
+    )
+
+    def _partial_sum(batch: pa.Table) -> pa.Table:
+        s = int(pc.sum(batch["n_keys"]).as_py() or 0)
+        return pa.table({"closed": pa.array([s], pa.int64())})
+
+    total = sum(
+        r["closed"]
+        for r in closed.map_batches(_partial_sum, batch_format="pyarrow").take_all()
+    )
+    import ray.data as _rd
+
+    return _rd.from_arrow(
+        pa.table({"n_triangles": pa.array([total // 3], pa.int64())})
     )

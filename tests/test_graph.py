@@ -78,3 +78,29 @@ def test_distinct_edges(ray_session):
         .values.tolist()
     )
     assert out == [[1, 2], [1, 3], [2, 1]]
+
+
+def test_triangle_count_known_graph(ray_session):
+    """4-clique (4 triangles) + pendant edge + self-loop + duplicate and
+    reversed edges: count is exact and orientation-invariant."""
+    import pyarrow as pa
+    import ray.data
+
+    from hypertrace_ingester_ray.stages.graph import triangle_count
+
+    edges = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),  # K4 -> 4 triangles
+        (4, 5),           # pendant
+        (5, 5),           # self-loop (dropped)
+        (2, 1), (3, 1),   # reversed duplicates (deduped)
+    ]
+    t = pa.table(
+        {
+            "src": pa.array([e[0] for e in edges], pa.int64()),
+            "dst": pa.array([e[1] for e in edges], pa.int64()),
+        }
+    )
+    out = triangle_count(
+        ray.data.from_arrow(t).repartition(3), num_partitions=4
+    ).to_pandas()
+    assert out.n_triangles.tolist() == [4]
