@@ -950,6 +950,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact triangle count of the supplier co-order graph (wedge
         # expansion + chain-safe pair join; T = closed wedges // 3)
         "graph_triangles": _graph_triangles,
+        # SQL INTERSECT over full rows (cogroup on all columns)
+        "docs_lang_source_intersect": _docs_lang_source_intersect,
+        # SQL EXCEPT over full rows
+        "docs_lang_source_except": _docs_lang_source_except,
         # integer BM25-variant retrieval (exact tf saturation + length
         # normalization, reciprocal-df idf surrogate; bit-exact oracle)
         "doc_bm25_top10": lambda sf: text_analysis.bm25_topk(
@@ -963,6 +967,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
     }
     return q
+
+
+def _docs_halves(sf_dir: str):
+    """The (lang, source) pair streams of two interleaved 7-run document
+    halves — same-schema inputs with a non-trivial overlap for the
+    set-op queries (plain id parity correlates perfectly with the
+    synthetic source column and yields a degenerate empty intersect)."""
+    import pyarrow as pa
+
+    ds = _rpq(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "source"],
+    )
+
+    def _half(parity: int):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            return t.filter(pa.array((ids // 7) % 2 == parity)).select(
+                ["lang", "source"]
+            )
+
+        return fn
+
+    even = ds.map_batches(_half(0), batch_format="pyarrow")
+    odd = ds.map_batches(_half(1), batch_format="pyarrow")
+    return even, odd
+
+
+def _docs_lang_source_intersect(sf_dir: str):
+    from hypertrace_ingester_ray.stages.joins import set_op
+
+    even, odd = _docs_halves(sf_dir)
+    return set_op(even, odd, how="intersect", num_partitions=8)
+
+
+def _docs_lang_source_except(sf_dir: str):
+    from hypertrace_ingester_ray.stages.joins import set_op
+
+    even, odd = _docs_halves(sf_dir)
+    return set_op(even, odd, how="except", num_partitions=8)
 
 
 def _graph_triangles(sf_dir: str):
@@ -3198,6 +3242,16 @@ SELECT doc_id,
     '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
     AS BIGINT) AS n_bpe_tokens
 FROM documents
+"""
+    sql["docs_lang_source_intersect"] = """
+SELECT lang, source FROM documents WHERE (doc_id // 7) % 2 = 0
+INTERSECT
+SELECT lang, source FROM documents WHERE (doc_id // 7) % 2 = 1
+"""
+    sql["docs_lang_source_except"] = """
+SELECT lang, source FROM documents WHERE (doc_id // 7) % 2 = 0
+EXCEPT
+SELECT lang, source FROM documents WHERE (doc_id // 7) % 2 = 1
 """
     # triangle (a<b<c) counted once via the three ordered edges
     sql["graph_triangles"] = """

@@ -664,3 +664,37 @@ def apply_changes(
     return cogroup(
         snapshot, changes, key, _merge, num_partitions=num_partitions
     )
+
+
+def set_op(
+    left: Dataset,
+    right: Dataset,
+    *,
+    how: str = "intersect",
+    num_partitions: int = 32,
+) -> Dataset:
+    """SQL set operations over FULL rows: ``INTERSECT`` (distinct rows in
+    both inputs) and ``EXCEPT`` (distinct left rows absent from right).
+    Schemas must match column-for-column — the whole row is the key.
+
+    One cogroup exchange hashed on ALL columns co-locates equal rows; each
+    partition dedups both sides locally and resolves membership with a
+    local semi/anti join.  Both inputs may be corpus-sized; nothing
+    broadcasts.  (``UNION`` distinct is just ``exact-dedup(concat)`` —
+    already covered by ``ds.union`` + :func:`~.dedup.exact_dedup``.)
+    """
+    from .grouping import cogroup
+
+    cols = list(left.schema().names)
+    if list(right.schema().names) != cols:
+        raise ValueError(
+            f"set_op: schemas differ: {cols} vs {right.schema().names}"
+        )
+    join_type = {"intersect": "left semi", "except": "left anti"}[how]
+
+    def _resolve(lp: pa.Table, rp: pa.Table) -> pa.Table:
+        ld = lp.group_by(cols).aggregate([])
+        rd = rp.group_by(cols).aggregate([])
+        return ld.join(rd, keys=cols, join_type=join_type)
+
+    return cogroup(left, right, cols, _resolve, num_partitions=num_partitions)

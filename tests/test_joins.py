@@ -419,3 +419,26 @@ def test_cogroup_join_randomized_vs_duckdb(ray_session):
                     a = got[c].astype("float64")
                     b = exp[c].astype("float64")
                     assert ((a == b) | (a.isna() & b.isna())).all(), (trial, how, c)
+
+
+def test_set_op_intersect_except(ray_session):
+    from hypertrace_ingester_ray.stages.joins import set_op
+
+    l = ray.data.from_arrow(
+        pa.table({"a": pa.array(["x", "y", "z", "y"]), "b": pa.array([1, 2, 3, 2], pa.int64())})
+    )
+    r = ray.data.from_arrow(
+        pa.table({"a": pa.array(["y", "w"]), "b": pa.array([2, 9], pa.int64())})
+    )
+    inter = set_op(l, r, how="intersect", num_partitions=4).to_pandas()
+    assert inter.values.tolist() == [["y", 2]]
+    exc = (
+        set_op(l, r, how="except", num_partitions=4)
+        .to_pandas()
+        .sort_values("a")
+    )
+    assert exc.values.tolist() == [["x", 1], ["z", 3]]
+    with pytest.raises(Exception, match="schemas differ"):
+        set_op(l, r.map_batches(
+            lambda t: t.rename_columns(["a", "c"]), batch_format="pyarrow"
+        ), how="intersect")
