@@ -965,8 +965,131 @@ def queries() -> dict[str, Callable[[str], Any]]:
             },
             k=10,
         ),
+        # time-series resample with gap fill: dense per-user daily series,
+        # empty days zero-filled (generation is per-partition, not driver)
+        "user_daily_gapfill": _user_daily_gapfill,
+        # exact integer covariance/correlation sufficient statistics
+        "event_type_moments": _event_type_moments,
+        # FULL OUTER join (cogroup): user-days with views xor purchases
+        # survive with a null count on the missing side
+        "user_day_views_purchases_full": _user_day_views_purchases_full,
     }
     return q
+
+
+def _user_daily_gapfill(sf_dir: str):
+    """Events per user per DAY with empty days zero-filled between each
+    user's first and last active day (stages/analytics.resample_gapfill) —
+    the dense series a rate/derivative pass needs."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hypertrace_ingester_ray.stages.analytics import resample_gapfill
+
+    step = 86_400_000_000  # one day in epoch microseconds
+
+    ds = _rpq(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    )
+
+    def _day(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "day": pc.cast(
+                    pc.floor_temporal(t["ts"], unit="day"), pa.int64()
+                ),
+            }
+        )
+
+    return resample_gapfill(
+        ds.map_batches(_day, batch_format="pyarrow"),
+        key="user_id",
+        bucket_col="day",
+        step=step,
+        num_partitions=16,
+    )
+
+
+def _event_type_moments(sf_dir: str):
+    """Exact integer second-order moments of (cents value, hour-of-day) per
+    event type (stages/analytics.group_moments) — the sufficient statistics
+    for covariance / correlation / OLS slope, bit-exact vs plain SQL SUMs."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hypertrace_ingester_ray.stages.analytics import group_moments
+
+    ds = _rpq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "ts", "value"],
+    )
+
+    def _xy(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "x": pc.cast(
+                    pc.floor(pc.multiply(t["value"], 100.0)), pa.int64()
+                ),
+                "y": pc.cast(pc.hour(t["ts"]), pa.int64()),
+            }
+        )
+
+    return group_moments(
+        ds.map_batches(_xy, batch_format="pyarrow"),
+        key="event_type",
+        x_col="x",
+        y_col="y",
+        num_partitions=16,
+    )
+
+
+def _user_day_views_purchases_full(sf_dir: str):
+    """FULL OUTER join of per-(user, day) view counts vs purchase counts:
+    user-days active on only one side survive with a null on the other
+    (stages/joins.cogroup_join how='full_outer' — both sides corpus-sized,
+    one exchange per side, local pyarrow full-outer per partition)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hypertrace_ingester_ray.stages.grouping import group_apply
+    from hypertrace_ingester_ray.stages.joins import cogroup_join
+
+    ds = _rpq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_type"],
+    )
+
+    def _counts(event_type: str, out: str):
+        def _partial(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t["event_type"], event_type))
+            day = pc.cast(pc.floor_temporal(t["ts"], unit="day"), pa.int64())
+            g = (
+                pa.table({"user_id": t["user_id"], "day": day})
+                .group_by(["user_id", "day"])
+                .aggregate([([], "count_all")])
+            )
+            return g.rename_columns(["user_id", "day", out])
+
+        def _final(part: pa.Table) -> pa.Table:
+            g = part.group_by(["user_id", "day"]).aggregate([(out, "sum")])
+            return g.rename_columns(["user_id", "day", out])
+
+        return group_apply(
+            ds.map_batches(_partial, batch_format="pyarrow"),
+            ["user_id", "day"],
+            _final,
+            num_partitions=16,
+        )
+
+    return cogroup_join(
+        _counts("view", "n_views"),
+        _counts("purchase", "n_purchases"),
+        on=["user_id", "day"],
+        how="full_outer",
+        num_partitions=16,
+    )
 
 
 def _docs_halves(sf_dir: str):
@@ -3383,6 +3506,50 @@ r AS (SELECT query_id, doc_id, CAST(score AS BIGINT) AS score,
       FROM sc WHERE score > 0)
 SELECT query_id, doc_id, score, CAST(rank AS BIGINT) AS rank
 FROM r WHERE rank <= 10
+"""
+    sql["user_daily_gapfill"] = """
+WITH b AS (
+  SELECT user_id,
+         CAST(epoch(date_trunc('day', ts)) AS BIGINT) * 1000000 AS day,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+r AS (SELECT user_id, MIN(day) AS mn, MAX(day) AS mx FROM b GROUP BY 1),
+g AS (SELECT user_id,
+             unnest(generate_series(mn, mx, 86400000000)) AS day
+      FROM r)
+SELECT g.user_id, g.day, CAST(COALESCE(b.n, 0) AS BIGINT) AS n
+FROM g LEFT JOIN b ON g.user_id = b.user_id AND g.day = b.day
+"""
+    sql["event_type_moments"] = """
+WITH s AS (
+  SELECT event_type,
+         CAST(FLOOR(value * 100) AS BIGINT) AS x,
+         CAST(hour(ts) AS BIGINT) AS y
+  FROM events)
+SELECT event_type,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(x) AS BIGINT) AS sum_x,
+  CAST(SUM(y) AS BIGINT) AS sum_y,
+  CAST(SUM(x * x) AS BIGINT) AS sum_xx,
+  CAST(SUM(y * y) AS BIGINT) AS sum_yy,
+  CAST(SUM(x * y) AS BIGINT) AS sum_xy
+FROM s GROUP BY event_type
+"""
+    sql["user_day_views_purchases_full"] = """
+WITH v AS (
+  SELECT user_id,
+         CAST(epoch(date_trunc('day', ts)) AS BIGINT) * 1000000 AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_views
+  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+p AS (
+  SELECT user_id,
+         CAST(epoch(date_trunc('day', ts)) AS BIGINT) * 1000000 AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_purchases
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+SELECT COALESCE(v.user_id, p.user_id) AS user_id,
+       COALESCE(v.day, p.day) AS day,
+       v.n_views, p.n_purchases
+FROM v FULL OUTER JOIN p ON v.user_id = p.user_id AND v.day = p.day
 """
     # doc_fingerprint / doc_minhash_pairs / doc_simhash_pairs /
     # knn_ivf_top5 (approximate) / media_features (stubbed decode):

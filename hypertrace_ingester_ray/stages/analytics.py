@@ -54,6 +54,8 @@ __all__ = [
     "funnel",
     "retention",
     "group_zscore_outliers",
+    "resample_gapfill",
+    "group_moments",
 ]
 
 
@@ -1553,4 +1555,169 @@ def cooccurrence_counts(
     return agg.map_batches(
         lambda t: t.rename_columns([out_a, out_b, "n_keys"]),
         batch_format="pyarrow",
+    )
+
+
+def resample_gapfill(
+    ds: Dataset,
+    *,
+    key: str,
+    bucket_col: str,
+    step: int,
+    count_col: str = "n",
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+) -> Dataset:
+    """Time-series resample with gap fill: one output row per ``step``-spaced
+    bucket between each key's min and max observed bucket, with the event
+    count (0 where no rows fell in the bucket).  The batch analog of a
+    streaming tumbling window that fires on EVERY tick, which the reference's
+    windowed metrics pipeline approximates by emitting only non-empty windows
+    (hypertrace-metrics-generator/.../MetricsProcessor.java:75-124) — gap
+    filling is what makes downstream rate/derivative math correct.
+
+    ``bucket_col`` must already be truncated to an int64 multiple of ``step``
+    (e.g. ``(epoch // 86400) * 86400``); values off the grid raise.
+
+    Scale shape: per-batch partial counts mean only unique (key, bucket)
+    pairs cross the one hash exchange; the dense range is GENERATED inside
+    each partition (ragged arange over per-key [min, max] runs), so no
+    driver-side loop and no oversized shuffle — output size is bounded by
+    keys x range/step, counts mapped back via searchsorted.
+    """
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        t = (
+            batch.select([key, bucket_col])
+            .group_by([key, bucket_col])
+            .aggregate([([], "count_all")])
+        )
+        return t.rename_columns([key, bucket_col, count_col])
+
+    def _fill(part: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                key: pa.array([], part.schema.field(key).type),
+                bucket_col: pa.array([], pa.int64()),
+                count_col: pa.array([], pa.int64()),
+            }
+        )
+        if part.num_rows == 0:
+            return empty
+        # combine the per-batch partials that met in this partition
+        t = part.group_by([key, bucket_col]).aggregate([(count_col, "sum")])
+        t = t.rename_columns([key, bucket_col, count_col]).sort_by(
+            [(key, "ascending"), (bucket_col, "ascending")]
+        )
+        b = t[bucket_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if ((b % step) != 0).any():
+            raise ValueError(
+                f"resample_gapfill: {bucket_col} contains values off the "
+                f"step={step} grid; truncate upstream"
+            )
+        n = t[count_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        kb = run_boundaries(*_np_cols(t, [key]))
+        mins, maxs = b[kb[:-1]], b[kb[1:] - 1]
+        lens = (maxs - mins) // step + 1
+        total = int(lens.sum())
+        starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+        # ragged arange: bucket value for every dense slot of every key
+        flat = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+        dense_b = np.repeat(mins, lens) + flat * step
+        # map observed counts onto the dense grid: within one key-segment the
+        # slot index is (bucket - min) // step, plus that key's dense offset
+        seg_id = np.repeat(np.arange(len(lens)), np.diff(kb))
+        obs_slots = starts[seg_id] + (b - mins[seg_id]) // step
+        dense_n = np.zeros(total, dtype=np.int64)
+        dense_n[obs_slots] = n
+        keys_arr = t[key].combine_chunks().take(
+            pa.array(np.repeat(kb[:-1], lens))
+        )
+        return pa.table(
+            {key: keys_arr, bucket_col: dense_b, count_col: dense_n}
+        )
+
+    return group_apply(
+        ds.map_batches(_partial, batch_format="pyarrow"),
+        key,
+        _fill,
+        num_partitions=num_partitions,
+    )
+
+
+def group_moments(
+    ds: Dataset,
+    *,
+    key: str,
+    x_col: str,
+    y_col: str,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+) -> Dataset:
+    """Exact per-key second-order moments over two integer columns: ``n``,
+    ``sum_x``, ``sum_y``, ``sum_xx``, ``sum_yy``, ``sum_xy`` — the sufficient
+    statistics for covariance / Pearson correlation / OLS slope, kept as
+    exact int64 so the result is bit-reproducible across partitionings and
+    SQL-mirrorable with plain SUMs (no float drift between engines; the
+    caller divides at the end, where precision is theirs to choose).
+
+    Scale shape: per-batch partial sums via one Arrow ``group_by`` (only
+    key-cardinality-sized partials cross the one exchange); the final
+    combine sums partials per key with Python-int exactness and re-checks
+    int64 range, raising loudly on overflow.  Per-batch inputs are guarded:
+    |x|, |y| < 2^31 keeps every product below 2^62.
+    """
+    lim = np.int64(1) << 31
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        x = batch[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = batch[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(x) and (np.abs(x).max() >= lim or np.abs(y).max() >= lim):
+            raise OverflowError(
+                "group_moments: |x| or |y| >= 2^31 would overflow int64 "
+                "products; rescale upstream"
+            )
+        t = pa.table(
+            {
+                key: batch[key],
+                "_n": pa.array(np.ones(len(x), dtype=np.int64)),
+                "_sx": pa.array(x),
+                "_sy": pa.array(y),
+                "_sxx": pa.array(x * x),
+                "_syy": pa.array(y * y),
+                "_sxy": pa.array(x * y),
+            }
+        )
+        aggs = [(c, "sum") for c in ("_n", "_sx", "_sy", "_sxx", "_syy", "_sxy")]
+        out = t.group_by([key]).aggregate(aggs)
+        return out.rename_columns(
+            [key, "n", "sum_x", "sum_y", "sum_xx", "sum_yy", "sum_xy"]
+        )
+
+    cols = ["n", "sum_x", "sum_y", "sum_xx", "sum_yy", "sum_xy"]
+
+    def _final(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table(
+                {key: pa.array([], part.schema.field(key).type)}
+                | {c: pa.array([], pa.int64()) for c in cols}
+            )
+        kb = run_boundaries(*_np_cols(part, [key]))
+        out = {key: part[key].combine_chunks().take(pa.array(kb[:-1]))}
+        i64 = np.iinfo(np.int64)
+        for c in cols:
+            v = part[c].to_numpy(zero_copy_only=False)
+            # exact Python-int segment sums, re-checked against int64 range
+            # (.tolist() yields Python ints, so the accumulator cannot wrap)
+            sums = [sum(v[a:z].tolist()) for a, z in zip(kb[:-1], kb[1:])]
+            if any(s < i64.min or s > i64.max for s in sums):
+                raise OverflowError(
+                    f"group_moments: per-key {c} exceeds int64; rescale upstream"
+                )
+            out[c] = pa.array(np.array(sums, dtype=np.int64))
+        return pa.table(out)
+
+    return group_apply(
+        ds.map_batches(_partial, batch_format="pyarrow"),
+        key,
+        _final,
+        num_partitions=num_partitions,
     )

@@ -905,3 +905,104 @@ def test_cooccurrence_counts(ray_session):
     )
     # c1: {x,y}; c2: {x,y}; c3: {z} alone -> only pair (x,y) with count 2
     assert out.to_dict() == {("x", "y"): 2}
+
+
+def test_resample_gapfill(ray_session):
+    """Every step between a key's min and max bucket appears exactly once,
+    gaps zero-filled; off-grid buckets raise."""
+    t = pa.table(
+        {
+            "k": pa.array(["a", "a", "a", "b", "b"]),
+            "bucket": pa.array([0, 30, 30, 20, 20], pa.int64()),
+        }
+    )
+    out = (
+        analytics.resample_gapfill(
+            ray.data.from_arrow(t).repartition(3),
+            key="k",
+            bucket_col="bucket",
+            step=10,
+            num_partitions=2,
+        )
+        .to_pandas()
+        .sort_values(["k", "bucket"])
+        .reset_index(drop=True)
+    )
+    assert list(out.itertuples(index=False, name=None)) == [
+        ("a", 0, 1),
+        ("a", 10, 0),
+        ("a", 20, 0),
+        ("a", 30, 2),
+        ("b", 20, 2),
+    ]
+
+    bad = pa.table({"k": ["a"], "bucket": pa.array([7], pa.int64())})
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="off the step"):
+        analytics.resample_gapfill(
+            ray.data.from_arrow(bad), key="k", bucket_col="bucket", step=10
+        ).materialize()
+
+
+def test_group_moments_exact_and_guarded(ray_session):
+    """Moments match a direct computation; inputs >= 2^31 raise loudly."""
+    t = pa.table(
+        {
+            "k": pa.array(["a", "a", "b"]),
+            "x": pa.array([3, -5, 7], pa.int64()),
+            "y": pa.array([2, 4, 6], pa.int64()),
+        }
+    )
+    out = (
+        analytics.group_moments(
+            ray.data.from_arrow(t).repartition(2),
+            key="k",
+            x_col="x",
+            y_col="y",
+            num_partitions=2,
+        )
+        .to_pandas()
+        .set_index("k")
+    )
+    a = out.loc["a"]
+    assert (a.n, a.sum_x, a.sum_y) == (2, -2, 6)
+    assert (a.sum_xx, a.sum_yy, a.sum_xy) == (34, 20, -14)
+    b = out.loc["b"]
+    assert (b.n, b.sum_xx, b.sum_xy) == (1, 49, 42)
+
+    big = pa.table(
+        {
+            "k": ["a"],
+            "x": pa.array([1 << 31], pa.int64()),
+            "y": pa.array([1], pa.int64()),
+        }
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="overflow"):
+        analytics.group_moments(
+            ray.data.from_arrow(big), key="k", x_col="x", y_col="y"
+        ).materialize()
+
+
+def test_cogroup_join_full_outer(ray_session):
+    """Full-outer keeps unmatched keys from BOTH sides with nulls on the
+    missing side; the key column is coalesced."""
+    from hypertrace_ingester_ray.stages.joins import cogroup_join
+
+    left = ray.data.from_arrow(
+        pa.table({"k": [1, 2], "l": ["L1", "L2"]})
+    ).repartition(2)
+    right = ray.data.from_arrow(
+        pa.table({"k": [2, 3], "r": ["R2", "R3"]})
+    ).repartition(2)
+    out = (
+        cogroup_join(left, right, on=["k"], how="full_outer", num_partitions=3)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert list(out.k) == [1, 2, 3]
+    assert out.l.tolist()[0] == "L1" and pd.isna(out.l.tolist()[2])
+    assert pd.isna(out.r.tolist()[0]) and out.r.tolist()[2] == "R3"
