@@ -973,8 +973,80 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # FULL OUTER join (cogroup): user-days with views xor purchases
         # survive with a null count on the missing side
         "user_day_views_purchases_full": _user_day_views_purchases_full,
+        # sorted-bucket (SMB) layout: co-bucketed write pre-pays the
+        # exchange; the join itself runs with ZERO shuffle
+        "smb_segment_revenue": _smb_segment_revenue,
     }
     return q
+
+
+def _smb_segment_revenue(sf_dir: str):
+    """Revenue per market segment through a SORTED-BUCKET (SMB) join:
+    customer and orders are first written as co-bucketed tables
+    (stages/sinks.write_bucketed — the exchange is pre-paid once at write
+    time), then joined bucket-by-bucket with ZERO shuffle
+    (stages/sinks.bucketed_join).  Oracle = the plain SQL join aggregate,
+    so the layout round-trip is value-checked end to end."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hypertrace_ingester_ray.stages.grouping import group_apply
+    from hypertrace_ingester_ray.stages.sinks import (
+        bucketed_join,
+        write_bucketed,
+    )
+
+    base = tempfile.mkdtemp(prefix="htr_smb_")
+    cust = _rpq(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+    )
+    orders = _rpq(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_totalprice"],
+    )
+
+    def _cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": t["o_custkey"],
+                "cents": pc.cast(
+                    pc.floor(pc.multiply(t["o_totalprice"], 100.0)), pa.int64()
+                ),
+            }
+        )
+
+    write_bucketed(cust, os.path.join(base, "customer"), key="c_custkey", num_buckets=8)
+    write_bucketed(
+        orders.map_batches(_cents, batch_format="pyarrow"),
+        os.path.join(base, "orders"),
+        key="o_custkey",
+        num_buckets=8,
+    )
+    joined = bucketed_join(
+        os.path.join(base, "customer"), os.path.join(base, "orders"), how="inner"
+    )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["c_mktsegment"]).aggregate(
+            [("cents", "sum"), ([], "count_all")]
+        )
+        return g.rename_columns(["c_mktsegment", "revenue_cents", "n_orders"])
+
+    def _final(part: pa.Table) -> pa.Table:
+        g = part.group_by(["c_mktsegment"]).aggregate(
+            [("revenue_cents", "sum"), ("n_orders", "sum")]
+        )
+        return g.rename_columns(["c_mktsegment", "revenue_cents", "n_orders"])
+
+    return group_apply(
+        joined.map_batches(_partial, batch_format="pyarrow"),
+        "c_mktsegment",
+        _final,
+        num_partitions=4,
+    )
 
 
 def _user_daily_gapfill(sf_dir: str):
@@ -3550,6 +3622,14 @@ SELECT COALESCE(v.user_id, p.user_id) AS user_id,
        COALESCE(v.day, p.day) AS day,
        v.n_views, p.n_purchases
 FROM v FULL OUTER JOIN p ON v.user_id = p.user_id AND v.day = p.day
+"""
+    sql["smb_segment_revenue"] = """
+SELECT c_mktsegment,
+  CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      AS revenue_cents,
+  CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM customer JOIN orders ON c_custkey = o_custkey
+GROUP BY c_mktsegment
 """
     # doc_fingerprint / doc_minhash_pairs / doc_simhash_pairs /
     # knn_ivf_top5 (approximate) / media_features (stubbed decode):

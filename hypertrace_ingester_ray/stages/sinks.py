@@ -323,3 +323,157 @@ def read_zone_pruned(out_dir: str, *, col: str, lo=None, hi=None):
     if not keep:
         return _rd.from_arrow([]), 0, skipped
     return _rd.read_parquet(keep), len(keep), skipped
+
+
+# ---------------------------------------------------------------------------
+# Sorted-bucket tables + shuffle-free bucket joins (Hive/Spark SMB pattern)
+# ---------------------------------------------------------------------------
+
+_BUCKET_META = "_bucket_meta.json"
+_BUCKET_HASH_VERSION = "fibmix-siphash-v1"  # grouping._hash_column contract
+
+
+def _key_kind(t: pa.DataType) -> str:
+    """The _hash_column code path family — both sides of a bucket join must
+    agree or equal keys land in different buckets."""
+    return "int" if pa.types.is_integer(t) else "object"
+
+
+def write_bucketed(
+    ds: Dataset,
+    out_dir: str,
+    *,
+    key,
+    num_buckets: int = DEFAULT_NUM_PARTITIONS,
+) -> dict:
+    """Write ``ds`` as a BUCKETED table: ``num_buckets`` parquet files, file
+    ``i`` holding exactly the rows whose key-hash lands in bucket ``i``,
+    key-sorted within the file, plus a ``_bucket_meta.json`` recording the
+    bucketing contract (key columns, bucket count, hash version, schema).
+
+    Two tables bucketed with the same contract can be joined by
+    :func:`bucketed_join` with ZERO shuffle — the write pre-pays the
+    exchange once, and every later join of the stored table (the
+    fact-table-joined-every-run shape) reads matching bucket pairs
+    directly.  This is the Hive/Spark sorted-bucket-merge (SMB) layout;
+    the reference pre-shards spans to Kafka partitions by trace key for
+    exactly this reason (JaegerSpanToAvroRawSpanTransformer.java:58-65 —
+    "so raw_span_grouper can groupByKey without a repartition topic").
+
+    Inherits :func:`write_partitioned`'s CRC manifests + resume discipline.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    schema = ds.schema()
+    arrow_schema = pa.schema(
+        [pa.field(n, t) for n, t in zip(schema.names, schema.types)]
+    )
+    summary = write_partitioned(
+        ds, out_dir, key=keys, num_partitions=num_buckets
+    )
+    import base64
+
+    meta = {
+        "key": keys,
+        "num_buckets": num_buckets,
+        "hash_version": _BUCKET_HASH_VERSION,
+        "key_kinds": [
+            _key_kind(arrow_schema.field(k).type) for k in keys
+        ],
+        "schema_ipc": base64.b64encode(
+            arrow_schema.serialize().to_pybytes()
+        ).decode("ascii"),
+    }
+    tmp = os.path.join(out_dir, _BUCKET_META + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.rename(tmp, os.path.join(out_dir, _BUCKET_META))
+    return summary
+
+
+def _load_bucket_meta(out_dir: str) -> dict:
+    import base64
+
+    with open(os.path.join(out_dir, _BUCKET_META)) as f:
+        meta = json.load(f)
+    meta["schema"] = pa.ipc.read_schema(
+        pa.BufferReader(base64.b64decode(meta["schema_ipc"]))
+    )
+    return meta
+
+
+def bucketed_join(
+    dir_a: str,
+    dir_b: str,
+    *,
+    how: str = "inner",
+) -> Dataset:
+    """Join two :func:`write_bucketed` tables with ZERO shuffle: bucket ``i``
+    of A can only match bucket ``i`` of B (same key hash, same bucket
+    count — validated loudly from the stored contracts), so the join is an
+    embarrassingly parallel map over bucket pairs, one local
+    ``pyarrow.Table.join`` per pair.  Key columns may differ in NAME
+    (B's are renamed to A's positionally) but must hash identically
+    (same int-vs-object kind).
+
+    Scale shape: no exchange at all — each task reads two co-bucketed
+    parquet files and joins in memory.  At 100 TB the bucket count chosen
+    at write time bounds per-task memory (buckets ≈ data / target task
+    size); re-bucket with a larger count rather than letting buckets grow.
+    A missing bucket file means that hash range was empty at write time
+    (empty partitions are skipped by the writer) — typed empty tables from
+    the stored schemas keep outer joins correct there.
+    """
+    import ray as _ray
+
+    ma, mb = _load_bucket_meta(dir_a), _load_bucket_meta(dir_b)
+    for field, va, vb in (
+        ("num_buckets", ma["num_buckets"], mb["num_buckets"]),
+        ("hash_version", ma["hash_version"], mb["hash_version"]),
+        ("key_kinds", ma["key_kinds"], mb["key_kinds"]),
+    ):
+        if va != vb:
+            raise ValueError(
+                f"bucketed_join: {field} differs ({va} vs {vb}); "
+                "re-bucket one side with write_bucketed to match"
+            )
+    from .joins import _COGROUP_JOIN_TYPES
+
+    join_type = _COGROUP_JOIN_TYPES[how]
+    keys_a, keys_b = list(ma["key"]), list(mb["key"])
+    schema_a, schema_b = ma["schema"], mb["schema"]
+    num_buckets = int(ma["num_buckets"])
+
+    def _join_bucket(batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as _pq
+
+        out = []
+        for i in batch["id"].to_pylist():
+            fa = lineage.part_file(dir_a, "data", i)
+            fb = lineage.part_file(dir_b, "data", i)
+            ta = (
+                _pq.read_table(fa)
+                if os.path.exists(fa)
+                else schema_a.empty_table()
+            )
+            tb = (
+                _pq.read_table(fb)
+                if os.path.exists(fb)
+                else schema_b.empty_table()
+            )
+            if keys_b != keys_a:
+                ren = dict(zip(keys_b, keys_a))
+                tb = tb.rename_columns(
+                    [ren.get(c, c) for c in tb.column_names]
+                )
+            out.append(
+                ta.replace_schema_metadata(None).join(
+                    tb.replace_schema_metadata(None),
+                    keys=keys_a,
+                    join_type=join_type,
+                )
+            )
+        return pa.concat_tables(out, promote_options="default")
+
+    return _ray.data.range(
+        num_buckets, override_num_blocks=num_buckets
+    ).map_batches(_join_bucket, batch_format="pyarrow")

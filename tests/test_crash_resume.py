@@ -307,3 +307,44 @@ def test_incremental_ingest_new_files_only(ray_session, tmp_path):
     land("a.parquet", 0, 99)
     with pytest.raises(ValueError, match="immutable"):
         watermark.run_incremental(str(in_dir), str(out_dir), process)
+
+
+def test_bucketed_write_and_join(ray_session, tmp_path):
+    """SMB layout: same-contract tables join with zero shuffle, key rename
+    works positionally, empty buckets null-extend outer joins, and a
+    contract mismatch raises loudly."""
+    import pyarrow as pa
+    import ray
+
+    from hypertrace_ingester_ray.stages.sinks import (
+        bucketed_join,
+        write_bucketed,
+    )
+
+    left = pa.table(
+        {"k": pa.array([1, 2, 3, 4, 5], pa.int64()), "l": ["a", "b", "c", "d", "e"]}
+    )
+    right = pa.table(
+        {"rk": pa.array([2, 4, 4, 99], pa.int64()), "r": ["x", "y", "z", "w"]}
+    )
+    da, db = str(tmp_path / "a"), str(tmp_path / "b")
+    write_bucketed(ray.data.from_arrow(left).repartition(3), da, key="k", num_buckets=4)
+    write_bucketed(ray.data.from_arrow(right).repartition(2), db, key="rk", num_buckets=4)
+
+    inner = bucketed_join(da, db, how="inner").to_pandas()
+    got = sorted(map(tuple, inner[["k", "l", "r"]].values.tolist()))
+    assert got == [(2, "b", "x"), (4, "d", "y"), (4, "d", "z")]
+
+    # left outer: unmatched left keys survive with null r
+    lo = bucketed_join(da, db, how="left_outer").to_pandas()
+    assert len(lo) == 6 and lo[lo.k == 1].r.isna().all()
+
+    # full outer: right-only key 99 survives with null l
+    fo = bucketed_join(da, db, how="full_outer").to_pandas()
+    assert len(fo) == 7 and fo[fo.k == 99].l.isna().all()
+
+    # contract mismatch (different bucket count) raises
+    db2 = str(tmp_path / "b2")
+    write_bucketed(ray.data.from_arrow(right), db2, key="rk", num_buckets=8)
+    with pytest.raises(ValueError, match="num_buckets"):
+        bucketed_join(da, db2)
