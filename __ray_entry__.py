@@ -976,8 +976,78 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sorted-bucket (SMB) layout: co-bucketed write pre-pays the
         # exchange; the join itself runs with ZERO shuffle
         "smb_segment_revenue": _smb_segment_revenue,
+        # z-order (Morton) clustering: zone-pruned scan on a column the
+        # layout ALSO clusters (multi-dimensional file skipping)
+        "events_zorder_scan": _events_zorder_scan,
     }
     return q
+
+
+def _events_zorder_scan(sf_dir: str):
+    """Range-scoped aggregate over a Z-ORDERED events layout
+    (stages/sinks.write_zordered): events are clustered by the Morton
+    interleave of (user_id, value_cents), the read is zone-pruned on
+    user_id (files whose user_id range can't match are never opened), then
+    exactly filtered on BOTH columns and aggregated by event_type.  Oracle
+    = the plain SQL filter-aggregate, so the layout round-trip — quantize,
+    interleave, range-cut, prune, exact filter — is value-checked."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hypertrace_ingester_ray.stages.grouping import group_apply
+    from hypertrace_ingester_ray.stages.sinks import (
+        read_zone_pruned,
+        write_zordered,
+    )
+
+    base = tempfile.mkdtemp(prefix="htr_zorder_")
+    ev = _rpq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type", "value"],
+    )
+
+    def _cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "event_type": t["event_type"],
+                "cents": pc.cast(
+                    pc.floor(pc.multiply(t["value"], 100.0)), pa.int64()
+                ),
+            }
+        )
+
+    write_zordered(
+        ev.map_batches(_cents, batch_format="pyarrow"),
+        base,
+        cols=["user_id", "cents"],
+        num_partitions=32,
+    )
+    pruned, _nread, _nskip = read_zone_pruned(base, col="user_id", lo=100, hi=400)
+
+    def _filter_partial(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(pc.greater_equal(t["user_id"], 100), pc.less_equal(t["user_id"], 400)),
+            pc.and_(pc.greater_equal(t["cents"], 1000), pc.less_equal(t["cents"], 5000)),
+        )
+        t = t.filter(m)
+        g = t.group_by(["event_type"]).aggregate([("cents", "sum"), ([], "count_all")])
+        return g.rename_columns(["event_type", "cents_sum", "n_events"])
+
+    def _final(part: pa.Table) -> pa.Table:
+        g = part.group_by(["event_type"]).aggregate(
+            [("cents_sum", "sum"), ("n_events", "sum")]
+        )
+        return g.rename_columns(["event_type", "cents_sum", "n_events"])
+
+    return group_apply(
+        pruned.map_batches(_filter_partial, batch_format="pyarrow"),
+        "event_type",
+        _final,
+        num_partitions=4,
+    )
 
 
 def _smb_segment_revenue(sf_dir: str):
@@ -3622,6 +3692,15 @@ SELECT COALESCE(v.user_id, p.user_id) AS user_id,
        COALESCE(v.day, p.day) AS day,
        v.n_views, p.n_purchases
 FROM v FULL OUTER JOIN p ON v.user_id = p.user_id AND v.day = p.day
+"""
+    sql["events_zorder_scan"] = """
+SELECT event_type,
+  CAST(SUM(cents) AS BIGINT) AS cents_sum,
+  CAST(COUNT(*) AS BIGINT) AS n_events
+FROM (SELECT user_id, event_type,
+             CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events)
+WHERE user_id BETWEEN 100 AND 400 AND cents BETWEEN 1000 AND 5000
+GROUP BY event_type
 """
     sql["smb_segment_revenue"] = """
 SELECT c_mktsegment,

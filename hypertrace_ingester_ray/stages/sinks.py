@@ -143,6 +143,7 @@ def write_range_partitioned(
     zone_cols=None,
     hist_bins: int = 4096,
     view: str = "data",
+    persist_col: bool = True,
 ) -> dict:
     """Write ``ds`` clustered into ``num_partitions`` RANGE partitions of
     ``col`` (Delta/Iceberg-style clustering), with a per-partition zone map
@@ -240,6 +241,10 @@ def write_range_partitioned(
         for zc in zone_cols:
             v = _as_int64_np(part[zc])
             zones[zc] = [int(v.min()), int(v.max())]
+        if not persist_col:
+            # synthetic sort keys (e.g. a z-order code) cluster the layout
+            # but don't belong in the stored schema
+            part = part.drop_columns([col])
         m = lineage.load_manifest(out_dir, part_id)
         if m is not None:
             return pa.table(
@@ -477,3 +482,92 @@ def bucketed_join(
     return _ray.data.range(
         num_buckets, override_num_blocks=num_buckets
     ).map_batches(_join_bucket, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) clustering: ONE layout where EVERY zone column prunes
+# ---------------------------------------------------------------------------
+
+_ZCODE = "__zcode"
+
+
+def write_zordered(
+    ds: Dataset,
+    out_dir: str,
+    *,
+    cols,
+    num_partitions: int = 32,
+    bits: int = 16,
+    view: str = "data",
+) -> dict:
+    """Write ``ds`` clustered by the Z-ORDER (Morton) interleave of 2-3
+    integer-like columns, with per-partition zone maps over ALL of them.
+
+    Plain range clustering (:func:`write_range_partitioned`) makes exactly
+    one column prunable — sorting by ``a`` scatters ``b`` across every
+    file, so a ``b``-scoped query reads the whole table.  Interleaving the
+    quantized bits of each column (the Delta/Iceberg ``ZORDER BY`` layout)
+    keeps every file a small hyper-rectangle in (a, b) space, so
+    :func:`read_zone_pruned` skips files for predicates on EITHER column.
+
+    Scale shape: one column-pruned min/max pass per call (all ``cols`` in
+    one scan), then a vectorized O(bits) shift-or Morton encode inside
+    ``map_batches``, then the existing histogram-cut range writer on the
+    code — driver state stays O(hist_bins); the synthetic code column is
+    dropped from the stored files (``persist_col=False``).
+    """
+    import numpy as np
+
+    cols = list(cols)
+    if not 2 <= len(cols) <= 3:
+        raise ValueError("write_zordered: 2-3 columns (uint64 code budget)")
+    if bits * len(cols) > 62:
+        raise ValueError(
+            f"write_zordered: bits={bits} x {len(cols)} dims exceeds the "
+            "signed-int64 code budget; lower bits"
+        )
+    ndims, mask = len(cols), (1 << bits) - 1
+
+    def _mm(batch: pa.Table) -> pa.Table:
+        out = {}
+        for c in cols:
+            v = _as_int64_np(batch[c])
+            if len(v) == 0:
+                return pa.table(
+                    {f"{s}_{c}": pa.array([], pa.int64()) for c in cols for s in ("lo", "hi")}
+                )
+            out[f"lo_{c}"] = [int(v.min())]
+            out[f"hi_{c}"] = [int(v.max())]
+        return pa.table(out)
+
+    mm = ds.select_columns(cols).map_batches(_mm, batch_format="pyarrow").to_pandas()
+    if not len(mm):
+        raise ValueError("cannot z-order an empty dataset")
+    ranges = {
+        c: (int(mm[f"lo_{c}"].min()), int(mm[f"hi_{c}"].max())) for c in cols
+    }
+
+    def _encode(batch: pa.Table) -> pa.Table:
+        code = np.zeros(batch.num_rows, dtype=np.uint64)
+        for d, c in enumerate(cols):
+            lo, hi = ranges[c]
+            span = max(hi - lo, 1)
+            q = np.minimum(
+                (_as_int64_np(batch[c]) - lo).astype(np.float64) * (mask / span),
+                mask,
+            ).astype(np.uint64)
+            spread = np.zeros_like(q)
+            for b in range(bits):  # O(bits) vectorized shift-or, not O(rows)
+                spread |= ((q >> np.uint64(b)) & np.uint64(1)) << np.uint64(b * ndims)
+            code |= spread << np.uint64(d)
+        return batch.append_column(_ZCODE, pa.array(code.astype(np.int64)))
+
+    return write_range_partitioned(
+        ds.map_batches(_encode, batch_format="pyarrow"),
+        out_dir,
+        col=_ZCODE,
+        num_partitions=num_partitions,
+        zone_cols=cols,
+        view=view,
+        persist_col=False,
+    )

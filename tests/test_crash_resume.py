@@ -348,3 +348,50 @@ def test_bucketed_write_and_join(ray_session, tmp_path):
     write_bucketed(ray.data.from_arrow(right), db2, key="rk", num_buckets=8)
     with pytest.raises(ValueError, match="num_buckets"):
         bucketed_join(da, db2)
+
+
+def test_zordered_write_prunes_both_columns(ray_session, tmp_path):
+    """Z-order layout: zone-pruned reads skip most files for predicates on
+    EITHER interleaved column, values stay exact, the synthetic code column
+    is not persisted."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from hypertrace_ingester_ray.stages.sinks import (
+        read_zone_pruned,
+        write_zordered,
+    )
+
+    rng = np.random.RandomState(7)
+    n = 40000
+    pdf = pd.DataFrame(
+        {
+            "a": rng.randint(0, 1_000_000, n).astype(np.int64),
+            "b": rng.randint(0, 1_000_000, n).astype(np.int64),
+            "v": rng.randint(0, 100, n).astype(np.int64),
+        }
+    )
+    out = str(tmp_path / "zordered")
+    s = write_zordered(
+        ray.data.from_pandas(pdf).repartition(6), out, cols=["a", "b"],
+        num_partitions=64,
+    )
+    assert s["rows"] == n
+
+    for col in ("a", "b"):  # BOTH dimensions prune — the z-order point
+        lo, hi = 100_000, 200_000
+        ds, nread, nskip = read_zone_pruned(out, col=col, lo=lo, hi=hi)
+        assert nskip >= (nread + nskip) // 2, (col, nread, nskip)
+        got = ds.to_pandas()
+        assert "__zcode" not in got.columns
+        got = got[(got[col] >= lo) & (got[col] <= hi)]
+        exp = pdf[(pdf[col] >= lo) & (pdf[col] <= hi)]
+        assert len(got) == len(exp)
+        assert got["v"].sum() == exp["v"].sum()
+
+    with pytest.raises(ValueError, match="bits"):
+        write_zordered(
+            ray.data.from_pandas(pdf), str(tmp_path / "z2"),
+            cols=["a", "b", "v"], bits=21,
+        )
