@@ -979,8 +979,64 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # z-order (Morton) clustering: zone-pruned scan on a column the
         # layout ALSO clusters (multi-dimensional file skipping)
         "events_zorder_scan": _events_zorder_scan,
+        # adaptive join (AQE): strategy picked from build-side count +
+        # probe-side hot-key pre-count; row-identical across strategies
+        "brand_revenue_auto": _brand_revenue_auto,
     }
     return q
+
+
+def _brand_revenue_auto(sf_dir: str):
+    """Revenue by part brand through stages/joins.auto_join — the adaptive
+    planner counts the build side (part: small → broadcast_table_join, no
+    exchange) instead of the caller hardcoding a strategy.  All strategies
+    are row-identical, so the oracle checks the physical choice for free."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hypertrace_ingester_ray.stages.grouping import group_apply
+    from hypertrace_ingester_ray.stages.joins import auto_join
+
+    li = _rpq(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+    )
+    part = _rpq(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_brand"]
+    )
+
+    def _cents(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
+        return pa.table(
+            {
+                "l_partkey": t["l_partkey"],
+                "rev_cents": pc.cast(pc.floor(pc.multiply(rev, 100.0)), pa.int64()),
+            }
+        )
+
+    joined = auto_join(
+        li.map_batches(_cents, batch_format="pyarrow"),
+        part,
+        on=["l_partkey"],
+        right_on=["p_partkey"],
+    )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["p_brand"]).aggregate([("rev_cents", "sum"), ([], "count_all")])
+        return g.rename_columns(["p_brand", "revenue_cents", "n_items"])
+
+    def _final(part_t: pa.Table) -> pa.Table:
+        g = part_t.group_by(["p_brand"]).aggregate(
+            [("revenue_cents", "sum"), ("n_items", "sum")]
+        )
+        return g.rename_columns(["p_brand", "revenue_cents", "n_items"])
+
+    return group_apply(
+        joined.map_batches(_partial, batch_format="pyarrow"),
+        "p_brand",
+        _final,
+        num_partitions=4,
+    )
 
 
 def _events_zorder_scan(sf_dir: str):
@@ -3692,6 +3748,14 @@ SELECT COALESCE(v.user_id, p.user_id) AS user_id,
        COALESCE(v.day, p.day) AS day,
        v.n_views, p.n_purchases
 FROM v FULL OUTER JOIN p ON v.user_id = p.user_id AND v.day = p.day
+"""
+    sql["brand_revenue_auto"] = """
+SELECT p_brand,
+  CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+      AS BIGINT) AS revenue_cents,
+  CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
 """
     sql["events_zorder_scan"] = """
 SELECT event_type,

@@ -698,3 +698,121 @@ def set_op(
         return ld.join(rd, keys=cols, join_type=join_type)
 
     return cogroup(left, right, cols, _resolve, num_partitions=num_partitions)
+
+
+# ---------------------------------------------------------------------------
+# Adaptive join: pick broadcast / skew / cogroup from cheap statistics
+# ---------------------------------------------------------------------------
+
+
+def broadcast_table_join(
+    left: Dataset,
+    right_table: pa.Table,
+    *,
+    on: Sequence[str],
+    right_on: Optional[Sequence[str]] = None,
+    how: str = "inner",
+) -> Dataset:
+    """Join a Dataset against a SMALL in-memory table broadcast once via
+    ``ray.put`` — the general (multi-column payload, multi-key) form of
+    :func:`broadcast_join`'s dict probe.  Each task joins its batch locally,
+    so there is NO exchange and the left side streams.
+
+    Only left-preserving join types are batch-local-correct (an unmatched
+    RIGHT row can't be detected inside one batch), so right/full outer
+    raise — use :func:`cogroup_join` for those.
+    """
+    if how not in ("inner", "left_outer", "left_semi", "left_anti"):
+        raise ValueError(
+            f"broadcast_table_join: {how} needs global right-side visibility; "
+            "use cogroup_join"
+        )
+    keys = list(on)
+    if right_on and list(right_on) != keys:
+        mapping = dict(zip(list(right_on), keys))
+        right_table = right_table.rename_columns(
+            [mapping.get(c, c) for c in right_table.column_names]
+        )
+    join_type = _COGROUP_JOIN_TYPES[how]
+    ref = ray.put(right_table.replace_schema_metadata(None).combine_chunks())
+
+    def _probe(batch: pa.Table) -> pa.Table:
+        return batch.replace_schema_metadata(None).join(
+            ray.get(ref), keys=keys, join_type=join_type
+        )
+
+    return left.map_batches(_probe, batch_format="pyarrow")
+
+
+def auto_join(
+    left: Dataset,
+    right: Dataset,
+    *,
+    on: Sequence[str],
+    right_on: Optional[Sequence[str]] = None,
+    how: str = "inner",
+    broadcast_threshold_rows: int = 1_000_000,
+    hot_threshold: int = 100_000,
+    num_partitions: int = 32,
+    explain: bool = False,
+):
+    """Adaptive join (the AQE pattern): choose the physical strategy from
+    cheap statistics instead of making the caller guess.
+
+    1. Count the build (right) side — parquet inputs answer from metadata.
+       Small enough + left-preserving join type → collect once, BROADCAST
+       (:func:`broadcast_table_join`): zero exchange, left side streams.
+    2. Otherwise, single-key inner join → distributed hot-key pre-count on
+       the probe side (``grouping.hot_key_counts``); a non-empty hot set →
+       :func:`skew_join` (hot keys broadcast, cold keys co-shuffle).
+    3. Otherwise → :func:`cogroup_join`, the chain-safe co-shuffle.
+
+    All three strategies are row-identical by construction (same oracle).
+    ``explain=True`` returns ``(dataset, decision_dict)`` for tests and
+    observability; the decision is also logged.
+    """
+    keys = list(on)
+    decision = {"strategy": None, "build_rows": None, "hot_keys": 0}
+    r_rows = right.count()
+    decision["build_rows"] = int(r_rows)
+    if (
+        r_rows <= broadcast_threshold_rows
+        and how in ("inner", "left_outer", "left_semi", "left_anti")
+    ):
+        rt = pa.concat_tables(
+            [ray.get(ref) for ref in right.to_arrow_refs()],
+            promote_options="default",
+        )
+        decision["strategy"] = "broadcast"
+        out = broadcast_table_join(left, rt, on=keys, right_on=right_on, how=how)
+    elif how == "inner" and len(keys) == 1:
+        from .grouping import hot_key_counts
+
+        hot = hot_key_counts(left, keys[0], threshold=hot_threshold)
+        decision["hot_keys"] = len(hot)
+        if hot:
+            decision["strategy"] = "skew"
+            out = skew_join(
+                left,
+                right,
+                on=keys[0],
+                right_on=(list(right_on) if right_on else keys)[0],
+                hot_threshold=hot_threshold,
+                num_partitions=num_partitions,
+            )
+        else:
+            decision["strategy"] = "cogroup"
+            out = cogroup_join(
+                left, right, on=keys, right_on=right_on, how=how,
+                num_partitions=num_partitions,
+            )
+    else:
+        decision["strategy"] = "cogroup"
+        out = cogroup_join(
+            left, right, on=keys, right_on=right_on, how=how,
+            num_partitions=num_partitions,
+        )
+    import logging
+
+    logging.getLogger(__name__).info("auto_join decision: %s", decision)
+    return (out, decision) if explain else out

@@ -442,3 +442,55 @@ def test_set_op_intersect_except(ray_session):
         set_op(l, r.map_batches(
             lambda t: t.rename_columns(["a", "c"]), batch_format="pyarrow"
         ), how="intersect")
+
+
+def test_auto_join_strategy_selection_row_identical(ray_session):
+    """auto_join picks broadcast / skew / cogroup by thresholds; every
+    strategy returns the identical row set; broadcast refuses right/full
+    outer."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from hypertrace_ingester_ray.stages.joins import auto_join
+
+    rng = np.random.RandomState(3)
+    left = pd.DataFrame(
+        {
+            # key 7 is hot (60% of rows)
+            "k": np.where(rng.rand(5000) < 0.6, 7, rng.randint(0, 50, 5000)),
+            "x": rng.randint(0, 1000, 5000),
+        }
+    )
+    right = pd.DataFrame({"k": np.arange(0, 40), "name": [f"n{i}" for i in range(40)]})
+    lds = lambda: ray.data.from_pandas(left).repartition(4)
+    rds = lambda: ray.data.from_pandas(right).repartition(2)
+
+    def rows(ds):
+        df = ds.to_pandas()
+        return sorted(map(tuple, df[["k", "x", "name"]].values.tolist()))
+
+    got = {}
+    for name, kw in {
+        "broadcast": dict(broadcast_threshold_rows=1000),
+        "skew": dict(broadcast_threshold_rows=0, hot_threshold=100),
+        "cogroup": dict(broadcast_threshold_rows=0, hot_threshold=10**9),
+    }.items():
+        ds, decision = auto_join(
+            lds(), rds(), on=["k"], explain=True, num_partitions=8, **kw
+        )
+        assert decision["strategy"] == name, decision
+        got[name] = rows(ds)
+
+    exp = left.merge(right, on="k", how="inner")
+    expected = sorted(map(tuple, exp[["k", "x", "name"]].values.tolist()))
+    for name, g in got.items():
+        assert g == expected, name
+
+    # right-preserving joins never take the broadcast path
+    ds, decision = auto_join(
+        lds(), rds(), on=["k"], how="full_outer",
+        broadcast_threshold_rows=10**9, explain=True, num_partitions=8,
+    )
+    assert decision["strategy"] == "cogroup"
+    assert len(ds.to_pandas()) == len(left.merge(right, on="k", how="outer"))
