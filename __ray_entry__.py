@@ -982,8 +982,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # adaptive join (AQE): strategy picked from build-side count +
         # probe-side hot-key pre-count; row-identical across strategies
         "brand_revenue_auto": _brand_revenue_auto,
+        # exact global RANK/DENSE_RANK with NO global sort (distinct-value
+        # histogram + broadcast searchsorted assignment)
+        "doc_length_rank": _doc_length_rank,
     }
     return q
+
+
+def _doc_length_rank(sf_dir: str):
+    """Global length rank of every document (longest = 1) via
+    stages/analytics.global_rank — RANK and DENSE_RANK assigned from a
+    distinct-value histogram instead of a corpus-wide total-order sort.
+    Oracle = the SQL window functions, value-exact including ties."""
+    from hypertrace_ingester_ray.stages.analytics import global_rank
+
+    docs = _rpq(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "n_chars"]
+    )
+    return global_rank(
+        docs, col="n_chars", descending=True,
+        out_col="len_rank", dense_col="len_dense_rank",
+    )
 
 
 def _brand_revenue_auto(sf_dir: str):
@@ -3748,6 +3767,12 @@ SELECT COALESCE(v.user_id, p.user_id) AS user_id,
        COALESCE(v.day, p.day) AS day,
        v.n_views, p.n_purchases
 FROM v FULL OUTER JOIN p ON v.user_id = p.user_id AND v.day = p.day
+"""
+    sql["doc_length_rank"] = """
+SELECT doc_id, n_chars,
+  CAST(RANK() OVER (ORDER BY n_chars DESC) AS BIGINT) AS len_rank,
+  CAST(DENSE_RANK() OVER (ORDER BY n_chars DESC) AS BIGINT) AS len_dense_rank
+FROM documents
 """
     sql["brand_revenue_auto"] = """
 SELECT p_brand,

@@ -1721,3 +1721,77 @@ def group_moments(
         _final,
         num_partitions=num_partitions,
     )
+
+
+def global_rank(
+    ds: Dataset,
+    *,
+    col: str,
+    descending: bool = False,
+    out_col: str = "rank",
+    dense_col: Optional[str] = None,
+    max_distinct: int = 2_000_000,
+) -> Dataset:
+    """Exact global ``RANK() OVER (ORDER BY col)`` (+ optional DENSE_RANK)
+    WITHOUT a global sort.
+
+    A total-order sort of the corpus is the most expensive exchange an
+    engine can run; but rank only needs ``count(values < x)``, so the scale
+    path is a distinct-VALUE histogram: per-batch ``value_counts`` combine →
+    one value-keyed exchange → a value-cardinality-sized table on the
+    driver (loud guard at ``max_distinct``), whose cumulative counts give
+    every value its rank.  The (sorted values → ranks) pair is broadcast
+    once via ``ray.put``; assignment back is one ``searchsorted`` per batch,
+    zero shuffles of the corpus itself.  Ties share a rank exactly like SQL
+    RANK; ``dense_col`` adds DENSE_RANK from the same histogram for free.
+    """
+    import ray as _ray
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        t = batch.select([col])
+        if t[col].null_count:
+            t = t.filter(pc.is_valid(t[col]))
+        g = t.group_by([col]).aggregate([([], "count_all")])
+        return g.rename_columns([col, "cnt"])
+
+    hist = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby(col)
+        .sum("cnt")
+        .to_pandas()
+    )
+    if len(hist) > max_distinct:
+        raise ValueError(
+            f"global_rank: {len(hist)} distinct values of {col!r} exceeds "
+            f"max_distinct={max_distinct}; driver histogram state would be "
+            "unbounded — bin the column first (length_buckets / "
+            "binned_quantiles) or raise the guard deliberately"
+        )
+    hist = hist.sort_values(col, ascending=not descending).reset_index(drop=True)
+    cnt = hist["sum(cnt)"].to_numpy(dtype=np.int64)
+    ranks = np.empty_like(cnt)
+    ranks[0] = 1
+    np.cumsum(cnt[:-1], out=ranks[1:])
+    ranks[1:] += 1
+    dense = np.arange(1, len(cnt) + 1, dtype=np.int64)
+    # store ascending for searchsorted regardless of rank direction
+    vals = hist[col].to_numpy()
+    if descending:
+        vals, ranks, dense = vals[::-1].copy(), ranks[::-1].copy(), dense[::-1].copy()
+    ref = _ray.put((vals, ranks, dense))
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        if batch[col].null_count:
+            raise ValueError(
+                f"global_rank: null {col!r} values have no defined rank; "
+                "filter or fill them first"
+            )
+        v_sorted, r, d = _ray.get(ref)
+        v = batch[col].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(v_sorted, v)
+        batch = batch.append_column(out_col, pa.array(r[idx]))
+        if dense_col:
+            batch = batch.append_column(dense_col, pa.array(d[idx]))
+        return batch
+
+    return ds.map_batches(_assign, batch_format="pyarrow")

@@ -1006,3 +1006,38 @@ def test_cogroup_join_full_outer(ray_session):
     assert list(out.k) == [1, 2, 3]
     assert out.l.tolist()[0] == "L1" and pd.isna(out.l.tolist()[2])
     assert pd.isna(out.r.tolist()[0]) and out.r.tolist()[2] == "R3"
+
+
+def test_global_rank_matches_pandas(ray_session):
+    """RANK / DENSE_RANK over the whole dataset without a global sort:
+    ties share ranks, both directions, distinct-cardinality guard, null
+    guard."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from hypertrace_ingester_ray.stages.analytics import global_rank
+
+    rng = np.random.RandomState(11)
+    pdf = pd.DataFrame(
+        {"id": np.arange(3000), "v": rng.randint(0, 80, 3000).astype(np.int64)}
+    )
+    for desc in (False, True):
+        got = global_rank(
+            ray.data.from_pandas(pdf).repartition(5),
+            col="v", descending=desc, out_col="r", dense_col="dr",
+        ).to_pandas().sort_values("id").reset_index(drop=True)
+        exp_r = pdf["v"].rank(method="min", ascending=not desc).astype(np.int64)
+        exp_dr = pdf["v"].rank(method="dense", ascending=not desc).astype(np.int64)
+        assert (got["r"].to_numpy() == exp_r.to_numpy()).all(), desc
+        assert (got["dr"].to_numpy() == exp_dr.to_numpy()).all(), desc
+
+    with pytest.raises(ValueError, match="max_distinct"):
+        global_rank(
+            ray.data.from_pandas(pdf), col="id", max_distinct=100
+        ).materialize()
+
+    pdf2 = pdf.copy()
+    pdf2.loc[0, "v"] = None
+    with pytest.raises(Exception, match="null"):
+        global_rank(ray.data.from_pandas(pdf2), col="v").materialize()
