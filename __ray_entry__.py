@@ -841,6 +841,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # cogroup: per-key logic over TWO corpus-sized keyed inputs
         # (neither side broadcast)
         "users_more_views_than_purchases": _users_more_views_than_purchases,
+        # exact co-shuffle SEMI / ANTI joins (no broadcast; both sides
+        # pre-deduped batch-locally so the exchanges carry unique keys only)
+        "viewers_who_purchased": lambda sf: _viewer_purchase_split(
+            sf, "left_semi"
+        ),
+        "viewer_days_no_purchase": _viewer_no_purchase_days,
         # CDC-style snapshot diff on cogroup (added/removed/changed)
         "docs_snapshot_diff": _docs_snapshot_diff,
         # skew-aware hybrid join (hot keys broadcast, cold keys co-shuffle);
@@ -1942,6 +1948,80 @@ def _docs_snapshot_diff(sf_dir: str):
         _docs_v2(sf_dir),
         key="doc_id",
         compare_cols=["lang", "source"],
+        num_partitions=16,
+    )
+
+
+def _viewer_purchase_split(sf_dir: str, how: str):
+    """Exact co-shuffle SEMI/ANTI join (stages/joins.cogroup_join
+    how='left_semi'/'left_anti'): distinct 'view' users with / without any
+    'purchase' event.  Both sides are corpus-derived keyed sets — no
+    broadcast; each side is pre-deduped with the batch-local-first
+    distinct_rows so the two exchanges carry unique user_ids only (shuffle
+    payload bounded by user cardinality, not event count).  Mirrors the
+    reference's exit-call "has matching entry?" membership checks
+    (hypertrace-trace-enricher/.../ExitCallsEnricher.java) as a generic
+    relational operator."""
+    from hypertrace_ingester_ray.stages import analytics
+    from hypertrace_ingester_ray.stages.joins import cogroup_join
+
+    ev = _rpq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type"],
+    )
+    viewers = analytics.distinct_rows(
+        ev.filter(expr="event_type == 'view'").select_columns(["user_id"]),
+        "user_id",
+        num_partitions=16,
+    )
+    purchasers = analytics.distinct_rows(
+        ev.filter(expr="event_type == 'purchase'").select_columns(["user_id"]),
+        "user_id",
+        num_partitions=16,
+    )
+    return cogroup_join(
+        viewers, purchasers, on=["user_id"], how=how, num_partitions=16
+    )
+
+
+def _viewer_no_purchase_days(sf_dir: str):
+    """Multi-key exact co-shuffle ANTI join: distinct (user, day) pairs that
+    had a 'view' but NO 'purchase' the same day.  Same shape as
+    _viewer_purchase_split but the membership key is the composite
+    (user_id, day) — exercises cogroup_join how='left_anti' on a two-column
+    key with both sides corpus-derived and batch-locally pre-deduped."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hypertrace_ingester_ray.stages import analytics
+    from hypertrace_ingester_ray.stages.joins import cogroup_join
+
+    ev = _rpq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type", "ts"],
+    )
+
+    def _user_days(kind: str):
+        def _prep(t: pa.Table) -> pa.Table:
+            t2 = t.filter(pc.equal(t["event_type"], kind))
+            return pa.table(
+                {
+                    "user_id": t2["user_id"],
+                    "day": pc.strftime(t2["ts"], format="%Y-%m-%d"),
+                }
+            )
+
+        return analytics.distinct_rows(
+            ev.map_batches(_prep, batch_format="pyarrow"),
+            ["user_id", "day"],
+            num_partitions=16,
+        )
+
+    return cogroup_join(
+        _user_days("view"),
+        _user_days("purchase"),
+        on=["user_id", "day"],
+        how="left_anti",
         num_partitions=16,
     )
 
@@ -3205,6 +3285,22 @@ FROM documents o
 FULL OUTER JOIN v2 n ON o.doc_id = n.doc_id
 WHERE o.doc_id IS NULL OR n.doc_id IS NULL
    OR o.lang <> n.lang OR o.source <> n.source
+"""
+    sql["viewers_who_purchased"] = """
+SELECT DISTINCT e.user_id FROM events e
+WHERE e.event_type = 'view'
+  AND EXISTS (SELECT 1 FROM events p
+              WHERE p.user_id = e.user_id AND p.event_type = 'purchase')
+"""
+    sql["viewer_days_no_purchase"] = """
+SELECT DISTINCT e.user_id, strftime(e.ts, '%Y-%m-%d') AS day
+FROM events e
+WHERE e.event_type = 'view'
+  AND NOT EXISTS (SELECT 1 FROM events p
+                  WHERE p.user_id = e.user_id
+                    AND p.event_type = 'purchase'
+                    AND strftime(p.ts, '%Y-%m-%d')
+                        = strftime(e.ts, '%Y-%m-%d'))
 """
     sql["users_more_views_than_purchases"] = """
 WITH v AS (SELECT user_id, count(*) AS n_views FROM events

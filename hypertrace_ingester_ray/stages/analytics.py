@@ -56,6 +56,7 @@ __all__ = [
     "group_zscore_outliers",
     "resample_gapfill",
     "group_moments",
+    "distinct_rows",
 ]
 
 
@@ -319,6 +320,43 @@ def pivot_counts(
 
     partials = ds.map_batches(_partial, batch_format="pyarrow")
     return group_apply(partials, row_key, _final, num_partitions=num_partitions)
+
+
+def distinct_rows(
+    ds: Dataset,
+    cols: Union[str, Sequence[str]],
+    *,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+) -> Dataset:
+    """Exact ``SELECT DISTINCT col1, col2, ...`` (generalizes
+    ``graph.distinct_edges`` to any column set).
+
+    Batch-local dedup first (pyarrow ``group_by`` with no aggregates) so only
+    unique tuples per read block cross the ONE hash exchange; inside each
+    key-sorted partition a single ``run_boundaries`` pass keeps the first row
+    of every run.  Nulls form their own group (SQL DISTINCT semantics).
+    Shuffle payload is bounded by the number of distinct tuples, not the row
+    count — the right shape for low-cardinality projections of a 100-TB
+    table.
+    """
+    keys = [cols] if isinstance(cols, str) else list(cols)
+
+    def _local(batch: pa.Table) -> pa.Table:
+        return batch.select(keys).group_by(keys).aggregate([])
+
+    def _first(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return part
+        arrs = [part[c].to_numpy(zero_copy_only=False) for c in keys]
+        firsts = run_boundaries(*arrs)[:-1]
+        return part.take(pa.array(firsts))
+
+    return group_apply(
+        ds.map_batches(_local, batch_format="pyarrow"),
+        keys,
+        _first,
+        num_partitions=num_partitions,
+    )
 
 
 def distinct_count(

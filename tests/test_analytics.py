@@ -1041,3 +1041,39 @@ def test_global_rank_matches_pandas(ray_session):
     pdf2.loc[0, "v"] = None
     with pytest.raises(Exception, match="null"):
         global_rank(ray.data.from_pandas(pdf2), col="v").materialize()
+
+
+def test_distinct_rows(ray_session):
+    """distinct_rows == SELECT DISTINCT: dup rows collapse, null is its own
+    group, single- and multi-column variants, partition-count invariant."""
+    import pyarrow as pa
+    import ray.data
+
+    from hypertrace_ingester_ray.stages.analytics import distinct_rows
+
+    t = pa.table(
+        {
+            "a": pa.array([1, 1, 2, 2, 2, None, None, 3], pa.int64()),
+            "b": pa.array(["x", "x", "y", "y", "z", "x", "x", None]),
+            "c": pa.array(range(8), pa.int64()),
+        }
+    )
+    for nparts in (1, 3, 7):
+        got = (
+            distinct_rows(ray.data.from_arrow(t), ["a", "b"], num_partitions=nparts)
+            .to_pandas()
+            .sort_values(["a", "b"], na_position="first")
+            .reset_index(drop=True)
+        )
+        assert list(got.columns) == ["a", "b"]
+        norm = got.astype(object).where(got.notna(), None)
+        rows = set(map(tuple, norm.values.tolist()))
+        assert rows == {
+            (1.0, "x"),
+            (2.0, "y"),
+            (2.0, "z"),
+            (None, "x"),
+            (3.0, None),
+        }, (nparts, rows)
+    one = distinct_rows(ray.data.from_arrow(t), "b", num_partitions=2).to_pandas()
+    assert set(one["b"].tolist()) == {"x", "y", "z", None}

@@ -494,3 +494,44 @@ def test_auto_join_strategy_selection_row_identical(ray_session):
     )
     assert decision["strategy"] == "cogroup"
     assert len(ds.to_pandas()) == len(left.merge(right, on="k", how="outer"))
+
+
+def test_cogroup_join_semi_anti_randomized(ray_session):
+    """Seeded randomized equivalence: cogroup_join left_semi/left_anti match
+    DuckDB SEMI/ANTI JOIN on tables with duplicate and missing keys.  Semi
+    and anti preserve left multiplicity and never widen the schema."""
+    import duckdb
+
+    from hypertrace_ingester_ray.stages.joins import cogroup_join
+
+    rng = np.random.RandomState(23)
+    for trial in range(5):
+        nl, nr = rng.randint(0, 40, 2)
+        lt = pa.table(
+            {
+                # left keys range wider than right so anti is non-empty
+                "k": pa.array(rng.randint(0, 20, nl), pa.int64()),
+                "lv": pa.array(rng.randint(0, 50, nl), pa.int64()),
+            }
+        )
+        rt = pa.table({"k": pa.array(rng.randint(0, 10, nr), pa.int64())})
+        ldf, rdf = lt.to_pandas(), rt.to_pandas()
+        for how, sqlj in (("left_semi", "SEMI"), ("left_anti", "ANTI")):
+            ds = cogroup_join(
+                ray.data.from_arrow(lt),
+                ray.data.from_arrow(rt),
+                on=["k"],
+                how=how,
+                num_partitions=4,
+            )
+            got = ds.to_pandas()
+            if len(got):
+                # (Ray's to_pandas drops columns on an ALL-empty dataset
+                # even though every block is typed — schema() stays right)
+                assert list(got.columns) == ["k", "lv"], how
+            exp = duckdb.sql(
+                f"SELECT l.k, l.lv FROM ldf l {sqlj} JOIN rdf r USING (k)"
+            ).df()
+            g = sorted(map(tuple, got.values.tolist()))
+            e = sorted(map(tuple, exp.values.tolist()))
+            assert g == e, (trial, how, len(g), len(e))
