@@ -812,6 +812,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).select_columns(["id_a", "id_b"]),
         # --- analytic window functions / pivot / distinct (stages/analytics.py)
         "conv_turn_lag": _conv_turn_lag,
+        # Markov transition matrix (sequence-model prep): consecutive
+        # role→role pair counts within conversations, states²-sized combine
+        "role_transitions": _role_transitions,
         "events_pivot_hour": _events_pivot_hour,
         "distinct_users_by_type": _distinct_users_by_type,
         # HyperLogLog sketch: fixed-size registers through the shuffle instead
@@ -2355,6 +2358,24 @@ def _token_heavy_hitters(sf_dir: str):
     )
 
 
+def _role_transitions(sf_dir: str):
+    """Markov role-transition matrix over the transcript corpus: counts of
+    consecutive (role → next role) pairs within each conversation ordered by
+    turn_idx (stages/analytics.transition_counts — partial counts leave each
+    partition, final combine is roles²-sized)."""
+    from hypertrace_ingester_ray.stages import analytics
+
+    return analytics.transition_counts(
+        transcripts_from_events(sf_dir).select_columns(
+            ["conv_id", "turn_idx", "role"]
+        ),
+        key="conv_id",
+        order_col="turn_idx",
+        state_col="role",
+        num_partitions=16,
+    )
+
+
 def _conv_turn_lag(sf_dir: str):
     """SQL window functions over the transcript corpus: lag/lead/cumsum/
     row_number per conversation ordered by turn (stages/analytics.py)."""
@@ -3145,6 +3166,15 @@ WHERE doc_id NOT IN (SELECT doc_id FROM documents WHERE doc_id % 50 = 0)
 """
     # bloom prefilter + exact confirm produces the exact anti-join result
     sql["docs_anti_bloom"] = sql["docs_anti_benchmark"]
+    sql["role_transitions"] = f"""
+WITH {TRANSCRIPTS_CTE},
+s AS (SELECT conv_id, role,
+        LEAD(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS nxt
+      FROM transcripts)
+SELECT role AS from_state, nxt AS to_state, CAST(count(*) AS BIGINT) AS cnt
+FROM s WHERE nxt IS NOT NULL
+GROUP BY role, nxt
+"""
     sql["conv_turn_lag"] = f"""
 WITH {TRANSCRIPTS_CTE}
 SELECT conv_id, turn_idx,

@@ -57,6 +57,7 @@ __all__ = [
     "resample_gapfill",
     "group_moments",
     "distinct_rows",
+    "transition_counts",
 ]
 
 
@@ -400,6 +401,70 @@ def distinct_count(
     uniques = ds.map_batches(_local_unique, batch_format="pyarrow")
     return group_apply(
         uniques, keys, _count, sort_by=[value_col], num_partitions=num_partitions
+    )
+
+
+def transition_counts(
+    ds: Dataset,
+    *,
+    key: Union[str, Sequence[str]],
+    order_col: str,
+    state_col: str,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+) -> Dataset:
+    """Markov transition matrix: global counts of consecutive
+    ``(state[i] → state[i+1])`` pairs within each key-group ordered by
+    ``order_col`` — the sequence-model-prep twin of the reference's
+    parent→child edge walks (hypertrace-trace-enricher/.../ApiTraceGraph.java
+    builds exactly these ordered event adjacencies per trace).
+
+    ONE hash exchange on ``key`` (each partition holds complete, key+order
+    sorted groups); adjacent-pair extraction is a shifted-array mask (no row
+    loop); each partition emits its LOCAL (from,to) count table, so the final
+    combine is a states²-sized groupby — tiny at any corpus size.
+    Output: ``from_state, to_state, cnt`` (rows where a next state exists).
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    out_schema = pa.schema(
+        [
+            ("from_state", pa.string()),
+            ("to_state", pa.string()),
+            ("cnt", pa.int64()),
+        ]
+    )
+
+    def _pairs(part: pa.Table) -> pa.Table:
+        n = part.num_rows
+        if n < 2:
+            return out_schema.empty_table()
+        arrs = [part[c].to_numpy(zero_copy_only=False) for c in keys]
+        bounds = run_boundaries(*arrs)
+        seg = np.repeat(np.arange(len(bounds) - 1), np.diff(bounds))
+        same = seg[1:] == seg[:-1]
+        st = part[state_col].combine_chunks()
+        frm = st.slice(0, n - 1).filter(pa.array(same))
+        nxt = st.slice(1, n - 1).filter(pa.array(same))
+        local = (
+            pa.table({"from_state": frm, "to_state": nxt})
+            .group_by(["from_state", "to_state"])
+            .aggregate([([], "count_all")])
+        )
+        return local.rename_columns(["from_state", "to_state", "cnt"])
+
+    partials = group_apply(
+        ds.select_columns(keys + [order_col, state_col]),
+        keys,
+        _pairs,
+        sort_by=[order_col],
+        num_partitions=num_partitions,
+    )
+    return (
+        partials.groupby(["from_state", "to_state"])
+        .sum("cnt")
+        .map_batches(
+            lambda t: t.rename_columns(["from_state", "to_state", "cnt"]),
+            batch_format="pyarrow",
+        )
     )
 
 

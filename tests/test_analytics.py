@@ -1077,3 +1077,33 @@ def test_distinct_rows(ray_session):
         }, (nparts, rows)
     one = distinct_rows(ray.data.from_arrow(t), "b", num_partitions=2).to_pandas()
     assert set(one["b"].tolist()) == {"x", "y", "z", None}
+
+
+def test_transition_counts(ray_session):
+    """transition_counts == lead()-pair GROUP BY: pairs never cross group
+    boundaries, singleton groups emit nothing, partition-count invariant."""
+    import pyarrow as pa
+    import ray.data
+
+    from hypertrace_ingester_ray.stages.analytics import transition_counts
+
+    t = pa.table(
+        {
+            "g": pa.array(["c1"] * 4 + ["c2"] * 3 + ["c3"], pa.string()),
+            "i": pa.array([0, 1, 2, 3, 0, 1, 2, 0], pa.int64()),
+            "s": pa.array(["a", "b", "a", "b", "b", "b", "a", "a"]),
+        }
+    )
+    expected = {("a", "b"): 2, ("b", "a"): 2, ("b", "b"): 1}
+    for nparts in (1, 4):
+        got = transition_counts(
+            ray.data.from_arrow(t),
+            key="g",
+            order_col="i",
+            state_col="s",
+            num_partitions=nparts,
+        ).to_pandas()
+        m = {
+            (r.from_state, r.to_state): r.cnt for r in got.itertuples()
+        }
+        assert m == expected, (nparts, m)
