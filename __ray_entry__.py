@@ -704,6 +704,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_near_dup_verified": lambda sf: dedup.verified_near_dup_pairs(
             _docs(sf), num_partitions=8
         ),
+        # EXACT set-similarity join (AllPairs prefix filter): recall 1.0 by
+        # construction — no LSH approximation — still no O(n²) scan
+        "doc_allpairs_jaccard": lambda sf: dedup.allpairs_jaccard_pairs(
+            _docs(sf), threshold=0.5, num_partitions=8
+        ),
         # transitive closure of the verified pairs (pair list → clusters):
         # BSP min-label propagation, oracle = recursive CTE over the same
         # brute-force pair set
@@ -2720,6 +2725,21 @@ FROM documents
     # mirror of the engine's LSH-candidates → exact-verify chain (the LSH
     # stage is deterministic; candidate recall covers every pair >= 0.5 on
     # this corpus, verified by this very oracle)
+    # exact word-set Jaccard join: brute-force mirror of the prefix-filter
+    # AllPairs operator (distinct WORDS, not 3-gram shingles)
+    sql["doc_allpairs_jaccard"] = """
+WITH toks AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS w FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    CAST(len(list_intersect(a.w, b.w)) AS DOUBLE) /
+    len(list_distinct(list_concat(a.w, b.w))) AS j
+  FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(FLOOR(j * 1000) AS BIGINT) AS jaccard_x1000
+FROM pairs WHERE j >= 0.5
+"""
     sql["doc_near_dup_verified"] = """
 WITH toks AS (
   SELECT doc_id, list_distinct(list_transform(

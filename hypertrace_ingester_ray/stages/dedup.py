@@ -541,60 +541,37 @@ def embedding_near_dup_lsh(
     return group_apply(pairs, ["id_a", "id_b"], _dedup_pair_rows, **kw)
 
 
-def verified_near_dup_pairs(
-    ds: Dataset,
+def exact_verify_pairs(
+    cands: Dataset,
+    docs: Dataset,
     *,
-    text_col: str = "text",
     id_col: str = "doc_id",
+    text_col: str = "text",
     shingle_k: int = 3,
     jaccard_threshold: float = 0.5,
-    num_perm: int = 64,
-    bands: int = 32,
-    **kw,
+    num_partitions: int = 8,
 ) -> Dataset:
-    """Candidate generation + EXACT verification: MinHash/LSH proposes
-    candidate pairs (loose banding → high recall), then each candidate is
-    verified with exact word-``shingle_k``-gram Jaccard and kept when
-    ``jaccard >= jaccard_threshold``.
+    """Attach both sides' text to candidate (doc_a, doc_b) pairs and keep
+    pairs whose EXACT word-``shingle_k``-gram Jaccard ≥ threshold.
 
-    The verification joins each side's text back via the distributed hash
-    join and computes per-pair set intersection over the shingle-hash
-    arrays.  The per-pair loop is bounded by the CANDIDATE count (output-
-    sized, tiny by LSH construction), not by the corpus — the corpus-sized
-    work (shingling, banding) is fully vectorized upstream.
-
-    Returns (doc_a, doc_b, jaccard_x1000:int64), a < b.
-
-    The two text-attach joins CHAIN (j2's left input is j1's output stream),
-    which trips a schema-loss race in Ray's native join operator when a
-    partition arrives empty — so they use :func:`cogroup_join`, the
-    schema-explicit exchange that is safe to chain.
+    The per-pair loop is bounded by the CANDIDATE count (output-sized), not
+    the corpus.  The two text-attach joins CHAIN (j2's left input is j1's
+    output stream), which trips a schema-loss race in Ray's native join
+    operator when a partition arrives empty — so they use
+    :func:`~..joins.cogroup_join`, the schema-explicit exchange that is safe
+    to chain.  Returns (doc_a, doc_b, jaccard_x1000:int64).
     """
     from .joins import cogroup_join
 
-    cands = minhash_lsh_pairs(
-        ds.select_columns([id_col, text_col]),
-        num_perm=num_perm,
-        bands=bands,
-        shingle_k=shingle_k,
-        sim_threshold=0.0,  # banding alone gates candidates; verify exactly
-        # NO star-edge degradation here: the exact-verified output is itself
-        # O(m^2) for a true boilerplate cluster, so emitting every in-bucket
-        # member pair is output-sized work, and dropping member-member pairs
-        # would lose recall vs the exact oracle (ADVICE r2).
-        allpairs_cap=1 << 62,
-        **kw,
-    ).select_columns(["doc_a", "doc_b"])
-    docs = ds.select_columns([id_col, text_col])
-    npart = int(kw.get("num_partitions", 8))
+    docs = docs.select_columns([id_col, text_col])
     j1 = cogroup_join(
-        cands,
+        cands.select_columns(["doc_a", "doc_b"]),
         docs.map_batches(
             lambda t: t.rename_columns(["doc_a", "text_a"]),
             batch_format="pyarrow",
         ),
         on=["doc_a"],
-        num_partitions=npart,
+        num_partitions=num_partitions,
     )
     j2 = cogroup_join(
         j1,
@@ -603,7 +580,7 @@ def verified_near_dup_pairs(
             batch_format="pyarrow",
         ),
         on=["doc_b"],
-        num_partitions=npart,
+        num_partitions=num_partitions,
     )
 
     def _verify(batch: pa.Table) -> pa.Table:
@@ -637,6 +614,59 @@ def verified_near_dup_pairs(
         )
 
     return j2.map_batches(_verify, batch_format="pyarrow")
+
+
+def verified_near_dup_pairs(
+    ds: Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.5,
+    num_perm: int = 64,
+    bands: int = 32,
+    **kw,
+) -> Dataset:
+    """Candidate generation + EXACT verification: MinHash/LSH proposes
+    candidate pairs (loose banding → high recall), then each candidate is
+    verified with exact word-``shingle_k``-gram Jaccard and kept when
+    ``jaccard >= jaccard_threshold``.
+
+    The verification joins each side's text back via the distributed hash
+    join and computes per-pair set intersection over the shingle-hash
+    arrays.  The per-pair loop is bounded by the CANDIDATE count (output-
+    sized, tiny by LSH construction), not by the corpus — the corpus-sized
+    work (shingling, banding) is fully vectorized upstream.
+
+    Returns (doc_a, doc_b, jaccard_x1000:int64), a < b.
+
+    The two text-attach joins CHAIN (j2's left input is j1's output stream),
+    which trips a schema-loss race in Ray's native join operator when a
+    partition arrives empty — so they use :func:`cogroup_join`, the
+    schema-explicit exchange that is safe to chain.
+    """
+    cands = minhash_lsh_pairs(
+        ds.select_columns([id_col, text_col]),
+        num_perm=num_perm,
+        bands=bands,
+        shingle_k=shingle_k,
+        sim_threshold=0.0,  # banding alone gates candidates; verify exactly
+        # NO star-edge degradation here: the exact-verified output is itself
+        # O(m^2) for a true boilerplate cluster, so emitting every in-bucket
+        # member pair is output-sized work, and dropping member-member pairs
+        # would lose recall vs the exact oracle (ADVICE r2).
+        allpairs_cap=1 << 62,
+        **kw,
+    ).select_columns(["doc_a", "doc_b"])
+    return exact_verify_pairs(
+        cands,
+        ds,
+        id_col=id_col,
+        text_col=text_col,
+        shingle_k=shingle_k,
+        jaccard_threshold=jaccard_threshold,
+        num_partitions=int(kw.get("num_partitions", 8)),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -838,4 +868,177 @@ def semantic_dedup_pairs(
         threshold=threshold,
         num_partitions=num_partitions,
         **kw,
+    )
+
+
+# ---------------------------------------------------------------------------
+# AllPairs / prefix-filter EXACT set-similarity join
+# ---------------------------------------------------------------------------
+
+
+def allpairs_jaccard_pairs(
+    ds: Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_partitions: int = 16,
+    bucket_cap: int = 100_000,
+) -> Dataset:
+    """EXACT word-set similarity join: every pair with distinct-word Jaccard
+    ≥ ``threshold`` — recall 1.0, no LSH approximation — without the O(n²)
+    scan, via prefix filtering (Bayardo et al., "Scaling Up All Pairs
+    Similarity Search", WWW'07; Chaudhuri et al. SSJoin).
+
+    Pipeline (every stage a Dataset transform; no driver-side state, no
+    vocabulary broadcast):
+
+    1. **token explode** — per doc, DISTINCT word-token hashes →
+       (tok, doc_id, set_size) rows (vectorized lexsort dedup).
+    2. **document frequency** — partial per-batch counts + one vocab-sized
+       groupby: df(tok) = number of docs containing tok.
+    3. **df attach** — co-shuffle join rows ⋈ df on tok (cogroup_join; no
+       broadcast, so the vocabulary may be corpus-scale).
+    4. **prefix cut** — per doc ordered by (df asc, tok): keep the first
+       ``|d| - ceil(t·|d|) + 1`` tokens.  Lemma: two sets with Jaccard ≥ t
+       must share a token inside these prefixes (ceil(t·|x|) ≤ pairwise
+       required overlap ceil(t/(1+t)·(|A|+|B|)) whenever the size filter
+       |B| ≥ t·|A| can hold), so recall is exactly 1.
+    5. **candidate buckets** — shuffle prefix rows by tok; within a token
+       bucket emit id-ordered pairs passing the size filter
+       ``min ≥ t·max``.  Prefix tokens are each doc's globally RAREST
+       tokens, so buckets are small by construction; a bucket larger than
+       ``bucket_cap`` raises loudly (that corpus needs the LSH path —
+       exactness makes the output itself O(m²) for true boilerplate
+       clusters, so there is no silent degradation that preserves it).
+    6. **pair dedup** + **exact verify** — multi-key keep-first, then
+       :func:`exact_verify_pairs` with word tokens (shingle_k=1).
+
+    Returns (doc_a, doc_b, jaccard_x1000:int64), a < b.  Complements
+    :func:`verified_near_dup_pairs` (LSH recall < 1) as the exact path.
+    """
+    from .joins import cogroup_join
+
+    docs = ds.select_columns([id_col, text_col])
+    tok_schema = pa.schema(
+        [("tok", pa.int64()), ("doc_id", pa.int64()), ("set_size", pa.int64())]
+    )
+
+    def _tok_explode(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return tok_schema.empty_table()
+        sh, off = shingle_hashes(batch[text_col], 1)
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), np.diff(off))
+        order = np.lexsort((sh, doc_idx))
+        d, h = doc_idx[order], sh[order]
+        keep = np.ones(len(d), dtype=bool)
+        keep[1:] = (d[1:] != d[:-1]) | (h[1:] != h[:-1])
+        d, h = d[keep], h[keep]
+        sizes = np.bincount(d, minlength=n).astype(np.int64)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "tok": pa.array(h.view(np.int64)),
+                "doc_id": pa.array(ids[d]),
+                "set_size": pa.array(sizes[d]),
+            }
+        )
+
+    rows = docs.map_batches(_tok_explode, batch_format="pyarrow")
+
+    def _partial_df(t: pa.Table) -> pa.Table:
+        agg = t.select(["tok"]).group_by(["tok"]).aggregate([([], "count_all")])
+        return agg.rename_columns(["tok", "df"])
+
+    df = (
+        rows.map_batches(_partial_df, batch_format="pyarrow")
+        .groupby("tok")
+        .sum("df")
+        .map_batches(
+            lambda t: t.rename_columns(["tok", "df"]), batch_format="pyarrow"
+        )
+    )
+
+    attached = cogroup_join(rows, df, on=["tok"], num_partitions=num_partitions)
+
+    prefix_schema = pa.schema(
+        [("tok", pa.int64()), ("doc_id", pa.int64()), ("set_size", pa.int64())]
+    )
+
+    def _prefix(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return prefix_schema.empty_table()
+        ids = part["doc_id"].to_numpy(zero_copy_only=False)
+        bounds = run_boundaries(ids)
+        seg = np.repeat(np.arange(len(bounds) - 1), np.diff(bounds))
+        cum = np.arange(len(ids), dtype=np.int64) - bounds[:-1][seg]
+        size = part["set_size"].to_numpy(zero_copy_only=False)
+        # err toward a LONGER prefix on float boundaries: recall must be 1
+        p = size - np.ceil(threshold * size - 1e-9).astype(np.int64) + 1
+        keep = cum < p
+        return part.select(["tok", "doc_id", "set_size"]).filter(pa.array(keep))
+
+    prefixes = group_apply(
+        attached,
+        "doc_id",
+        _prefix,
+        sort_by=["df", "tok"],
+        num_partitions=num_partitions,
+    )
+
+    def _cand(part: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
+        )
+        if part.num_rows == 0:
+            return empty
+        toks = part["tok"].to_numpy(zero_copy_only=False)
+        ids = part["doc_id"].to_numpy(zero_copy_only=False)
+        sizes = part["set_size"].to_numpy(zero_copy_only=False)
+        bounds = run_boundaries(toks)
+        out_a: List[np.ndarray] = []
+        out_b: List[np.ndarray] = []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            m = e - s
+            if m < 2:
+                continue
+            if m > bucket_cap:
+                raise RuntimeError(
+                    f"allpairs_jaccard_pairs: token bucket of {m} prefix "
+                    f"entries exceeds bucket_cap={bucket_cap}; an exact join "
+                    "on this corpus is inherently quadratic for that token — "
+                    "use verified_near_dup_pairs (LSH) or raise bucket_cap"
+                )
+            ia, ib = np.triu_indices(m, k=1)
+            za, zb = sizes[s + ia], sizes[s + ib]
+            keep = np.minimum(za, zb) >= threshold * np.maximum(za, zb) - 1e-9
+            keep &= ids[s + ia] != ids[s + ib]
+            out_a.append(ids[s + ia[keep]])
+            out_b.append(ids[s + ib[keep]])
+        if not out_a:
+            return empty
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pa.table({"doc_a": pa.array(lo), "doc_b": pa.array(hi)})
+
+    cands = group_apply(
+        prefixes,
+        "tok",
+        _cand,
+        sort_by=["doc_id"],
+        num_partitions=num_partitions,
+    )
+    cands = group_apply(
+        cands, ["doc_a", "doc_b"], _dedup_pair_rows, num_partitions=num_partitions
+    )
+    return exact_verify_pairs(
+        cands,
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        shingle_k=1,
+        jaccard_threshold=threshold,
+        num_partitions=num_partitions,
     )
