@@ -884,6 +884,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_outliers": _event_value_outliers,
         # integer fixed-point PageRank (bit-exact, unrolled-SQL oracle)
         "graph_pagerank": _graph_pagerank,
+        # level-synchronous distributed BFS (min hop distance from a seed
+        # set, ≤3 hops) over the same bidirectional supplier<->part graph
+        "graph_bfs_3hop": _graph_bfs_3hop,
         # TPC-H Q3 analog: broadcast semi filter + co-shuffle join + top-k
         "shipping_priority_q3": lambda sf: relational.shipping_priority_q3(sf),
         # LEFT OUTER join: zero-count rows survive the null-extended side
@@ -1785,6 +1788,48 @@ def _doc_segment_dedup(sf_dir: str):
     3-word segments, keep-first, reassemble (stages/corpus.segment_dedup)."""
     return corpus.segment_dedup(
         _docs(sf_dir), seg_words=3, num_partitions=16
+    )
+
+
+def _graph_bfs_3hop(sf_dir: str):
+    """Min hop distance (≤3) from the suppliers whose suppkey % 50 == 0 over
+    the bidirectional supplier<->part graph (stages/graph.bfs_hops — one
+    cogroup join + distinct + anti join per hop; node-sized state pinned in
+    the object store, never driver-collected)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hypertrace_ingester_ray.stages import graph
+
+    li = _rpq(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_suppkey", "l_partkey"],
+    )
+
+    def _both_directions(t: pa.Table) -> pa.Table:
+        s = t["l_suppkey"]
+        p = pc.add(t["l_partkey"], pa.scalar(1_000_000, pa.int64()))
+        return pa.concat_tables(
+            [
+                pa.table({"src": s, "dst": p}),
+                pa.table({"src": p, "dst": s}),
+            ]
+        ).combine_chunks()
+
+    sup = _rpq(os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey"])
+
+    def _seed_rows(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        k = t["s_suppkey"].to_numpy(zero_copy_only=False)
+        return pa.table({"node": pa.array(k[k % 50 == 0], pa.int64())})
+
+    seeds = sup.map_batches(_seed_rows, batch_format="pyarrow")
+    return graph.bfs_hops(
+        li.map_batches(_both_directions, batch_format="pyarrow"),
+        seeds,
+        max_hops=3,
+        num_partitions=16,
     )
 
 
@@ -3532,6 +3577,21 @@ WHERE c.v * st.n - st.s > 0
 """
     # integer fixed-point PageRank, 2 iterations unrolled; every operation
     # is exact integer division so the SQL mirror is bit-identical
+    sql["graph_bfs_3hop"] = """
+WITH RECURSIVE edges AS (
+  SELECT l_suppkey AS src, l_partkey + 1000000 AS dst FROM lineitem
+  UNION ALL
+  SELECT l_partkey + 1000000, l_suppkey FROM lineitem
+),
+seeds AS (SELECT s_suppkey AS node FROM supplier WHERE s_suppkey % 50 = 0),
+r AS (
+  SELECT node, 0 AS d FROM seeds
+  UNION
+  SELECT e.dst, r.d + 1 FROM r JOIN edges e ON e.src = r.node
+  WHERE r.d < 3
+)
+SELECT node, CAST(MIN(d) AS BIGINT) AS dist FROM r GROUP BY node
+"""
     sql["graph_pagerank"] = """
 WITH le AS (SELECT l_suppkey AS s, l_partkey + 1000000 AS p FROM lineitem),
 edges AS (SELECT DISTINCT src, dst FROM (

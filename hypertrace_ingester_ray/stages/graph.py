@@ -43,7 +43,7 @@ from ray.data import Dataset
 
 from .grouping import DEFAULT_NUM_PARTITIONS, group_apply, run_boundaries
 
-__all__ = ["distinct_edges", "pagerank"]
+__all__ = ["distinct_edges", "pagerank", "bfs_hops"]
 
 
 def distinct_edges(
@@ -255,3 +255,75 @@ def triangle_count(
     return _rd.from_arrow(
         pa.table({"n_triangles": pa.array([total // 3], pa.int64())})
     )
+
+
+def bfs_hops(
+    edges: Dataset,
+    seeds: Dataset,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 3,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+) -> Dataset:
+    """Distributed BFS: minimum hop distance (≤ ``max_hops``) from a seed
+    set over a directed edge Dataset.  Returns ``(node, dist)`` — one row
+    per reachable node, ``dist`` = length of the shortest path.
+
+    Frontier expansion is level-synchronous (the BSP/Pregel pattern): each
+    hop is frontier ⋈ edges on the source endpoint (cogroup join — both
+    sides co-shuffled, nothing broadcast), a batch-local-first DISTINCT on
+    the neighbor set, and an ANTI join against the visited set so each node
+    is assigned the FIRST (minimum) hop that reaches it.  Per-hop state
+    (frontier, visited) is node-sized and stays in the object store —
+    ``materialize()`` here pins blocks, it never collects to the driver;
+    the edge list is re-streamed from its source each hop (lineage, not a
+    driver copy).  Iteration count is bounded by ``max_hops`` and stops
+    early when a frontier comes back empty.
+    """
+    from .analytics import distinct_rows
+    from .joins import cogroup_join
+
+    def _with_dist(d: int):
+        def f(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "dist", pa.array(np.full(t.num_rows, d, dtype=np.int64))
+            )
+
+        return f
+
+    frontier = distinct_rows(
+        seeds.select_columns(["node"]), "node", num_partitions=num_partitions
+    ).materialize()
+    visited = frontier
+    out = [frontier.map_batches(_with_dist(0), batch_format="pyarrow")]
+    edge_pairs = edges.map_batches(
+        lambda t, s=src, d=dst: pa.table({"node": t[s], "nbr": t[d]}),
+        batch_format="pyarrow",
+    )
+    for hop in range(1, max_hops + 1):
+        nbrs = cogroup_join(
+            frontier,
+            edge_pairs,
+            on=["node"],
+            num_partitions=num_partitions,
+        ).map_batches(
+            lambda t: pa.table({"node": t["nbr"]}), batch_format="pyarrow"
+        )
+        nbrs = distinct_rows(nbrs, "node", num_partitions=num_partitions)
+        new = cogroup_join(
+            nbrs,
+            visited,
+            on=["node"],
+            how="left_anti",
+            num_partitions=num_partitions,
+        ).materialize()
+        if new.count() == 0:
+            break
+        out.append(new.map_batches(_with_dist(hop), batch_format="pyarrow"))
+        visited = visited.union(new).materialize()
+        frontier = new
+    result = out[0]
+    for part in out[1:]:
+        result = result.union(part)
+    return result

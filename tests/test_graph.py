@@ -104,3 +104,45 @@ def test_triangle_count_known_graph(ray_session):
         ray.data.from_arrow(t).repartition(3), num_partitions=4
     ).to_pandas()
     assert out.n_triangles.tolist() == [4]
+
+
+def test_bfs_hops_matches_networkx_style_bfs(ray_session):
+    """bfs_hops == min-hop distance on a random directed graph (python BFS
+    ground truth); unreachable nodes absent; early-stop on dry frontier."""
+    from collections import deque
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from hypertrace_ingester_ray.stages.graph import bfs_hops
+
+    rng = np.random.RandomState(5)
+    n_nodes, n_edges = 60, 150
+    srcs = rng.randint(0, n_nodes, n_edges).astype(np.int64)
+    dsts = rng.randint(0, n_nodes, n_edges).astype(np.int64)
+    seeds = [0, 7]
+    adj = {}
+    for s, d in zip(srcs, dsts):
+        adj.setdefault(int(s), set()).add(int(d))
+    dist = {s: 0 for s in seeds}
+    q = deque(seeds)
+    max_hops = 3
+    while q:
+        u = q.popleft()
+        if dist[u] >= max_hops:
+            continue
+        for v in adj.get(u, ()):
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    got = bfs_hops(
+        ray.data.from_arrow(
+            pa.table({"src": pa.array(srcs), "dst": pa.array(dsts)})
+        ),
+        ray.data.from_arrow(pa.table({"node": pa.array(seeds, pa.int64())})),
+        max_hops=max_hops,
+        num_partitions=4,
+    ).to_pandas()
+    assert dict(zip(got["node"], got["dist"])) == dist
+    assert len(got) == len(dist)  # no duplicate node rows
