@@ -919,6 +919,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_k": _events_props_k,
         # GROUP BY CUBE: all 2^k grouping sets from ONE distributed pass
         "events_cube": _events_cube,
+        # GROUP BY GROUPING SETS: requested marginals only (no cross term)
+        "events_grouping_sets": _events_grouping_sets,
         # CCNet-style LM quality proxy: integer mean inverse unigram
         # frequency (rank-equivalent to unigram cross-entropy, bit-exact)
         "doc_rarity": lambda sf: text_analysis.unigram_surprisal(
@@ -1583,6 +1585,41 @@ def _events_sliding_users(sf_dir: str):
         window_us=3_600_000_000,
         hop_us=900_000_000,
         value_col="user_id",
+        num_partitions=16,
+    )
+
+
+def _events_grouping_sets(sf_dir: str):
+    """GROUP BY GROUPING SETS ((event_type), (day), ()): per-type and
+    per-day marginals plus the grand total WITHOUT the (type, day) cross —
+    the general form rollup/cube can't express
+    (stages/analytics.grouping_sets_counts)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hypertrace_ingester_ray.stages import analytics
+
+    ds = _rpq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["ts", "event_type", "value"],
+    )
+
+    def _prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "day": pc.strftime(t["ts"], format="%Y-%m-%d"),
+                "cents": pc.cast(
+                    pc.floor(pc.multiply(t["value"], 100.0)), pa.int64()
+                ),
+            }
+        )
+
+    return analytics.grouping_sets_counts(
+        ds.map_batches(_prep, batch_format="pyarrow"),
+        dims=["event_type", "day"],
+        sets=[["event_type"], ["day"], []],
+        sum_col="cents",
         num_partitions=16,
     )
 
@@ -3758,6 +3795,13 @@ SELECT event_id,
   CAST(NULLIF(regexp_extract(props, '"k"\\s*:\\s*(-?\\d+)', 1), '') AS BIGINT)
     AS k
 FROM events
+"""
+    sql["events_grouping_sets"] = """
+WITH e AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                  CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events)
+SELECT event_type, day, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM e GROUP BY GROUPING SETS ((event_type), (day), ())
 """
     sql["events_cube"] = """
 WITH e AS (SELECT event_type, date_trunc('hour', ts) AS hour,

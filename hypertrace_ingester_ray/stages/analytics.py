@@ -58,6 +58,7 @@ __all__ = [
     "group_moments",
     "distinct_rows",
     "transition_counts",
+    "grouping_sets_counts",
 ]
 
 
@@ -662,6 +663,93 @@ def cube_counts(
     outs = []
     for mask in range(1 << len(dims)):
         keep = [d for i, d in enumerate(dims) if mask & (1 << i)]
+        if keep:
+            agg = allrows.group_by(keep).aggregate(
+                [(c, "sum") for c in metric_names]
+            )
+            agg = agg.select(
+                keep + [f"{c}_sum" for c in metric_names]
+            ).rename_columns(keep + metric_names)
+        else:
+            agg = pa.table(
+                {
+                    c: pa.array(
+                        [pc.sum(allrows[c]).as_py() or 0], pa.int64()
+                    )
+                    for c in metric_names
+                }
+            )
+        for d in dims:
+            if d not in keep:
+                agg = agg.append_column(
+                    d, pa.nulls(agg.num_rows, allrows.schema.field(d).type)
+                )
+        outs.append(agg.select(dims + metric_names))
+    return _rd.from_arrow(pa.concat_tables(outs))
+
+
+def grouping_sets_counts(
+    ds: Dataset,
+    *,
+    dims: Sequence[str],
+    sets: Sequence[Sequence[str]],
+    sum_col: Optional[str] = None,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+) -> Dataset:
+    """``GROUP BY GROUPING SETS (...)``: counts (and optionally an integer
+    sum) at exactly the REQUESTED subsets of ``dims`` — the general form of
+    :func:`rollup_counts` (prefix sets) and :func:`cube_counts` (all 2^k
+    sets).  Excluded dimensions are emitted as NULL per the SQL contract.
+
+    Scale shape is identical to :func:`cube_counts`: ONE distributed pass
+    builds the distinct finest-level combination table (per-batch partial
+    agg + one exchange on ``dims[0]``); each requested set is then folded
+    from that table, which is bounded by the product of dimension
+    cardinalities, never by input rows.
+    """
+    dims = list(dims)
+    sets = [list(s) for s in sets]
+    for s in sets:
+        unknown = set(s) - set(dims)
+        if unknown:
+            raise ValueError(f"grouping set {s} has columns not in dims: {unknown}")
+    n_col, s_col = "n_rows", f"sum_{sum_col}" if sum_col else None
+    metric_names = [n_col] + ([s_col] if sum_col else [])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        cols = dims + ([sum_col] if sum_col else [])
+        t = batch.select(cols)
+        t = t.append_column("__one", pa.array(np.ones(t.num_rows, np.int64)))
+        aggs = [("__one", "sum")] + ([(sum_col, "sum")] if sum_col else [])
+        agg = t.group_by(dims).aggregate(aggs)
+        return agg.select(
+            dims + ["__one_sum"] + ([f"{sum_col}_sum"] if sum_col else [])
+        ).rename_columns(dims + metric_names)
+
+    def _final(part: pa.Table) -> pa.Table:
+        agg = part.group_by(dims).aggregate(
+            [(c, "sum") for c in metric_names]
+        )
+        return agg.select(
+            dims + [f"{c}_sum" for c in metric_names]
+        ).rename_columns(dims + metric_names)
+
+    combos = group_apply(
+        ds.map_batches(_partial, batch_format="pyarrow"),
+        dims[0],
+        _final,
+        num_partitions=num_partitions,
+    ).materialize()
+
+    import ray as _ray
+    import ray.data as _rd
+
+    tables = [t for t in _ray.get(combos.to_arrow_refs()) if t.num_rows]
+    if not tables:
+        return combos
+    allrows = pa.concat_tables(tables)  # distinct-combination-sized
+    outs = []
+    for keep in sets:
         if keep:
             agg = allrows.group_by(keep).aggregate(
                 [(c, "sum") for c in metric_names]

@@ -1107,3 +1107,41 @@ def test_transition_counts(ray_session):
             (r.from_state, r.to_state): r.cnt for r in got.itertuples()
         }
         assert m == expected, (nparts, m)
+
+
+def test_grouping_sets_counts(ray_session):
+    """grouping_sets_counts == pandas marginals for the requested sets only;
+    unrequested crosses absent; empty set = grand total."""
+    import pyarrow as pa
+    import ray.data
+
+    rng = np.random.RandomState(3)
+    n = 500
+    pdf = pd.DataFrame(
+        {
+            "a": [f"a{i}" for i in rng.randint(0, 4, n)],
+            "b": [f"b{i}" for i in rng.randint(0, 3, n)],
+            "v": rng.randint(0, 100, n).astype("int64"),
+        }
+    )
+    out = analytics.grouping_sets_counts(
+        ray.data.from_pandas(pdf).repartition(4),
+        dims=["a", "b"],
+        sets=[["a"], ["b"], []],
+        sum_col="v",
+        num_partitions=3,
+    ).to_pandas()
+    # per-a marginal
+    a_rows = out[out["a"].notna() & out["b"].isna()].set_index("a")
+    exp_a = pdf.groupby("a").agg(n_rows=("v", "size"), sum_v=("v", "sum"))
+    assert (a_rows["n_rows"].sort_index() == exp_a["n_rows"].sort_index()).all()
+    assert (a_rows["sum_v"].sort_index() == exp_a["sum_v"].sort_index()).all()
+    # per-b marginal
+    b_rows = out[out["b"].notna() & out["a"].isna()].set_index("b")
+    exp_b = pdf.groupby("b").agg(n_rows=("v", "size"), sum_v=("v", "sum"))
+    assert (b_rows["n_rows"].sort_index() == exp_b["n_rows"].sort_index()).all()
+    # grand total; and NO (a, b) cross rows
+    g = out[out["a"].isna() & out["b"].isna()]
+    assert len(g) == 1 and g["n_rows"].iloc[0] == n
+    assert g["sum_v"].iloc[0] == pdf["v"].sum()
+    assert (out["a"].notna() & out["b"].notna()).sum() == 0
