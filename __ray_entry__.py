@@ -709,6 +709,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_allpairs_jaccard": lambda sf: dedup.allpairs_jaccard_pairs(
             _docs(sf), threshold=0.5, num_partitions=8
         ),
+        # EXACT substring-level contamination pairs: docs sharing any
+        # 20-char substring + distinct-shared-gram counts (Lee et al. ACL'22
+        # span-dedup semantics, pairwise form)
+        "doc_substring_overlap": lambda sf: dedup.substring_overlap_pairs(
+            _docs(sf), k=20, num_partitions=8
+        ),
         # transitive closure of the verified pairs (pair list → clusters):
         # BSP min-label propagation, oracle = recursive CTE over the same
         # brute-force pair set
@@ -2821,6 +2827,20 @@ pairs AS (
 )
 SELECT doc_a, doc_b, CAST(FLOOR(j * 1000) AS BIGINT) AS jaccard_x1000
 FROM pairs WHERE j >= 0.5
+"""
+    # exact shared-substring pairs: char grams mirror the engine's byte
+    # grams (the corpus is ASCII; strlen == len verified)
+    sql["doc_substring_overlap"] = """
+WITH pos AS (
+  SELECT doc_id, text, unnest(generate_series(1, len(text) - 19)) AS i
+  FROM documents WHERE len(text) >= 20
+),
+g AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 20) AS gram
+      FROM pos)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
 """
     sql["doc_near_dup_verified"] = """
 WITH toks AS (

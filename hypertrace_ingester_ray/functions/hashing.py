@@ -128,3 +128,45 @@ def popcount64(x: np.ndarray) -> np.ndarray:
         .sum(axis=1)
         .astype(np.int64)
     )
+
+
+def char_shingle_hashes(texts, k: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Byte-``k``-gram rolling hashes per doc, zero-copy over the Arrow
+    value buffer.
+
+    Returns ``(sh, soff)`` like :func:`shingle_hashes`: flat uint64 gram
+    hashes grouped by doc + int64 offsets (len = n_docs + 1).  Unlike the
+    word variant, docs shorter than ``k`` BYTES contribute NO grams (there
+    is no whole-text fallback — substring detection has nothing to say
+    about them).  Grams are polynomial rolling hashes of the raw UTF-8
+    bytes; for ASCII text byte grams == character grams.
+    """
+    arr = _as_array(texts)
+    b = arr.cast(pa.large_binary())
+    n = len(b)
+    if n == 0:
+        return np.empty(0, np.uint64), np.zeros(1, np.int64)
+    o = np.frombuffer(
+        b.buffers()[1], dtype=np.int64, count=n + 1, offset=b.offset * 8
+    )
+    buf = b.buffers()[2]
+    data = (
+        np.frombuffer(buf, dtype=np.uint8)[o[0] : o[-1]]
+        if buf is not None
+        else np.empty(0, np.uint8)
+    )
+    off = o - o[0]
+    m = len(data) - k + 1
+    if m <= 0:
+        return np.empty(0, np.uint64), np.zeros(n + 1, np.int64)
+    acc = data[:m].astype(np.uint64)
+    for j in range(1, k):
+        acc = acc * _ROLL_C + data[j : j + m]
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), np.diff(off))
+    vdoc = doc_idx[:m]
+    valid = (np.arange(m, dtype=np.int64) + k) <= off[vdoc + 1]
+    sh = acc[valid]
+    vdoc = vdoc[valid]
+    counts = np.bincount(vdoc, minlength=n).astype(np.int64)
+    soff = np.concatenate(([0], np.cumsum(counts)))
+    return sh, soff

@@ -1042,3 +1042,124 @@ def allpairs_jaccard_pairs(
         jaccard_threshold=threshold,
         num_partitions=num_partitions,
     )
+
+
+# ---------------------------------------------------------------------------
+# exact substring-overlap detection (contamination / boilerplate pairs)
+# ---------------------------------------------------------------------------
+
+
+def substring_overlap_pairs(
+    ds: Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+    num_partitions: int = 16,
+    bucket_cap: int = 100_000,
+) -> Dataset:
+    """EXACT substring-level overlap detection: every pair of documents
+    sharing at least one common ``k``-character substring, with the count of
+    distinct shared grams — the pairwise form of exact substring dedup
+    (Lee et al., "Deduplicating Training Data Makes Language Models
+    Better", ACL'22 — which dedups 50-token repeated spans) and the
+    standard benchmark-contamination check.
+
+    Shape: per-doc DISTINCT byte-``k``-gram rolling hashes (zero-copy over
+    the Arrow value buffer, ``functions.hashing.char_shingle_hashes``) →
+    one hash exchange on the gram → id-ordered pair expansion inside each
+    gram bucket (singleton grams vanish here, so only ACTUALLY shared grams
+    cost anything) → per-pair count of shared grams via multi-key run
+    lengths.  A gram shared by more than ``bucket_cap`` docs raises loudly:
+    that output is inherently quadratic, and a corpus with such boilerplate
+    should strip it (corpus.segment_dedup) or use the MinHash path.
+
+    Docs shorter than ``k`` bytes emit nothing.  Returns
+    ``(doc_a, doc_b, n_shared:int64)``, a < b.
+    """
+    from ..functions.hashing import char_shingle_hashes
+
+    gram_schema = pa.schema([("gram", pa.int64()), ("doc_id", pa.int64())])
+
+    def _grams(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return gram_schema.empty_table()
+        sh, off = char_shingle_hashes(batch[text_col], k)
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), np.diff(off))
+        order = np.lexsort((sh, doc_idx))
+        d, h = doc_idx[order], sh[order]
+        keep = np.ones(len(d), dtype=bool)
+        keep[1:] = (d[1:] != d[:-1]) | (h[1:] != h[:-1])
+        d, h = d[keep], h[keep]
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"gram": pa.array(h.view(np.int64)), "doc_id": pa.array(ids[d])}
+        )
+
+    def _pairs(part: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
+        )
+        if part.num_rows == 0:
+            return empty
+        grams = part["gram"].to_numpy(zero_copy_only=False)
+        ids = part["doc_id"].to_numpy(zero_copy_only=False)
+        bounds = run_boundaries(grams)
+        out_a: List[np.ndarray] = []
+        out_b: List[np.ndarray] = []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            m = e - s
+            if m < 2:
+                continue
+            if m > bucket_cap:
+                raise RuntimeError(
+                    f"substring_overlap_pairs: gram shared by {m} docs "
+                    f"exceeds bucket_cap={bucket_cap} (quadratic output); "
+                    "strip boilerplate first (corpus.segment_dedup) or "
+                    "raise bucket_cap"
+                )
+            ia, ib = np.triu_indices(m, k=1)
+            out_a.append(ids[s + ia])
+            out_b.append(ids[s + ib])
+        if not out_a:
+            return empty
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pa.table({"doc_a": pa.array(lo), "doc_b": pa.array(hi)})
+
+    pair_rows = group_apply(
+        ds.select_columns([id_col, text_col]).map_batches(
+            _grams, batch_format="pyarrow"
+        ),
+        "gram",
+        _pairs,
+        sort_by=["doc_id"],
+        num_partitions=num_partitions,
+    )
+
+    def _count_pairs(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "n_shared": pa.array([], pa.int64()),
+                }
+            )
+        a = part["doc_a"].to_numpy(zero_copy_only=False)
+        b = part["doc_b"].to_numpy(zero_copy_only=False)
+        bounds = run_boundaries(a, b)
+        firsts = bounds[:-1]
+        return pa.table(
+            {
+                "doc_a": pa.array(a[firsts]),
+                "doc_b": pa.array(b[firsts]),
+                "n_shared": pa.array(np.diff(bounds).astype(np.int64)),
+            }
+        )
+
+    return group_apply(
+        pair_rows, ["doc_a", "doc_b"], _count_pairs, num_partitions=num_partitions
+    )

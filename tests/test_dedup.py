@@ -69,3 +69,49 @@ def test_allpairs_bucket_cap_raises(ray_session):
             ray.data.from_arrow(t), threshold=0.5,
             num_partitions=2, bucket_cap=10,
         ).materialize()
+
+
+def test_substring_overlap_pairs_vs_bruteforce(ray_session):
+    """substring_overlap_pairs == brute-force distinct shared k-gram counts;
+    short docs emit nothing; pairs are a<b; partition-count invariant."""
+    import itertools
+
+    import pyarrow as pa
+    import ray.data
+
+    from hypertrace_ingester_ray.stages.dedup import substring_overlap_pairs
+
+    rng = np.random.RandomState(17)
+    alpha = "abcdefgh"
+    texts, ids = [], []
+    for i in range(40):
+        s = "".join(rng.choice(list(alpha), size=rng.randint(5, 60)))
+        texts.append(s)
+        ids.append(i)
+        if rng.rand() < 0.4:  # planted overlap: copy a slice into a new doc
+            j = rng.randint(0, max(len(s) - 15, 1))
+            texts.append(
+                "".join(rng.choice(list(alpha), size=10)) + s[j : j + 15]
+            )
+            ids.append(100 + i)
+    k = 8
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()), "text": texts})
+
+    def grams(s):
+        return {s[i : i + k] for i in range(len(s) - k + 1)}
+
+    gsets = {i: grams(s) for i, s in zip(ids, texts)}
+    exp = {}
+    for a, b in itertools.combinations(sorted(gsets), 2):
+        shared = len(gsets[a] & gsets[b])
+        if shared:
+            exp[(a, b)] = shared
+
+    for nparts in (3, 7):
+        got = substring_overlap_pairs(
+            ray.data.from_arrow(t), k=k, num_partitions=nparts
+        ).to_pandas()
+        m = {
+            (r.doc_a, r.doc_b): r.n_shared for r in got.itertuples()
+        }
+        assert m == exp, (nparts, len(m), len(exp))
