@@ -927,6 +927,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cube": _events_cube,
         # GROUP BY GROUPING SETS: requested marginals only (no cross term)
         "events_grouping_sets": _events_grouping_sets,
+        # streaming watermark analog: late events per user under a 1-day
+        # allowed-lateness (deterministic-jitter arrival order)
+        "late_events_by_user": _late_events_by_user,
         # CCNet-style LM quality proxy: integer mean inverse unigram
         # frequency (rank-equivalent to unigram cross-entropy, bit-exact)
         "doc_rarity": lambda sf: text_analysis.unigram_surprisal(
@@ -1592,6 +1595,71 @@ def _events_sliding_users(sf_dir: str):
         hop_us=900_000_000,
         value_col="user_id",
         num_partitions=16,
+    )
+
+
+def _late_events_by_user(sf_dir: str):
+    """Streaming watermark semantics, batch mirror: an event is LATE when
+    its event time trails the per-user WATERMARK (running max event time in
+    ARRIVAL order) by more than a 1-day tolerance — the reference drops
+    spans arriving after their trace's session window closes
+    (raw-spans-grouper/.../RawSpansProcessor.java:90-116 'trace emitted'
+    check).  The synthetic corpus is perfectly time-ordered, so arrival
+    order is modeled with a deterministic hash jitter on event_id (the SQL
+    oracle applies the identical formula).  Composes
+    analytics.window_functions cummax (ONE exchange) + partial per-user
+    counts."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hypertrace_ingester_ray.stages import analytics
+
+    ev = _rpq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts"],
+    )
+
+    def _prep(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        jitter_s = (eid * np.int64(2654435761)) % np.int64(200000)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "event_id": t["event_id"],
+                "us": pa.array(us),
+                "arrival": pa.array(us + jitter_s * 1_000_000),
+            }
+        )
+
+    w = analytics.window_functions(
+        ev.map_batches(_prep, batch_format="pyarrow"),
+        key="user_id",
+        order_col="arrival",
+        order_extra=["event_id"],
+        cummax={"mx": "us"},
+        num_partitions=16,
+    )
+
+    tol_us = 86400 * 1_000_000
+
+    def _late_partial(t: pa.Table) -> pa.Table:
+        keep = pc.less(t["us"], pc.subtract(t["mx"], pa.scalar(tol_us, pa.int64())))
+        late = t.filter(keep)
+        agg = late.select(["user_id"]).group_by(["user_id"]).aggregate(
+            [([], "count_all")]
+        )
+        return agg.rename_columns(["user_id", "n_late"])
+
+    return (
+        w.map_batches(_late_partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .sum("n_late")
+        .map_batches(
+            lambda t: t.rename_columns(["user_id", "n_late"]),
+            batch_format="pyarrow",
+        )
     )
 
 
@@ -3815,6 +3883,18 @@ SELECT event_id,
   CAST(NULLIF(regexp_extract(props, '"k"\\s*:\\s*(-?\\d+)', 1), '') AS BIGINT)
     AS k
 FROM events
+"""
+    sql["late_events_by_user"] = """
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+    epoch_us(ts) + ((event_id * CAST(2654435761 AS BIGINT)) % 200000)
+      * 1000000 AS arrival
+  FROM events),
+w AS (SELECT user_id, us,
+    MAX(us) OVER (PARTITION BY user_id ORDER BY arrival, event_id) AS mx
+  FROM e)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_late
+FROM w WHERE us < mx - 86400 * CAST(1000000 AS BIGINT)
+GROUP BY user_id
 """
     sql["events_grouping_sets"] = """
 WITH e AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
