@@ -715,6 +715,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_substring_overlap": lambda sf: dedup.substring_overlap_pairs(
             _docs(sf), k=20, num_partitions=8
         ),
+        # winnowing (MOSS) fingerprint pairs: every clone >= w+k-1 chars
+        # detected at ~2/(w+1) of the substring index size — the scale path
+        "doc_winnow_pairs": lambda sf: dedup.winnow_overlap_pairs(
+            _docs(sf), k=20, w=10, num_partitions=8
+        ),
         # transitive closure of the verified pairs (pair list → clusters):
         # BSP min-label propagation, oracle = recursive CTE over the same
         # brute-force pair set
@@ -2895,6 +2900,38 @@ pairs AS (
 )
 SELECT doc_a, doc_b, CAST(FLOOR(j * 1000) AS BIGINT) AS jaccard_x1000
 FROM pairs WHERE j >= 0.5
+"""
+    # winnowing mirror: the SAME polynomial byte hash mod 2^64 in HUGEINT,
+    # window-MIN in the unsigned domain, full windows only (i >= w) — the
+    # selection is by VALUE so engine and SQL pick identical fingerprints
+    _WINNOW_C = 1099511628211  # functions/hashing._ROLL_C
+    _wk, _ww = 20, 10
+    _terms = " + ".join(
+        f"ord(substr(text, CAST(i+{j} AS INT), 1))::HUGEINT * "
+        f"{pow(_WINNOW_C, _wk - 1 - j, 1 << 64)}::HUGEINT"
+        for j in range(_wk)
+    )
+    sql["doc_winnow_pairs"] = f"""
+WITH pos AS (
+  SELECT doc_id, text, unnest(generate_series(1, len(text) - {_wk - 1})) AS i
+  FROM documents WHERE len(text) >= {_wk}
+),
+h AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS i,
+    ({_terms}) % 18446744073709551616::HUGEINT AS hu
+  FROM pos
+),
+wmin AS (
+  SELECT doc_id, i,
+    MIN(hu) OVER (PARTITION BY doc_id ORDER BY i
+                  ROWS BETWEEN {_ww - 1} PRECEDING AND CURRENT ROW) AS mn
+  FROM h
+),
+fps AS (SELECT DISTINCT doc_id, mn FROM wmin WHERE i >= {_ww})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM fps a JOIN fps b ON a.mn = b.mn AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
 """
     # exact shared-substring pairs: char grams mirror the engine's byte
     # grams (the corpus is ASCII; strlen == len verified)

@@ -1097,15 +1097,42 @@ def substring_overlap_pairs(
             {"gram": pa.array(h.view(np.int64)), "doc_id": pa.array(ids[d])}
         )
 
+    rows = ds.select_columns([id_col, text_col]).map_batches(
+        _grams, batch_format="pyarrow"
+    )
+    return shared_key_pairs(
+        rows,
+        key_col="gram",
+        num_partitions=num_partitions,
+        bucket_cap=bucket_cap,
+        label="substring_overlap_pairs",
+    )
+
+
+def shared_key_pairs(
+    rows: Dataset,
+    *,
+    key_col: str,
+    id_col: str = "doc_id",
+    num_partitions: int = 16,
+    bucket_cap: int = 100_000,
+    label: str = "shared_key_pairs",
+) -> Dataset:
+    """Distinct ``(key, doc)`` rows → ``(doc_a, doc_b, n_shared)``: pairs of
+    docs sharing at least one key, with the count of shared keys.  One
+    exchange on the key, in-bucket id-ordered pair expansion (singleton
+    keys cost nothing), multi-key run-length counts.  A key shared by more
+    than ``bucket_cap`` docs raises loudly (quadratic output)."""
+
     def _pairs(part: pa.Table) -> pa.Table:
         empty = pa.table(
             {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
         )
         if part.num_rows == 0:
             return empty
-        grams = part["gram"].to_numpy(zero_copy_only=False)
-        ids = part["doc_id"].to_numpy(zero_copy_only=False)
-        bounds = run_boundaries(grams)
+        keys = part[key_col].to_numpy(zero_copy_only=False)
+        ids = part[id_col].to_numpy(zero_copy_only=False)
+        bounds = run_boundaries(keys)
         out_a: List[np.ndarray] = []
         out_b: List[np.ndarray] = []
         for s, e in zip(bounds[:-1], bounds[1:]):
@@ -1114,10 +1141,10 @@ def substring_overlap_pairs(
                 continue
             if m > bucket_cap:
                 raise RuntimeError(
-                    f"substring_overlap_pairs: gram shared by {m} docs "
-                    f"exceeds bucket_cap={bucket_cap} (quadratic output); "
-                    "strip boilerplate first (corpus.segment_dedup) or "
-                    "raise bucket_cap"
+                    f"{label}: key shared by {m} docs exceeds "
+                    f"bucket_cap={bucket_cap} (quadratic output); strip "
+                    "boilerplate first (corpus.segment_dedup) or raise "
+                    "bucket_cap"
                 )
             ia, ib = np.triu_indices(m, k=1)
             out_a.append(ids[s + ia])
@@ -1130,12 +1157,10 @@ def substring_overlap_pairs(
         return pa.table({"doc_a": pa.array(lo), "doc_b": pa.array(hi)})
 
     pair_rows = group_apply(
-        ds.select_columns([id_col, text_col]).map_batches(
-            _grams, batch_format="pyarrow"
-        ),
-        "gram",
+        rows,
+        key_col,
         _pairs,
-        sort_by=["doc_id"],
+        sort_by=[id_col],
         num_partitions=num_partitions,
     )
 
@@ -1162,4 +1187,107 @@ def substring_overlap_pairs(
 
     return group_apply(
         pair_rows, ["doc_a", "doc_b"], _count_pairs, num_partitions=num_partitions
+    )
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (MOSS) — the sublinear scale path for substring
+# overlap
+# ---------------------------------------------------------------------------
+
+
+def winnow_fingerprints(
+    ds: Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+    w: int = 10,
+    num_partitions: int = 16,
+) -> Dataset:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD'03):
+    per doc, slide a ``w``-window over the byte-``k``-gram hash sequence
+    and keep each window's MINIMUM hash; the fingerprint set is the
+    DISTINCT selected values.
+
+    Guarantee: any shared substring of length ≥ ``w + k - 1`` characters
+    contains a full window, whose minimum lands in BOTH docs' sets — so
+    :func:`shared_key_pairs` over these fingerprints detects every long
+    clone while storing only ~``2/(w+1)`` of the grams
+    :func:`substring_overlap_pairs` would index.  This is the 100-TB path:
+    the exchange payload shrinks by ~w/2 with the same ≥(w+k-1) detection
+    floor.
+
+    The gram hash is a plain polynomial in the raw bytes mod 2^64 (the
+    selection is by VALUE, so the whole operator is mirrorable in SQL with
+    HUGEINT arithmetic — see the ``doc_winnow_pairs`` oracle).  Docs
+    shorter than ``w + k - 1`` bytes emit nothing.  Returns distinct
+    ``(doc_id, fp:int64)`` rows.
+    """
+    from ..functions.hashing import char_shingle_hashes
+
+    out_schema = pa.schema([("doc_id", pa.int64()), ("fp", pa.int64())])
+
+    def _winnow(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        sh, soff = char_shingle_hashes(batch[text_col], k)
+        total = len(sh)
+        if total < w:
+            return out_schema.empty_table()
+        wins = np.lib.stride_tricks.sliding_window_view(sh, w)
+        mins = wins.min(axis=1)
+        m = len(mins)
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), np.diff(soff))
+        vdoc = doc_idx[:m]
+        # a window starting at flat gram i is valid iff its w grams all
+        # belong to the same doc: i + w <= soff[doc(i)+1]
+        valid = (np.arange(m, dtype=np.int64) + w) <= soff[vdoc + 1]
+        d, h = vdoc[valid], mins[valid]
+        order = np.lexsort((h, d))
+        d, h = d[order], h[order]
+        keep = np.ones(len(d), dtype=bool)
+        keep[1:] = (d[1:] != d[:-1]) | (h[1:] != h[:-1])
+        d, h = d[keep], h[keep]
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"doc_id": pa.array(ids[d]), "fp": pa.array(h.view(np.int64))}
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        _winnow, batch_format="pyarrow"
+    )
+
+
+def winnow_overlap_pairs(
+    ds: Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+    w: int = 10,
+    num_partitions: int = 16,
+    bucket_cap: int = 100_000,
+) -> Dataset:
+    """Pairs of docs sharing a winnowed fingerprint + shared-fingerprint
+    counts: detects every clone of length ≥ ``w + k - 1`` chars at ~2/(w+1)
+    of :func:`substring_overlap_pairs`' index size."""
+    rows = winnow_fingerprints(
+        ds,
+        text_col=text_col,
+        id_col=id_col,
+        k=k,
+        w=w,
+        num_partitions=num_partitions,
+    ).map_batches(
+        lambda t: t.select(["fp", "doc_id"]), batch_format="pyarrow"
+    )
+    return shared_key_pairs(
+        rows,
+        key_col="fp",
+        num_partitions=num_partitions,
+        bucket_cap=bucket_cap,
+        label="winnow_overlap_pairs",
     )

@@ -115,3 +115,52 @@ def test_substring_overlap_pairs_vs_bruteforce(ray_session):
             (r.doc_a, r.doc_b): r.n_shared for r in got.itertuples()
         }
         assert m == exp, (nparts, len(m), len(exp))
+
+
+def test_winnow_guarantee_and_density(ray_session):
+    """Winnowing guarantee: every pair sharing a substring of length
+    >= w+k-1 is detected; fingerprint density ~2/(w+1) (< 3/(w+1) slack);
+    winnow pairs are a subset of full substring-overlap pairs."""
+    import pyarrow as pa
+    import ray.data
+
+    from hypertrace_ingester_ray.stages.dedup import (
+        substring_overlap_pairs,
+        winnow_fingerprints,
+        winnow_overlap_pairs,
+    )
+
+    rng = np.random.RandomState(9)
+    alpha = list("abcdefghijklmnop")
+    k, w = 8, 4
+    clone = "".join(rng.choice(alpha, size=k + w - 1))  # exactly the floor
+    texts, ids, planted = [], [], []
+    for i in range(30):
+        s = "".join(rng.choice(alpha, size=rng.randint(40, 120)))
+        texts.append(s)
+        ids.append(i)
+        if rng.rand() < 0.5:
+            j = rng.randint(0, 20)
+            texts.append(
+                "".join(rng.choice(alpha, size=j)) + clone
+                + "".join(rng.choice(alpha, size=20))
+            )
+            ids.append(100 + i)
+            planted.append(100 + i)
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()), "text": texts})
+    ds = ray.data.from_arrow(t)
+
+    got = winnow_overlap_pairs(ds, k=k, w=w, num_partitions=3).to_pandas()
+    pairs = set(zip(got["doc_a"].tolist(), got["doc_b"].tolist()))
+    # guarantee: every planted pair of clone carriers is found
+    for i, a in enumerate(planted):
+        for b in planted[i + 1:]:
+            assert (min(a, b), max(a, b)) in pairs, (a, b)
+    # soundness: winnow pairs share >= 1 true k-gram (subset of exact op)
+    full = substring_overlap_pairs(ds, k=k, num_partitions=3).to_pandas()
+    full_pairs = set(zip(full["doc_a"].tolist(), full["doc_b"].tolist()))
+    assert pairs <= full_pairs
+    # density: |fingerprints| well below |grams| (expected ~2/(w+1))
+    fp = winnow_fingerprints(ds, k=k, w=w).to_pandas()
+    n_grams = sum(max(len(s) - k + 1, 0) for s in texts)
+    assert len(fp) < n_grams * 3.0 / (w + 1), (len(fp), n_grams)
