@@ -492,14 +492,18 @@ def group_apply(
     )
 
     if fn_class is not None:
+        # bind the ctor args into the CLASS (cloudpickled inline with the
+        # task spec) instead of fn_constructor_kwargs: Ray Data ships actor
+        # constructor kwargs through the object store, which triggers the
+        # ray#53727 restart warning (lost-ref restarts would fail)
+        bound = (fn_class, fn_constructor_kwargs, order, pass_part_id)
+
+        class _BoundRunner(_PartitionRunner):
+            def __init__(self):
+                super().__init__(*bound)
+
         return ds.groupby(PART_COL).map_groups(
-            _PartitionRunner,
-            fn_constructor_kwargs={
-                "inner_cls": fn_class,
-                "ctor_kwargs": fn_constructor_kwargs,
-                "order": order,
-                "pass_part_id": pass_part_id,
-            },
+            _BoundRunner,
             batch_format="pyarrow",
             **map_groups_kwargs,
         )
