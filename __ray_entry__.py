@@ -1009,6 +1009,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sorted-bucket (SMB) layout: co-bucketed write pre-pays the
         # exchange; the join itself runs with ZERO shuffle
         "smb_segment_revenue": _smb_segment_revenue,
+        # zero-shuffle grouped computation over the same SMB layout
+        "smb_user_stats": _smb_user_stats,
         # z-order (Morton) clustering: zone-pruned scan on a column the
         # layout ALSO clusters (multi-dimensional file skipping)
         "events_zorder_scan": _events_zorder_scan,
@@ -1155,6 +1157,78 @@ def _events_zorder_scan(sf_dir: str):
         "event_type",
         _final,
         num_partitions=4,
+    )
+
+
+def _smb_user_stats(sf_dir: str):
+    """Per-user event stats computed with ZERO shuffle from a bucketed
+    layout: events are written once via stages/sinks.write_bucketed
+    (user-hash bucket files, the pre-paid exchange), then
+    bucketed_group_apply reads each bucket as a complete-key-group
+    partition — no exchange at query time.  Oracle = plain GROUP BY, so
+    the layout + zero-shuffle grouping round-trip is value-checked."""
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hypertrace_ingester_ray.stages.grouping import run_boundaries
+    from hypertrace_ingester_ray.stages.sinks import (
+        bucketed_group_apply,
+        write_bucketed,
+    )
+
+    base = tempfile.mkdtemp(prefix="htr_smbg_")
+    ev = _rpq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_id", "value"],
+    )
+
+    def _cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "event_id": t["event_id"],
+                "cents": pc.cast(
+                    pc.floor(pc.multiply(t["value"], 100.0)), pa.int64()
+                ),
+            }
+        )
+
+    write_bucketed(
+        ev.map_batches(_cents, batch_format="pyarrow"),
+        os.path.join(base, "events"),
+        key="user_id",
+        num_buckets=8,
+    )
+
+    def _stats(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "sum_cents": pa.array([], pa.int64()),
+                    "first_cents": pa.array([], pa.int64()),
+                }
+            )
+        u = part["user_id"].to_numpy(zero_copy_only=False)
+        c = part["cents"].to_numpy(zero_copy_only=False)
+        b = run_boundaries(u)
+        sums = np.add.reduceat(c, b[:-1])
+        return pa.table(
+            {
+                "user_id": pa.array(u[b[:-1]]),
+                "n_events": pa.array(np.diff(b).astype(np.int64)),
+                "sum_cents": pa.array(sums.astype(np.int64)),
+                # event_id-sorted within user: cents of the first event
+                "first_cents": pa.array(c[b[:-1]]),
+            }
+        )
+
+    return bucketed_group_apply(
+        os.path.join(base, "events"), _stats, sort_by=["event_id"]
     )
 
 
@@ -4177,6 +4251,14 @@ FROM (SELECT user_id, event_type,
              CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events)
 WHERE user_id BETWEEN 100 AND 400 AND cents BETWEEN 1000 AND 5000
 GROUP BY event_type
+"""
+    sql["smb_user_stats"] = """
+WITH e AS (SELECT user_id, event_id,
+                  CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+       CAST(arg_min(cents, event_id) AS BIGINT) AS first_cents
+FROM e GROUP BY user_id
 """
     sql["smb_segment_revenue"] = """
 SELECT c_mktsegment,

@@ -571,3 +571,53 @@ def write_zordered(
         view=view,
         persist_col=False,
     )
+
+
+def bucketed_group_apply(
+    out_dir: str,
+    fn,
+    *,
+    sort_by=None,
+    pass_part_id: bool = False,
+) -> Dataset:
+    """``group_apply`` with ZERO shuffle over a :func:`write_bucketed`
+    table: bucket ``i`` holds every row of every key-group whose hash lands
+    in ``i`` (the stored contract), so each task reads ONE bucket file,
+    sorts it by ``[*key, *sort_by]``, and runs the same partition processor
+    ``stages/grouping.group_apply`` would hand a post-exchange partition.
+
+    This completes the SMB story: the exchange is pre-paid once at write
+    time and amortized by EVERY later grouped computation AND join over the
+    table — the reference pre-shards spans to Kafka partitions by trace key
+    for exactly this reason (JaegerSpanToAvroRawSpanTransformer.java:58-65).
+    A missing bucket file means that hash range was empty at write time;
+    ``fn`` sees a typed empty table so per-partition outputs stay aligned.
+    """
+    import ray as _ray
+
+    meta = _load_bucket_meta(out_dir)
+    keys = list(meta["key"])
+    order = keys + list(sort_by or [])
+    schema = meta["schema"]
+    num_buckets = int(meta["num_buckets"])
+
+    def _run_bucket(batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as _pq
+
+        out = []
+        for i in batch["id"].to_pylist():
+            f = lineage.part_file(out_dir, "data", i)
+            t = (
+                _pq.read_table(f)
+                if os.path.exists(f)
+                else schema.empty_table()
+            )
+            t = t.replace_schema_metadata(None).sort_by(
+                [(c, "ascending") for c in order]
+            )
+            out.append(fn(t, i) if pass_part_id else fn(t))
+        return pa.concat_tables(out, promote_options="default")
+
+    return _ray.data.range(
+        num_buckets, override_num_blocks=num_buckets
+    ).map_batches(_run_bucket, batch_format="pyarrow")

@@ -395,3 +395,73 @@ def test_zordered_write_prunes_both_columns(ray_session, tmp_path):
             ray.data.from_pandas(pdf), str(tmp_path / "z2"),
             cols=["a", "b", "v"], bits=21,
         )
+
+
+def test_bucketed_group_apply_zero_shuffle(ray_session, tmp_path):
+    """bucketed_group_apply == shuffle-based group_apply over the same data:
+    complete key-groups per bucket, key+sort order inside the partition,
+    empty buckets yield typed empty tables."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from hypertrace_ingester_ray.stages.grouping import group_apply
+    from hypertrace_ingester_ray.stages.sinks import (
+        bucketed_group_apply,
+        write_bucketed,
+    )
+
+    rng = np.random.RandomState(13)
+    n = 3000
+    t = pa.table(
+        {
+            "k": pa.array(rng.randint(0, 40, n).astype(np.int64)),
+            "ord": pa.array(rng.permutation(n).astype(np.int64)),
+            "v": pa.array(rng.randint(0, 100, n).astype(np.int64)),
+        }
+    )
+    out = str(tmp_path / "bt")
+    write_bucketed(ray.data.from_arrow(t).repartition(5), out, key="k",
+                   num_buckets=7)
+
+    def _stats(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table(
+                {
+                    "k": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "first_v": pa.array([], pa.int64()),
+                }
+            )
+        # ord-sorted within key: first_v is the v of the smallest ord
+        import numpy as _np
+
+        from hypertrace_ingester_ray.stages.grouping import run_boundaries
+
+        ks = part["k"].to_numpy(zero_copy_only=False)
+        vs = part["v"].to_numpy(zero_copy_only=False)
+        b = run_boundaries(ks)
+        return pa.table(
+            {
+                "k": pa.array(ks[b[:-1]]),
+                "n": pa.array(_np.diff(b).astype(_np.int64)),
+                "first_v": pa.array(vs[b[:-1]]),
+            }
+        )
+
+    got = (
+        bucketed_group_apply(out, _stats, sort_by=["ord"])
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    exp = (
+        group_apply(
+            ray.data.from_arrow(t), "k", _stats, sort_by=["ord"],
+            num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert got.equals(exp), (len(got), len(exp))
