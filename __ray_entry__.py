@@ -1011,6 +1011,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "smb_segment_revenue": _smb_segment_revenue,
         # zero-shuffle grouped computation over the same SMB layout
         "smb_user_stats": _smb_user_stats,
+        # incremental contamination: new batch vs STORED fingerprint index
+        # (zero shuffle of the index side via the bucketed layout)
+        "incremental_contamination": _incremental_contamination,
         # z-order (Morton) clustering: zone-pruned scan on a column the
         # layout ALSO clusters (multi-dimensional file skipping)
         "events_zorder_scan": _events_zorder_scan,
@@ -1229,6 +1232,62 @@ def _smb_user_stats(sf_dir: str):
 
     return bucketed_group_apply(
         os.path.join(base, "events"), _stats, sort_by=["event_id"]
+    )
+
+
+def _incremental_contamination(sf_dir: str):
+    """Incremental contamination check against a STORED fingerprint index:
+    the base corpus's winnowed fingerprints are written once as a bucketed
+    table (stages/sinks.write_bucketed on fp — the index); each new-doc
+    batch (the v2 snapshot's appended docs) winnows its own fingerprints,
+    buckets with the same contract, and matches via bucketed_join with
+    ZERO shuffle of the index side.  This is the grow-only corpus shape:
+    checking N new docs never re-shuffles the 100-TB index.  Output
+    (new_id, base_id, n_shared) = shared-fingerprint counts."""
+    import tempfile
+
+    import pyarrow as pa
+
+    from hypertrace_ingester_ray.stages import dedup
+    from hypertrace_ingester_ray.stages.sinks import (
+        bucketed_join,
+        write_bucketed,
+    )
+
+    base = tempfile.mkdtemp(prefix="htr_contam_")
+    docs = _docs(sf_dir)
+    new_docs = _docs_v2(sf_dir).filter(expr="doc_id >= 100000").map_batches(
+        lambda t: pa.table({"new_id": t["doc_id"], "text": t["text"]}),
+        batch_format="pyarrow",
+    )
+    idx_fp = dedup.winnow_fingerprints(docs, k=20, w=10)
+    new_fp = dedup.winnow_fingerprints(
+        new_docs, id_col="new_id", k=20, w=10
+    ).map_batches(
+        lambda t: t.rename_columns(["new_id", "fp"]), batch_format="pyarrow"
+    )
+    write_bucketed(idx_fp, os.path.join(base, "index"), key="fp", num_buckets=8)
+    write_bucketed(new_fp, os.path.join(base, "new"), key="fp", num_buckets=8)
+    joined = bucketed_join(
+        os.path.join(base, "index"), os.path.join(base, "new"), how="inner"
+    )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        agg = (
+            t.select(["new_id", "doc_id"])
+            .group_by(["new_id", "doc_id"])
+            .aggregate([([], "count_all")])
+        )
+        return agg.rename_columns(["new_id", "base_id", "n_shared"])
+
+    return (
+        joined.map_batches(_partial, batch_format="pyarrow")
+        .groupby(["new_id", "base_id"])
+        .sum("n_shared")
+        .map_batches(
+            lambda t: t.rename_columns(["new_id", "base_id", "n_shared"]),
+            batch_format="pyarrow",
+        )
     )
 
 
@@ -2985,27 +3044,46 @@ FROM pairs WHERE j >= 0.5
         f"{pow(_WINNOW_C, _wk - 1 - j, 1 << 64)}::HUGEINT"
         for j in range(_wk)
     )
+    def _winnow_fps_sql(src: str, idc: str) -> str:
+        """DISTINCT (id, window-min fingerprint) CTE body over a doc source
+        subquery (must expose ``{idc}`` and ``text``)."""
+        return f"""(
+  WITH pos AS (
+    SELECT {idc}, text,
+           unnest(generate_series(1, len(text) - {_wk - 1})) AS i
+    FROM ({src}) WHERE len(text) >= {_wk}
+  ),
+  h AS (
+    SELECT {idc}, CAST(i AS BIGINT) AS i,
+      ({_terms}) % 18446744073709551616::HUGEINT AS hu
+    FROM pos
+  ),
+  wmin AS (
+    SELECT {idc}, i,
+      MIN(hu) OVER (PARTITION BY {idc} ORDER BY i
+                    ROWS BETWEEN {_ww - 1} PRECEDING AND CURRENT ROW) AS mn
+    FROM h
+  )
+  SELECT DISTINCT {idc}, mn FROM wmin WHERE i >= {_ww}
+)"""
+
     sql["doc_winnow_pairs"] = f"""
-WITH pos AS (
-  SELECT doc_id, text, unnest(generate_series(1, len(text) - {_wk - 1})) AS i
-  FROM documents WHERE len(text) >= {_wk}
-),
-h AS (
-  SELECT doc_id, CAST(i AS BIGINT) AS i,
-    ({_terms}) % 18446744073709551616::HUGEINT AS hu
-  FROM pos
-),
-wmin AS (
-  SELECT doc_id, i,
-    MIN(hu) OVER (PARTITION BY doc_id ORDER BY i
-                  ROWS BETWEEN {_ww - 1} PRECEDING AND CURRENT ROW) AS mn
-  FROM h
-),
-fps AS (SELECT DISTINCT doc_id, mn FROM wmin WHERE i >= {_ww})
+WITH fps AS (SELECT * FROM {_winnow_fps_sql("SELECT doc_id, text FROM documents", "doc_id")})
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(count(*) AS BIGINT) AS n_shared
 FROM fps a JOIN fps b ON a.mn = b.mn AND a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id
+"""
+    # new-batch docs of the v2 snapshot (text copies of their source rows)
+    # checked against the base corpus's stored fingerprint index
+    sql["incremental_contamination"] = f"""
+WITH fpb AS (SELECT * FROM {_winnow_fps_sql("SELECT doc_id, text FROM documents", "doc_id")}),
+fpn AS (SELECT * FROM {_winnow_fps_sql(
+    "SELECT doc_id + 100000 AS new_id, text FROM documents "
+    "WHERE doc_id % 17 <> 0 AND doc_id % 29 = 0", "new_id")})
+SELECT n.new_id, b.doc_id AS base_id, CAST(count(*) AS BIGINT) AS n_shared
+FROM fpn n JOIN fpb b ON n.mn = b.mn
+GROUP BY n.new_id, b.doc_id
 """
     # exact shared-substring pairs: char grams mirror the engine's byte
     # grams (the corpus is ASCII; strlen == len verified)
