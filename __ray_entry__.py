@@ -1003,6 +1003,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_daily_gapfill": _user_daily_gapfill,
         # exact integer covariance/correlation sufficient statistics
         "event_type_moments": _event_type_moments,
+        # exact distributed OLS (sufficient-statistics combiner): per-type
+        # cents-vs-hour trend as truncated fixed-point integers
+        "event_value_trend": _event_value_trend,
         # FULL OUTER join (cogroup): user-days with views xor purchases
         # survive with a null count on the missing side
         "user_day_views_purchases_full": _user_day_views_purchases_full,
@@ -1832,6 +1835,41 @@ def _events_grouping_sets(sf_dir: str):
         dims=["event_type", "day"],
         sets=[["event_type"], ["day"], []],
         sum_col="cents",
+        num_partitions=16,
+    )
+
+
+def _event_value_trend(sf_dir: str):
+    """Exact distributed OLS per event_type: cents regressed on hour-of-day
+    from integer sufficient statistics (stages/analytics.group_linear_fit
+    on group_moments — per-batch partial sums, one key-sized exchange,
+    truncated fixed-point output mirrorable in HUGEINT SQL)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hypertrace_ingester_ray.stages import analytics
+
+    ds = _rpq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["ts", "event_type", "value"],
+    )
+
+    def _prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "hour": pc.cast(pc.hour(t["ts"]), pa.int64()),
+                "cents": pc.cast(
+                    pc.floor(pc.multiply(t["value"], 100.0)), pa.int64()
+                ),
+            }
+        )
+
+    return analytics.group_linear_fit(
+        ds.map_batches(_prep, batch_format="pyarrow"),
+        key="event_type",
+        x_col="hour",
+        y_col="cents",
         num_partitions=16,
     )
 
@@ -4275,6 +4313,24 @@ g AS (SELECT user_id,
       FROM r)
 SELECT g.user_id, g.day, CAST(COALESCE(b.n, 0) AS BIGINT) AS n
 FROM g LEFT JOIN b ON g.user_id = b.user_id AND g.day = b.day
+"""
+    sql["event_value_trend"] = """
+WITH e AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS x,
+                  CAST(FLOOR(value * 100) AS BIGINT) AS y FROM events),
+m AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+        CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+        CAST(SUM(x * x) AS HUGEINT) AS sxx,
+        CAST(SUM(x * y) AS HUGEINT) AS sxy
+      FROM e GROUP BY event_type),
+f AS (SELECT event_type, n, sy, sx,
+        CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+             ELSE ((n * sxy - sx * sy) * 1000000) // (n * sxx - sx * sx)
+        END AS s
+      FROM m)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       CAST(s AS BIGINT) AS slope_x1000000,
+       CAST((sy * 1000000 - s * sx) // n AS BIGINT) AS intercept_x1000000
+FROM f
 """
     sql["event_type_moments"] = """
 WITH s AS (

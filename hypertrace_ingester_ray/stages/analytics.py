@@ -59,6 +59,7 @@ __all__ = [
     "distinct_rows",
     "transition_counts",
     "grouping_sets_counts",
+    "group_linear_fit",
 ]
 
 
@@ -1986,3 +1987,64 @@ def global_rank(
         return batch
 
     return ds.map_batches(_assign, batch_format="pyarrow")
+
+
+def _trunc_div(num: int, den: int) -> int:
+    """Integer division truncating toward zero — SQL ``//`` semantics
+    (Python's ``//`` floors, which differs for negative numerators)."""
+    q = abs(num) // abs(den)
+    return -q if (num < 0) != (den < 0) else q
+
+
+def group_linear_fit(
+    ds: Dataset,
+    *,
+    key: str,
+    x_col: str,
+    y_col: str,
+    scale: int = 1_000_000,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+) -> Dataset:
+    """Exact distributed OLS per key: ``y ≈ slope·x + intercept`` fitted
+    from :func:`group_moments`' integer sufficient statistics — the
+    canonical combiner pattern (per-batch partial sums, one key-sized
+    exchange), so the fit never moves more than key-cardinality rows.
+
+    ``slope`` and ``intercept`` are emitted as truncated fixed-point
+    integers (``slope_x{scale}`` = trunc(scale·(nΣxy − ΣxΣy)/(nΣxx −
+    (Σx)²)); truncation toward zero matches SQL ``//``), so the result is
+    bit-reproducible across partitionings and SQL-mirrorable with HUGEINT
+    arithmetic.  Zero-x-variance keys get NULL slope/intercept.  The final
+    arithmetic runs over key-cardinality rows with Python-int exactness
+    (no int64 overflow regardless of scale).
+    """
+    moments = group_moments(
+        ds, key=key, x_col=x_col, y_col=y_col, num_partitions=num_partitions
+    )
+
+    def _fit(t: pa.Table) -> pa.Table:
+        n = t["n"].to_pylist()
+        sx = t["sum_x"].to_pylist()
+        sy = t["sum_y"].to_pylist()
+        sxx = t["sum_xx"].to_pylist()
+        sxy = t["sum_xy"].to_pylist()
+        slopes, intercepts = [], []
+        for i in range(t.num_rows):  # key-cardinality-sized, exact ints
+            den = n[i] * sxx[i] - sx[i] * sx[i]
+            if den == 0:
+                slopes.append(None)
+                intercepts.append(None)
+                continue
+            s = _trunc_div((n[i] * sxy[i] - sx[i] * sy[i]) * scale, den)
+            slopes.append(s)
+            intercepts.append(_trunc_div(sy[i] * scale - s * sx[i], n[i]))
+        return pa.table(
+            {
+                key: t[key],
+                "n": t["n"],
+                f"slope_x{scale}": pa.array(slopes, pa.int64()),
+                f"intercept_x{scale}": pa.array(intercepts, pa.int64()),
+            }
+        )
+
+    return moments.map_batches(_fit, batch_format="pyarrow")

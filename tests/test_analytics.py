@@ -1145,3 +1145,49 @@ def test_grouping_sets_counts(ray_session):
     assert len(g) == 1 and g["n_rows"].iloc[0] == n
     assert g["sum_v"].iloc[0] == pdf["v"].sum()
     assert (out["a"].notna() & out["b"].notna()).sum() == 0
+
+
+def test_group_linear_fit_matches_numpy(ray_session):
+    """group_linear_fit == numpy polyfit (within fixed-point truncation);
+    negative slopes truncate toward zero like SQL //; zero-variance keys
+    yield NULLs."""
+    import pyarrow as pa
+    import ray.data
+
+    rng = np.random.RandomState(2)
+    rows_k, rows_x, rows_y = [], [], []
+    truths = {"up": 35, "down": -27}
+    for k, slope in truths.items():
+        x = rng.randint(0, 24, 400)
+        noise = rng.randint(-40, 41, 400)
+        y = slope * x + 500 + noise
+        rows_k += [k] * 400
+        rows_x += x.tolist()
+        rows_y += y.tolist()
+    rows_k += ["flat"] * 5
+    rows_x += [7] * 5  # zero x-variance
+    rows_y += [1, 2, 3, 4, 5]
+    t = pa.table(
+        {
+            "k": pa.array(rows_k),
+            "x": pa.array(rows_x, pa.int64()),
+            "y": pa.array(rows_y, pa.int64()),
+        }
+    )
+    out = (
+        analytics.group_linear_fit(
+            ray.data.from_arrow(t).repartition(4),
+            key="k", x_col="x", y_col="y", num_partitions=3,
+        )
+        .to_pandas()
+        .set_index("k")
+    )
+    pdf = pd.DataFrame({"k": rows_k, "x": rows_x, "y": rows_y})
+    for k, slope in truths.items():
+        g = pdf[pdf["k"] == k]
+        exp_s, exp_i = np.polyfit(g["x"], g["y"], 1)
+        got_s = out.loc[k, "slope_x1000000"] / 1e6
+        got_i = out.loc[k, "intercept_x1000000"] / 1e6
+        assert abs(got_s - exp_s) < 1e-4, (k, got_s, exp_s)
+        assert abs(got_i - exp_i) < 1e-3, (k, got_i, exp_i)
+    assert pd.isna(out.loc["flat", "slope_x1000000"])
