@@ -865,6 +865,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "viewers_who_purchased": lambda sf: _viewer_purchase_split(
             sf, "left_semi"
         ),
+        # HLL set algebra over the same two user sets (approx -> rows-only;
+        # the 5%-error bound is pytest-checked; exact twin is the semi join)
+        "viewer_purchaser_overlap_approx": _viewer_overlap_approx,
         "viewer_days_no_purchase": _viewer_no_purchase_days,
         # CDC-style snapshot diff on cogroup (added/removed/changed)
         "docs_snapshot_diff": _docs_snapshot_diff,
@@ -2321,6 +2324,23 @@ def _viewer_purchase_split(sf_dir: str, how: str):
     )
     return cogroup_join(
         viewers, purchasers, on=["user_id"], how=how, num_partitions=16
+    )
+
+
+def _viewer_overlap_approx(sf_dir: str):
+    """Approximate |viewers|, |purchasers|, union and intersection via HLL
+    register algebra (stages/sketches.hll_set_ops): each side folds to ONE
+    4 KiB register vector regardless of corpus size."""
+    from hypertrace_ingester_ray.stages import sketches
+
+    ev = _rpq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type"],
+    )
+    return sketches.hll_set_ops(
+        ev.filter(expr="event_type == 'view'").select_columns(["user_id"]),
+        ev.filter(expr="event_type == 'purchase'").select_columns(["user_id"]),
+        value_col="user_id",
     )
 
 

@@ -85,6 +85,19 @@ def _bit_length(w: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def _estimate_from_registers(merged: np.ndarray) -> np.ndarray:
+    """HLL estimate (with small-range linear counting) per register row;
+    ``merged`` is (k, m) uint8.  Returns rounded int64 counts."""
+    m = merged.shape[1]
+    alpha = 0.7213 / (1 + 1.079 / m)
+    z = np.power(2.0, -merged.astype(np.float64)).sum(axis=1)
+    est = alpha * m * m / z
+    zeros = (merged == 0).sum(axis=1)
+    small = (est <= 2.5 * m) & (zeros > 0)
+    est[small] = m * np.log(m / zeros[small])
+    return np.rint(est).astype(np.int64)
+
+
 def hll_distinct(
     ds: Dataset,
     *,
@@ -146,15 +159,11 @@ def hll_distinct(
         ).reshape(n, m)
         bounds = run_boundaries(part[key].to_numpy(zero_copy_only=False))
         merged = np.maximum.reduceat(flat, bounds[:-1], axis=0)
-        z = np.power(2.0, -merged.astype(np.float64)).sum(axis=1)
-        est = alpha * m * m / z
-        zeros = (merged == 0).sum(axis=1)
-        small = (est <= 2.5 * m) & (zeros > 0)
-        est[small] = m * np.log(m / zeros[small])
+        est = _estimate_from_registers(merged)
         return pa.table(
             {
                 key: part[key].take(pa.array(bounds[:-1])),
-                out_col: pa.array(np.rint(est).astype(np.int64)),
+                out_col: pa.array(est),
             }
         )
 
@@ -475,4 +484,68 @@ def cms_counts(
             "term": term_arr.cast(pa.string()),
             "approx_cnt": pa.array(est.astype(np.int64)),
         }
+    )
+
+
+def hll_set_ops(
+    ds_a: Dataset,
+    ds_b: Dataset,
+    *,
+    value_col: str,
+    p: int = 12,
+) -> Dataset:
+    """Approximate distinct-set algebra between two streams: |A|, |B|,
+    |A∪B| (native HLL register max-merge — the union of HLLs IS the HLL of
+    the union), and |A∩B| by inclusion–exclusion (clipped at 0).
+
+    Scale shape: each side folds to ONE 2**p-byte register vector — per
+    block a single partial register row leaves the read task, and the
+    driver max-merges blocks-many fixed-size vectors; nothing row-sized is
+    collected.  Deterministic (same hash as :func:`hll_distinct`).
+    Approximate by design → pair with the exact operators when the answer
+    must be exact; the error bound is pytest-checked.
+    """
+    import ray as _ray
+    import ray.data as _rd
+
+    m = 1 << p
+    width = 64 - p
+    w_mask = (np.uint64(1) << np.uint64(width)) - np.uint64(1)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        col = batch[value_col]
+        if col.null_count:
+            batch = batch.filter(pc.is_valid(col))
+        if batch.num_rows == 0:
+            return pa.table({"registers": pa.array([], pa.binary(m))})
+        h = _hash64(batch[value_col])
+        bucket = (h >> np.uint64(width)).astype(np.int64)
+        rho = (width - _bit_length(h & w_mask) + 1).astype(np.uint8)
+        regs = np.zeros(m, dtype=np.uint8)
+        np.maximum.at(regs, bucket, rho)
+        return pa.table({"registers": pa.array([regs.tobytes()], pa.binary(m))})
+
+    def _fold(ds: Dataset) -> np.ndarray:
+        rows = ds.map_batches(_partial, batch_format="pyarrow").take_all()
+        if not rows:
+            return np.zeros(m, dtype=np.uint8)
+        flat = np.frombuffer(
+            b"".join(r["registers"] for r in rows), dtype=np.uint8
+        ).reshape(len(rows), m)
+        return flat.max(axis=0)
+
+    ra, rb = _fold(ds_a), _fold(ds_b)
+    est = _estimate_from_registers(np.stack([ra, rb, np.maximum(ra, rb)]))
+    n_a, n_b, n_union = int(est[0]), int(est[1]), int(est[2])
+    return _rd.from_arrow(
+        pa.table(
+            {
+                "n_a_approx": pa.array([n_a], pa.int64()),
+                "n_b_approx": pa.array([n_b], pa.int64()),
+                "n_union_approx": pa.array([n_union], pa.int64()),
+                "n_intersect_approx": pa.array(
+                    [max(n_a + n_b - n_union, 0)], pa.int64()
+                ),
+            }
+        )
     )

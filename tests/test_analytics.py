@@ -1191,3 +1191,20 @@ def test_group_linear_fit_matches_numpy(ray_session):
         assert abs(got_s - exp_s) < 1e-4, (k, got_s, exp_s)
         assert abs(got_i - exp_i) < 1e-3, (k, got_i, exp_i)
     assert pd.isna(out.loc["flat", "slope_x1000000"])
+
+
+def test_hll_set_ops_error_bound(ray_session):
+    """hll_set_ops union/intersection within ~5% of exact on overlapping
+    integer sets (p=12 → ~1.6% standard error)."""
+    import pyarrow as pa
+    import ray.data
+
+    a_vals = np.arange(0, 30_000, dtype=np.int64)
+    b_vals = np.arange(20_000, 60_000, dtype=np.int64)  # overlap = 10k
+    a = ray.data.from_arrow(pa.table({"v": pa.array(a_vals)})).repartition(5)
+    b = ray.data.from_arrow(pa.table({"v": pa.array(b_vals)})).repartition(3)
+    out = sketches.hll_set_ops(a, b, value_col="v").to_pandas().iloc[0]
+    assert abs(out["n_a_approx"] - 30_000) / 30_000 < 0.05
+    assert abs(out["n_b_approx"] - 40_000) / 40_000 < 0.05
+    assert abs(out["n_union_approx"] - 60_000) / 60_000 < 0.05
+    assert abs(out["n_intersect_approx"] - 10_000) / 10_000 < 0.25
