@@ -32,7 +32,7 @@ Related: connected components (BSP min-label propagation) lives in
 
 from __future__ import annotations
 
-from typing import Union
+from typing import Optional, Union
 
 import numpy as np
 import pyarrow as pa
@@ -265,6 +265,7 @@ def bfs_hops(
     dst: str = "dst",
     max_hops: int = 3,
     num_partitions: int = DEFAULT_NUM_PARTITIONS,
+    checkpoint_dir: Optional[str] = None,
 ) -> Dataset:
     """Distributed BFS: minimum hop distance (≤ ``max_hops``) from a seed
     set over a directed edge Dataset.  Returns ``(node, dist)`` — one row
@@ -280,9 +281,49 @@ def bfs_hops(
     the edge list is re-streamed from its source each hop (lineage, not a
     driver copy).  Iteration count is bounded by ``max_hops`` and stops
     early when a frontier comes back empty.
+
+    ``checkpoint_dir`` makes the ITERATION resumable (the north rule's
+    checkpoint discipline applied to iterative jobs, not just sinks): each
+    completed hop's frontier is written atomically as
+    ``hop_{i}.parquet`` (tmp + rename, like state/lineage); a killed run
+    re-invoked with the same dir reloads every completed hop and continues
+    from the first missing one — a 100-hop job that dies at hop 97 redoes
+    3 hops, not 97.  An empty frontier file records early termination.
     """
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    import ray as _ray
+    import ray.data as _rd
+
     from .analytics import distinct_rows
     from .joins import cogroup_join
+
+    node_schema = pa.schema([("node", pa.int64())])
+
+    def _ckpt_path(hop: int) -> str:
+        return _os.path.join(checkpoint_dir, f"hop_{hop}.parquet")
+
+    def _ckpt_write(hop: int, frontier_ds) -> None:
+        """Atomic per-hop frontier checkpoint (tmp + rename); frontiers are
+        node-sized, so one file per hop is the right granularity."""
+        if checkpoint_dir is None:
+            return
+        _os.makedirs(checkpoint_dir, exist_ok=True)
+        tables = [
+            t
+            for t in _ray.get(frontier_ds.to_arrow_refs())
+            if t.num_rows
+        ]
+        tbl = (
+            pa.concat_tables(tables, promote_options="default")
+            if tables
+            else node_schema.empty_table()
+        )
+        path = _ckpt_path(hop)
+        _pq.write_table(tbl.select(["node"]), path + ".tmp")
+        _os.rename(path + ".tmp", path)
 
     def _with_dist(d: int):
         def f(t: pa.Table) -> pa.Table:
@@ -292,16 +333,39 @@ def bfs_hops(
 
         return f
 
-    frontier = distinct_rows(
-        seeds.select_columns(["node"]), "node", num_partitions=num_partitions
-    ).materialize()
-    visited = frontier
-    out = [frontier.map_batches(_with_dist(0), batch_format="pyarrow")]
+    # resume: reload every completed hop's frontier from the checkpoint dir
+    out = []
+    frontier = None
+    visited = None
+    start_hop = 0
+    if checkpoint_dir is not None:
+        while _os.path.exists(_ckpt_path(start_hop)):
+            tbl = _pq.read_table(_ckpt_path(start_hop))
+            if tbl.num_rows == 0:  # recorded early termination
+                result = out[0]
+                for part in out[1:]:
+                    result = result.union(part)
+                return result
+            f_ds = _rd.from_arrow(tbl).materialize()
+            out.append(
+                f_ds.map_batches(_with_dist(start_hop), batch_format="pyarrow")
+            )
+            visited = f_ds if visited is None else visited.union(f_ds).materialize()
+            frontier = f_ds
+            start_hop += 1
+    if start_hop == 0:
+        frontier = distinct_rows(
+            seeds.select_columns(["node"]), "node", num_partitions=num_partitions
+        ).materialize()
+        visited = frontier
+        out = [frontier.map_batches(_with_dist(0), batch_format="pyarrow")]
+        _ckpt_write(0, frontier)
+        start_hop = 1
     edge_pairs = edges.map_batches(
         lambda t, s=src, d=dst: pa.table({"node": t[s], "nbr": t[d]}),
         batch_format="pyarrow",
     )
-    for hop in range(1, max_hops + 1):
+    for hop in range(start_hop, max_hops + 1):
         nbrs = cogroup_join(
             frontier,
             edge_pairs,
@@ -319,7 +383,9 @@ def bfs_hops(
             num_partitions=num_partitions,
         ).materialize()
         if new.count() == 0:
+            _ckpt_write(hop, _rd.from_arrow(node_schema.empty_table()))
             break
+        _ckpt_write(hop, new)
         out.append(new.map_batches(_with_dist(hop), batch_format="pyarrow"))
         visited = visited.union(new).materialize()
         frontier = new

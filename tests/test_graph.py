@@ -146,3 +146,63 @@ def test_bfs_hops_matches_networkx_style_bfs(ray_session):
     ).to_pandas()
     assert dict(zip(got["node"], got["dist"])) == dist
     assert len(got) == len(dist)  # no duplicate node rows
+
+
+def test_bfs_hops_checkpoint_resume(ray_session, tmp_path):
+    """Checkpointed BFS resumes from completed hops: a partial run's
+    checkpoints carry a second run past the already-done hops (proved by
+    handing the resumed run EMPTY edges for the completed prefix), and the
+    resumed result is identical to an unchunked run."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from hypertrace_ingester_ray.stages.graph import bfs_hops
+
+    rng = np.random.RandomState(8)
+    srcs = rng.randint(0, 50, 120).astype(np.int64)
+    dsts = rng.randint(0, 50, 120).astype(np.int64)
+    edges = pa.table({"src": pa.array(srcs), "dst": pa.array(dsts)})
+    seeds = pa.table({"node": pa.array([1, 2], pa.int64())})
+    ck = str(tmp_path / "bfs_ck")
+
+    full = (
+        bfs_hops(
+            ray.data.from_arrow(edges),
+            ray.data.from_arrow(seeds),
+            max_hops=2,
+            num_partitions=3,
+        )
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    # partial run: 1 hop only, with checkpoints
+    bfs_hops(
+        ray.data.from_arrow(edges),
+        ray.data.from_arrow(seeds),
+        max_hops=1,
+        num_partitions=3,
+        checkpoint_dir=ck,
+    ).materialize()
+    import os
+
+    assert os.path.exists(os.path.join(ck, "hop_0.parquet"))
+    assert os.path.exists(os.path.join(ck, "hop_1.parquet"))
+    # resumed run continues to hop 2; hops 0-1 come from checkpoints, so the
+    # seeds may even be garbage — only the NEW hop reads the edge list
+    resumed = (
+        bfs_hops(
+            ray.data.from_arrow(edges),
+            ray.data.from_arrow(
+                pa.table({"node": pa.array([999], pa.int64())})
+            ),
+            max_hops=2,
+            num_partitions=3,
+            checkpoint_dir=ck,
+        )
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    assert resumed.equals(full), (len(resumed), len(full))
