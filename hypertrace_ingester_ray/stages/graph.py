@@ -85,8 +85,15 @@ def pagerank(
     damping_pct: int = 85,
     dedup: bool = True,
     num_partitions: int = DEFAULT_NUM_PARTITIONS,
+    checkpoint_dir: Optional[str] = None,
 ) -> Dataset:
     """Integer fixed-point PageRank over an edge Dataset.
+
+    ``checkpoint_dir`` makes the iteration resumable: the (node, rank)
+    vector after iteration ``i`` is written atomically as
+    ``iter_{i}.parquet``; a re-invoked run loads the highest completed
+    iteration and runs only the remaining passes.  Ranks are exact int64,
+    so a resumed run is bit-identical to an uninterrupted one.
 
     Exact semantics (mirror in SQL with ``//`` integer division):
 
@@ -150,7 +157,28 @@ def pagerank(
     rank = np.full(n_nodes, scale // n_nodes, dtype=np.int64)
     base = (100 - damping_pct) * scale // (100 * n_nodes)
 
-    for _ in range(iters):
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    def _iter_path(i: int) -> str:
+        return _os.path.join(checkpoint_dir, f"iter_{i}.parquet")
+
+    start_iter = 0
+    if checkpoint_dir is not None:
+        _os.makedirs(checkpoint_dir, exist_ok=True)
+        while start_iter < iters and _os.path.exists(_iter_path(start_iter + 1)):
+            start_iter += 1
+        if start_iter:
+            tbl = _pq.read_table(_iter_path(start_iter))
+            saved = dict(
+                zip(tbl["node"].to_pylist(), tbl["rank"].to_pylist())
+            )
+            rank = np.array(
+                [saved[n] for n in nodes.tolist()], dtype=np.int64
+            )
+
+    for _it in range(start_iter, iters):
         contrib = np.where(deg_arr > 0, rank // np.maximum(deg_arr, 1), 0)
         state_ref = ray.put((nodes, contrib))
 
@@ -168,6 +196,13 @@ def pagerank(
         for row in edges.map_batches(_emit, batch_format="pyarrow").take_all():
             m[idx_of[row["dst"]]] += int(row["m_sum"])
         rank = base + damping_pct * m // 100
+        if checkpoint_dir is not None:
+            p = _iter_path(_it + 1)
+            _pq.write_table(
+                pa.table({"node": pa.array(nodes), "rank": pa.array(rank)}),
+                p + ".tmp",
+            )
+            _os.rename(p + ".tmp", p)
 
     return ray.data.from_arrow(
         pa.table({"node": pa.array(nodes), "rank": pa.array(rank)})

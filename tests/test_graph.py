@@ -206,3 +206,43 @@ def test_bfs_hops_checkpoint_resume(ray_session, tmp_path):
         .reset_index(drop=True)
     )
     assert resumed.equals(full), (len(resumed), len(full))
+
+
+def test_pagerank_checkpoint_resume_bit_identical(ray_session, tmp_path):
+    """A pagerank run resumed from an iteration checkpoint is bit-identical
+    to an uninterrupted run (integer fixed-point ranks)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from hypertrace_ingester_ray.stages.graph import pagerank
+
+    rng = np.random.RandomState(4)
+    edges = pa.table(
+        {
+            "src": pa.array(rng.randint(0, 30, 100).astype(np.int64)),
+            "dst": pa.array(rng.randint(0, 30, 100).astype(np.int64)),
+        }
+    )
+    ck = str(tmp_path / "pr_ck")
+    full = (
+        pagerank(ray.data.from_arrow(edges), iters=3, num_partitions=3)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    # partial: 2 iters with checkpoints, then resume to 3
+    pagerank(
+        ray.data.from_arrow(edges), iters=2, num_partitions=3,
+        checkpoint_dir=ck,
+    ).materialize()
+    resumed = (
+        pagerank(
+            ray.data.from_arrow(edges), iters=3, num_partitions=3,
+            checkpoint_dir=ck,
+        )
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    assert resumed.equals(full)
