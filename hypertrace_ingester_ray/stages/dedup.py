@@ -595,13 +595,34 @@ def exact_verify_pairs(
             )
         sa, offa = shingle_hashes(batch["text_a"], shingle_k)
         sb, offb = shingle_hashes(batch["text_b"], shingle_k)
-        out = np.empty(n, dtype=np.float64)
-        for i in range(n):  # bounded by candidate count, not corpus size
-            A = np.unique(sa[offa[i] : offa[i + 1]])
-            B = np.unique(sb[offb[i] : offb[i + 1]])
-            inter = len(np.intersect1d(A, B, assume_unique=True))
-            union = len(A) + len(B) - inter
-            out[i] = inter / union if union else 1.0
+
+        # fully vectorized per-pair set intersection: dedup each side's
+        # (pair, hash) pairs, concat the sides, and count (pair, hash) runs
+        # that appear on BOTH sides — one lexsort over the batch, no
+        # per-pair Python loop
+        def _side(sh: np.ndarray, off: np.ndarray):
+            pid = np.repeat(np.arange(n, dtype=np.int64), np.diff(off))
+            order = np.lexsort((sh, pid))
+            p, h = pid[order], sh[order]
+            keep = np.ones(len(p), dtype=bool)
+            keep[1:] = (p[1:] != p[:-1]) | (h[1:] != h[:-1])
+            return p[keep], h[keep]
+
+        p_a, h_a = _side(sa, offa)
+        p_b, h_b = _side(sb, offb)
+        size_a = np.bincount(p_a, minlength=n)
+        size_b = np.bincount(p_b, minlength=n)
+        p = np.concatenate([p_a, p_b])
+        h = np.concatenate([h_a, h_b])
+        order = np.lexsort((h, p))
+        ps, hs = p[order], h[order]
+        shared = np.zeros(0, dtype=np.int64)
+        if len(ps) > 1:
+            same = (ps[1:] == ps[:-1]) & (hs[1:] == hs[:-1])
+            shared = ps[1:][same]
+        inter = np.bincount(shared, minlength=n)
+        union = size_a + size_b - inter
+        out = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
         keep = out >= jaccard_threshold
         return pa.table(
             {
@@ -977,7 +998,12 @@ def allpairs_jaccard_pairs(
         # err toward a LONGER prefix on float boundaries: recall must be 1
         p = size - np.ceil(threshold * size - 1e-9).astype(np.int64) + 1
         keep = cum < p
-        return part.select(["tok", "doc_id", "set_size"]).filter(pa.array(keep))
+        # pos = 0-based rank of the token in the doc's canonical order,
+        # carried for the PPJoin positional filter in the bucket stage
+        part = part.append_column("pos", pa.array(cum))
+        return part.select(["tok", "doc_id", "set_size", "pos"]).filter(
+            pa.array(keep)
+        )
 
     prefixes = group_apply(
         attached,
@@ -996,6 +1022,7 @@ def allpairs_jaccard_pairs(
         toks = part["tok"].to_numpy(zero_copy_only=False)
         ids = part["doc_id"].to_numpy(zero_copy_only=False)
         sizes = part["set_size"].to_numpy(zero_copy_only=False)
+        poss = part["pos"].to_numpy(zero_copy_only=False)
         bounds = run_boundaries(toks)
         out_a: List[np.ndarray] = []
         out_b: List[np.ndarray] = []
@@ -1014,6 +1041,20 @@ def allpairs_jaccard_pairs(
             za, zb = sizes[s + ia], sizes[s + ib]
             keep = np.minimum(za, zb) >= threshold * np.maximum(za, zb) - 1e-9
             keep &= ids[s + ia] != ids[s + ib]
+            # PPJoin positional filter (Xiao et al., WWW'08): this shared
+            # token sits at rank pos in each doc's canonical order, so the
+            # overlap can't exceed 1 + min(remaining suffix lengths); prune
+            # when that bound can't reach the required overlap
+            # α = ceil(t/(1+t)·(|A|+|B|)).  Recall is preserved: for a true
+            # pair, the FIRST shared token in canonical order satisfies the
+            # bound (all α common tokens sit at or after its position).
+            alpha = np.ceil(
+                threshold / (1.0 + threshold) * (za + zb) - 1e-9
+            )
+            ub = 1 + np.minimum(
+                za - poss[s + ia] - 1, zb - poss[s + ib] - 1
+            )
+            keep &= ub >= alpha
             out_a.append(ids[s + ia[keep]])
             out_b.append(ids[s + ib[keep]])
         if not out_a:
