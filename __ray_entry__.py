@@ -720,6 +720,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_winnow_pairs": lambda sf: dedup.winnow_overlap_pairs(
             _docs(sf), k=20, w=10, num_partitions=8
         ),
+        # Lee-et-al span-dedup accounting: chars of each doc covered by
+        # >=20-char substrings shared with another doc (exact islands union)
+        "doc_dup_span_chars": lambda sf: dedup.duplicated_span_stats(
+            _docs(sf), k=20, num_partitions=8
+        ),
         # transitive closure of the verified pairs (pair list → clusters):
         # BSP min-label propagation, oracle = recursive CTE over the same
         # brute-force pair set
@@ -3142,6 +3147,28 @@ fpn AS (SELECT * FROM {_winnow_fps_sql(
 SELECT n.new_id, b.doc_id AS base_id, CAST(count(*) AS BIGINT) AS n_shared
 FROM fpn n JOIN fpb b ON n.mn = b.mn
 GROUP BY n.new_id, b.doc_id
+"""
+    # per-doc duplicated-span coverage: hits = positions whose 20-gram is
+    # shared with ANOTHER doc; union length via the SQL islands pattern
+    # (equal-length intervals: a row continues its island iff the start gap
+    # to the previous hit is < k)
+    sql["doc_dup_span_chars"] = """
+WITH pos AS (
+  SELECT doc_id, text, unnest(generate_series(1, len(text) - 19)) AS i
+  FROM documents WHERE len(text) >= 20
+),
+g AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
+             substr(text, CAST(i AS INT), 20) AS gram FROM pos),
+shared AS (SELECT gram FROM g GROUP BY gram
+           HAVING count(DISTINCT doc_id) > 1),
+hits AS (SELECT g.doc_id, g.i FROM g JOIN shared USING (gram)),
+d AS (SELECT doc_id, i,
+        i - LAG(i) OVER (PARTITION BY doc_id ORDER BY i) AS delta
+      FROM hits)
+SELECT doc_id,
+  CAST(SUM(CASE WHEN delta IS NULL OR delta >= 20 THEN 20
+                ELSE delta END) AS BIGINT) AS dup_chars
+FROM d GROUP BY doc_id
 """
     # exact shared-substring pairs: char grams mirror the engine's byte
     # grams (the corpus is ASCII; strlen == len verified)

@@ -1332,3 +1332,117 @@ def winnow_overlap_pairs(
         bucket_cap=bucket_cap,
         label="winnow_overlap_pairs",
     )
+
+
+def duplicated_span_stats(
+    ds: Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+    num_partitions: int = 16,
+) -> Dataset:
+    """Per-document duplicated-span accounting: the number of characters
+    covered by at least one ``k``-char substring that ALSO occurs in some
+    OTHER document — the measurement half of exact substring-span dedup
+    (Lee et al., ACL'22 remove repeated ≥50-token spans; here the spans are
+    byte grams and the output is the per-doc coverage, the input to a
+    removal policy).
+
+    Shape: (gram, doc, pos) rows stream out of ``char_shingle_hashes``
+    (position = window index, implicit); ONE exchange on the gram marks
+    grams seen in ≥2 DISTINCT docs and emits their (doc, pos) hits; ONE
+    exchange on the doc merges each doc's hit intervals ``[pos, pos+k)``
+    with a vectorized islands pass (all intervals equal length, so the
+    union is a running-max-free adjacency scan) and sums their union
+    length.  Docs with no shared span are absent (coverage 0).
+    Returns ``(doc_id, dup_chars:int64)``.
+    """
+    from ..functions.hashing import char_shingle_hashes
+
+    gram_schema = pa.schema(
+        [("gram", pa.int64()), ("doc_id", pa.int64()), ("pos", pa.int64())]
+    )
+
+    def _grams(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return gram_schema.empty_table()
+        sh, off = char_shingle_hashes(batch[text_col], k)
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), np.diff(off))
+        pos = np.arange(len(sh), dtype=np.int64) - off[doc_idx]
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "gram": pa.array(sh.view(np.int64)),
+                "doc_id": pa.array(ids[doc_idx]),
+                "pos": pa.array(pos),
+            }
+        )
+
+    def _hits(part: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.int64()), "pos": pa.array([], pa.int64())}
+        )
+        if part.num_rows == 0:
+            return empty
+        grams = part["gram"].to_numpy(zero_copy_only=False)
+        docs = part["doc_id"].to_numpy(zero_copy_only=False)
+        gb = run_boundaries(grams)
+        # distinct docs per gram run: count (gram, doc) sub-runs
+        gd = run_boundaries(grams, docs)
+        sub_of_run = np.searchsorted(gd, gb[:-1])
+        n_docs = np.diff(np.append(sub_of_run, len(gd) - 1))
+        shared = n_docs > 1  # gram appears in >= 2 distinct docs
+        keep = np.repeat(shared, np.diff(gb))
+        return pa.table(
+            {
+                "doc_id": part["doc_id"].filter(pa.array(keep)),
+                "pos": part["pos"].filter(pa.array(keep)),
+            }
+        )
+
+    hits = group_apply(
+        ds.select_columns([id_col, text_col]).map_batches(
+            _grams, batch_format="pyarrow"
+        ),
+        "gram",
+        _hits,
+        sort_by=["doc_id", "pos"],
+        num_partitions=num_partitions,
+    )
+
+    def _coverage(part: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "dup_chars": pa.array([], pa.int64()),
+            }
+        )
+        if part.num_rows == 0:
+            return empty
+        docs = part["doc_id"].to_numpy(zero_copy_only=False)
+        pos = part["pos"].to_numpy(zero_copy_only=False)
+        db = run_boundaries(docs)
+        seg = np.repeat(np.arange(len(db) - 1), np.diff(db))
+        # equal-length intervals [pos, pos+k) sorted by pos: a new island
+        # starts where the gap to the previous start exceeds k (or at a
+        # segment head); union length = k per island + the sum of
+        # within-island start deltas
+        prev_same = np.zeros(len(pos), dtype=bool)
+        prev_same[1:] = seg[1:] == seg[:-1]
+        delta = np.zeros(len(pos), dtype=np.int64)
+        delta[1:] = pos[1:] - pos[:-1]
+        joined = prev_same & (delta < k)  # continues the island
+        covered = np.where(joined, delta, k)
+        dup = np.add.reduceat(covered, db[:-1])
+        return pa.table(
+            {
+                "doc_id": pa.array(docs[db[:-1]]),
+                "dup_chars": pa.array(dup.astype(np.int64)),
+            }
+        )
+
+    return group_apply(
+        hits, "doc_id", _coverage, sort_by=["pos"], num_partitions=num_partitions
+    )

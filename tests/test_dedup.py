@@ -164,3 +164,50 @@ def test_winnow_guarantee_and_density(ray_session):
     fp = winnow_fingerprints(ds, k=k, w=w).to_pandas()
     n_grams = sum(max(len(s) - k + 1, 0) for s in texts)
     assert len(fp) < n_grams * 3.0 / (w + 1), (len(fp), n_grams)
+
+
+def test_duplicated_span_stats_vs_bruteforce(ray_session):
+    """duplicated_span_stats == brute-force per-doc union of positions
+    covered by k-grams shared with another doc; partition invariant."""
+    import pyarrow as pa
+    import ray.data
+
+    from hypertrace_ingester_ray.stages.dedup import duplicated_span_stats
+
+    rng = np.random.RandomState(21)
+    alpha = list("abcdef")
+    k = 6
+    texts, ids = [], []
+    shared_chunk = "".join(rng.choice(alpha, size=25))
+    for i in range(30):
+        s = "".join(rng.choice(alpha, size=rng.randint(10, 80)))
+        if rng.rand() < 0.5:
+            j = rng.randint(0, len(s))
+            s = s[:j] + shared_chunk + s[j:]
+        texts.append(s)
+        ids.append(i)
+
+    def brute():
+        grams = {}
+        for i, s in zip(ids, texts):
+            for p in range(len(s) - k + 1):
+                grams.setdefault(s[p : p + k], set()).add(i)
+        out = {}
+        for i, s in zip(ids, texts):
+            covered = set()
+            for p in range(len(s) - k + 1):
+                g = s[p : p + k]
+                if len(grams[g]) > 1:
+                    covered.update(range(p, p + k))
+            if covered:
+                out[i] = len(covered)
+        return out
+
+    exp = brute()
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()), "text": texts})
+    for nparts in (2, 5):
+        got = duplicated_span_stats(
+            ray.data.from_arrow(t), k=k, num_partitions=nparts
+        ).to_pandas()
+        m = dict(zip(got["doc_id"].tolist(), got["dup_chars"].tolist()))
+        assert m == exp, (nparts, len(m), len(exp))
