@@ -69,6 +69,21 @@ def _corpus_dir() -> str:
     return out
 
 
+def host_contention_probe() -> float:
+    """Single-thread matmul timing (ms): the sandbox host carries external
+    load that inflates wall-clock 2-6x while guest loadavg reads near zero,
+    so every recorded run carries its own contention evidence.  Quiet host
+    ≈ 25-40 ms; >2x that means the numbers measure the host, not the
+    engine (BENCH/BASELINE.md, round-3 oversubscription probe)."""
+    import numpy as _np
+
+    a = _np.random.RandomState(0).rand(800, 800)
+    t0 = time.perf_counter()
+    for _ in range(4):
+        a @ a
+    return round((time.perf_counter() - t0) * 250, 1)  # ms per matmul
+
+
 def run_headline(num_cpus: int, repeats: int = 1) -> dict:
     """Steady-state throughput: repeats share ONE Ray session (workers are
     warm after the first run, as on a long-lived cluster); returns the best."""
@@ -126,9 +141,11 @@ def run_headline(num_cpus: int, repeats: int = 1) -> dict:
     sink_base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
     best = None
     runs = []
+    probes = []
     for i in range(repeats):
         out = f"{sink_base}/htr_bench_out/{_sf_tag()}_{num_cpus}_{i}"
         shutil.rmtree(out, ignore_errors=True)
+        probes.append(host_contention_probe())
         t0 = time.perf_counter()
         summary = run_pipeline(corpus, out, cfg)
         elapsed = time.perf_counter() - t0
@@ -144,6 +161,7 @@ def run_headline(num_cpus: int, repeats: int = 1) -> dict:
             best = r
         shutil.rmtree(out, ignore_errors=True)  # keep /tmp bounded
     best["all_runs"] = runs
+    best["host_probe_ms"] = probes
     return best
 
 
@@ -208,6 +226,7 @@ def main():
             # (judge protocol: no cherry-picking — both views)
             tp = []
             all_runs = {}
+            probes = {}
             for n in levels:
                 p = subprocess.run(
                     [
@@ -221,6 +240,7 @@ def main():
                 line = [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
                 r = json.loads(line)
                 all_runs[n] = r["all_runs"]
+                probes[n] = r.get("host_probe_ms")
                 tp.append(r["turns_per_sec"])
             ratio = levels[1] / levels[0]
             med = [statistics.median(all_runs[n]) for n in levels]
@@ -231,6 +251,7 @@ def main():
                 "turns_per_sec": [round(t, 1) for t in tp],
                 "turns_per_sec_median": [round(t, 1) for t in med],
                 "all_runs": all_runs,
+                "host_probe_ms": probes,
             }
 
         if args.levels:
@@ -277,6 +298,9 @@ def main():
         "queries": queries,
         "sf": _sf_tag(),
         "num_cpus": args.cpus,
+        # per-run host-contention evidence (ms per single-thread 800^2
+        # matmul; quiet host 25-40): >2x means external load, not the engine
+        "host_probe_ms": head.get("host_probe_ms"),
     }
     print(json.dumps(out))
 
