@@ -465,3 +465,52 @@ def test_bucketed_group_apply_zero_shuffle(ray_session, tmp_path):
         .reset_index(drop=True)
     )
     assert got.equals(exp), (len(got), len(exp))
+
+
+def test_bucketed_corpus_replay_matches_direct_run(ray_session, tmp_path):
+    """run_pipeline over a prepare_bucketed_corpus layout (ZERO query-time
+    shuffle) produces byte-identical routed rows and view counts to the
+    direct shuffled run; bucket-count mismatch raises."""
+    import pytest as _pytest
+
+    from hypertrace_ingester_ray.pipelines.ingest import (
+        PipelineConfig,
+        prepare_bucketed_corpus,
+        run_pipeline,
+    )
+    from hypertrace_ingester_ray.sources.transcripts import (
+        transcripts_from_events,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    cfg = PipelineConfig(num_partitions=8)
+    direct_out = str(tmp_path / "direct")
+    s1 = run_pipeline(transcripts_from_events(sf), direct_out, cfg)
+
+    bucket_dir = str(tmp_path / "corpus")
+    prepare_bucketed_corpus(transcripts_from_events(sf), bucket_dir, cfg)
+    replay_out = str(tmp_path / "replay")
+    s2 = run_pipeline(None, replay_out, cfg, bucketed_corpus=bucket_dir)
+
+    assert s1["view_counts"] == s2["view_counts"]
+    assert s1["rows_in"] == s2["rows_in"]
+
+    import duckdb
+
+    a = duckdb.sql(
+        f"SELECT * FROM read_parquet('{direct_out}/per_turn/*.parquet') "
+        "ORDER BY conv_id, turn_idx"
+    ).df()
+    b = duckdb.sql(
+        f"SELECT * FROM read_parquet('{replay_out}/per_turn/*.parquet') "
+        "ORDER BY conv_id, turn_idx"
+    ).df()
+    assert a.equals(b), (len(a), len(b))
+
+    with _pytest.raises(ValueError, match="bucket"):
+        run_pipeline(
+            None,
+            str(tmp_path / "bad"),
+            PipelineConfig(num_partitions=4),
+            bucketed_corpus=bucket_dir,
+        )
