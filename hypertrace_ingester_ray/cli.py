@@ -30,6 +30,11 @@ def main(argv=None):
     src = run.add_mutually_exclusive_group(required=True)
     src.add_argument("--input", help="transcript parquet file/dir")
     src.add_argument("--events", help="sf dir: derive transcripts from events.parquet")
+    src.add_argument(
+        "--bucketed-corpus",
+        help="replay a prepare-corpus layout with ZERO query-time shuffle "
+             "(bucket count must match --num-partitions)",
+    )
     run.add_argument("--out", required=True)
     # None sentinels so a --config file's values are only overridden when a
     # flag was explicitly passed (defaults applied after config merge below)
@@ -44,6 +49,18 @@ def main(argv=None):
              "fit or Ray spills to disk)",
     )
     run.add_argument("--config", help="JSON pipeline config (see config.py); CLI flags override")
+
+    prep = sub.add_parser(
+        "prepare-corpus",
+        help="pre-pay the shuffle: normalize + bucket a corpus by conv_id "
+             "for repeated zero-shuffle replays (run --bucketed-corpus)",
+    )
+    psrc = prep.add_mutually_exclusive_group(required=True)
+    psrc.add_argument("--input", help="transcript parquet file/dir")
+    psrc.add_argument("--events", help="sf dir: derive transcripts from events.parquet")
+    prep.add_argument("--out", required=True)
+    prep.add_argument("--num-partitions", type=int, default=64)
+    prep.add_argument("--num-cpus", type=int, default=None)
 
     synth = sub.add_parser("synth", help="write a synthetic transcript corpus")
     synth.add_argument("--out", required=True)
@@ -75,14 +92,29 @@ def main(argv=None):
         addr = os.environ.get("RAY_ADDRESS", "local")
         if addr == "local":
             kwargs = {"num_cpus": args.num_cpus} if args.num_cpus else {}
-            if args.object_store_gb:
+            if getattr(args, "object_store_gb", None):
                 kwargs["object_store_memory"] = int(args.object_store_gb * 1024**3)
             ray.init(address="local", include_dashboard=False, **kwargs)
         else:
             ray.init(address=addr)
     try:
-        from .pipelines.ingest import PipelineConfig, run_pipeline
+        from .pipelines.ingest import (
+            PipelineConfig,
+            prepare_bucketed_corpus,
+            run_pipeline,
+        )
         from .sources.transcripts import transcripts_from_events
+
+        if args.cmd == "prepare-corpus":
+            cfg = PipelineConfig(num_partitions=args.num_partitions)
+            source = (
+                transcripts_from_events(args.events)
+                if args.events
+                else args.input
+            )
+            summary = prepare_bucketed_corpus(source, args.out, cfg)
+            print(json.dumps(summary, default=str))
+            return 0
 
         session_gap_us = (
             int(args.session_gap_sec * 1e6)
@@ -115,10 +147,17 @@ def main(argv=None):
                 ),
                 session_gap_us=session_gap_us,
             )
-        source = (
-            transcripts_from_events(args.events) if args.events else args.input
-        )
-        summary = run_pipeline(source, args.out, cfg)
+        if args.bucketed_corpus:
+            summary = run_pipeline(
+                None, args.out, cfg, bucketed_corpus=args.bucketed_corpus
+            )
+        else:
+            source = (
+                transcripts_from_events(args.events)
+                if args.events
+                else args.input
+            )
+            summary = run_pipeline(source, args.out, cfg)
         print(json.dumps(summary, default=str))
         return 0
     finally:
