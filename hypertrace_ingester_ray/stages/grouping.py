@@ -713,4 +713,10 @@ def cogroup(
         for p in range(num_partitions)
         if counts[p] > 0
     ]
-    return _rd.from_arrow_refs(reduce_refs)
+    out = _rd.from_arrow_refs(reduce_refs)
+    # pin the map-side slice refs to the result dataset's lifetime: dropping
+    # them at function exit races Ray-core's submitted-task ref bookkeeping
+    # under heavy long-session churn (observed reference_count.cc /
+    # task_manager.cc check failures ~115 queries into one session)
+    out._htr_cogroup_keepalive = (refs_l, refs_r)
+    return out

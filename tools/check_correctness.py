@@ -90,7 +90,20 @@ def main(sf_dir: str, only=None):
             return 1
     oracles = entry.oracle_sql()
     failures = 0
+    # restart Ray every N queries: one 130-query session accumulates enough
+    # task/ref churn to trip nondeterministic Ray-core check failures
+    # (reference_count.cc:581 / task_manager.cc:930, both observed ~115
+    # queries in); fresh sessions keep the gate about the ENGINE
+    session_budget = 40
+    since_restart = 0
     for name, fn in qs.items():
+        if since_restart >= session_budget:
+            ray.shutdown()
+            ray.init(address="local", num_cpus=16, include_dashboard=False)
+            ray.data.DataContext.get_current().enable_progress_bars = False
+            logging.getLogger("ray.data").setLevel(logging.ERROR)
+            since_restart = 0
+        since_restart += 1
         t0 = time.perf_counter()
         try:
             mine = to_pandas(fn(sf_dir))
