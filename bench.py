@@ -84,17 +84,39 @@ def host_contention_probe() -> float:
     return round((time.perf_counter() - t0) * 250, 1)  # ms per matmul
 
 
-def wait_quiet(max_wait_sec: float = 90.0, threshold_ms: float = 60.0) -> float:
-    """Poll the contention probe up to ``max_wait_sec`` for a quiet reading;
-    returns the last probe value.  Bounded: measurement proceeds either way
-    (the emitted host_probe_ms records what actually happened), this just
-    dodges spikes when a quiet window is seconds away."""
+def memory_bw_probe() -> float:
+    """Large-copy memory bandwidth (GB/s).  THE discriminating contention
+    signal on this host: external co-tenants steal MEMORY BANDWIDTH while
+    the cache-resident matmul probe reads quiet (observed 2026-08-18:
+    matmul 20 ms = quiet, memcpy 0.0-1.0 GB/s vs ≥5 on a quiet host, and
+    every Ray stage uniformly ~2.3x slower).  A shuffle engine is
+    bandwidth-bound, so gate measurements on THIS number."""
+    import numpy as _np
+
+    a = _np.empty(32 * 1024 * 1024, dtype=_np.float64)  # 256 MB
+    a.fill(1.0)  # fault the pages before timing
+    t0 = time.perf_counter()
+    b = a.copy()
+    dt = time.perf_counter() - t0
+    del b
+    return round(2 * a.nbytes / dt / 1e9, 2)
+
+
+def wait_quiet(
+    max_wait_sec: float = 90.0,
+    threshold_ms: float = 60.0,
+    min_bw_gbps: float = 3.0,
+) -> tuple:
+    """Poll both contention probes up to ``max_wait_sec`` for a quiet
+    reading; returns (matmul_ms, bw_gbps).  Bounded: measurement proceeds
+    either way (the emitted per-repeat probes record what actually
+    happened), this just dodges spikes when a quiet window is near."""
     deadline = time.perf_counter() + max_wait_sec
-    p = host_contention_probe()
-    while p > threshold_ms and time.perf_counter() < deadline:
+    p, bw = host_contention_probe(), memory_bw_probe()
+    while (p > threshold_ms or bw < min_bw_gbps) and time.perf_counter() < deadline:
         time.sleep(5)
-        p = host_contention_probe()
-    return p
+        p, bw = host_contention_probe(), memory_bw_probe()
+    return p, bw
 
 
 def run_headline(num_cpus: int, repeats: int = 1) -> dict:
@@ -158,10 +180,12 @@ def run_headline(num_cpus: int, repeats: int = 1) -> dict:
     best = None
     runs = []
     probes = []
+    bw_probes = []
     for i in range(repeats):
         out = f"{sink_base}/htr_bench_out/{_sf_tag()}_{num_cpus}_{i}"
         shutil.rmtree(out, ignore_errors=True)
         probes.append(host_contention_probe())
+        bw_probes.append(memory_bw_probe())
         t0 = time.perf_counter()
         summary = run_pipeline(corpus, out, cfg)
         elapsed = time.perf_counter() - t0
@@ -178,6 +202,7 @@ def run_headline(num_cpus: int, repeats: int = 1) -> dict:
         shutil.rmtree(out, ignore_errors=True)  # keep /tmp bounded
     best["all_runs"] = runs
     best["host_probe_ms"] = probes
+    best["host_bw_gbps"] = bw_probes
     return best
 
 
@@ -256,7 +281,10 @@ def main():
                 line = [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
                 r = json.loads(line)
                 all_runs[n] = r["all_runs"]
-                probes[n] = r.get("host_probe_ms")
+                probes[n] = {
+                    "ms": r.get("host_probe_ms"),
+                    "bw_gbps": r.get("host_bw_gbps"),
+                }
                 tp.append(r["turns_per_sec"])
             ratio = levels[1] / levels[0]
             med = [statistics.median(all_runs[n]) for n in levels]
@@ -314,9 +342,11 @@ def main():
         "queries": queries,
         "sf": _sf_tag(),
         "num_cpus": args.cpus,
-        # per-run host-contention evidence (ms per single-thread 800^2
-        # matmul; quiet host 25-40): >2x means external load, not the engine
+        # per-run host-contention evidence: ms per single-thread 800^2
+        # matmul (quiet 25-40) AND large-copy GB/s (quiet >= 5; external
+        # co-tenants steal memory bandwidth invisibly to the CPU probe)
         "host_probe_ms": head.get("host_probe_ms"),
+        "host_bw_gbps": head.get("host_bw_gbps"),
     }
     print(json.dumps(out))
 
