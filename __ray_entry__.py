@@ -995,6 +995,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_lang_source_intersect": _docs_lang_source_intersect,
         # SQL EXCEPT over full rows
         "docs_lang_source_except": _docs_lang_source_except,
+        # SQL UNION distinct (concat + generic DISTINCT) — set-op family
+        "docs_lang_source_union": _docs_lang_source_union,
         # integer BM25-variant retrieval (exact tf saturation + length
         # normalization, reciprocal-df idf surrogate; bit-exact oracle)
         "doc_bm25_top10": lambda sf: text_analysis.bm25_topk(
@@ -1517,6 +1519,18 @@ def _docs_lang_source_intersect(sf_dir: str):
 
     even, odd = _docs_halves(sf_dir)
     return set_op(even, odd, how="intersect", num_partitions=8)
+
+
+def _docs_lang_source_union(sf_dir: str):
+    """SQL UNION (distinct) over full rows: stream concat + the generic
+    batch-local-first DISTINCT (stages/analytics.distinct_rows) — completes
+    the set-operation family next to INTERSECT / EXCEPT."""
+    from hypertrace_ingester_ray.stages.analytics import distinct_rows
+
+    even, odd = _docs_halves(sf_dir)
+    return distinct_rows(
+        even.union(odd), ["lang", "source"], num_partitions=8
+    )
 
 
 def _docs_lang_source_except(sf_dir: str):
@@ -4210,6 +4224,11 @@ FROM documents
     sql["docs_lang_source_intersect"] = """
 SELECT lang, source FROM documents WHERE (doc_id // 7) % 2 = 0
 INTERSECT
+SELECT lang, source FROM documents WHERE (doc_id // 7) % 2 = 1
+"""
+    sql["docs_lang_source_union"] = """
+SELECT lang, source FROM documents WHERE (doc_id // 7) % 2 = 0
+UNION
 SELECT lang, source FROM documents WHERE (doc_id // 7) % 2 = 1
 """
     sql["docs_lang_source_except"] = """
