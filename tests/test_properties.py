@@ -204,3 +204,42 @@ def test_rolling_minmax_rmq_property(values, keys, window):
         if m.any():
             got[m] = red(tab[w[m]], tab[idx[m] - half[m] + 1])
     assert got.tolist() == exp
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abc ", min_size=0, max_size=30),
+        min_size=0,
+        max_size=25,
+    ),
+    st.integers(2, 6),
+)
+@settings(max_examples=40, deadline=None)
+def test_char_shingle_hashes_properties(texts, k):
+    """char_shingle_hashes invariants: per-doc gram counts are
+    max(len-k+1, 0); equal substrings hash equally across docs; offsets
+    monotone; sliced arrays match unsliced."""
+    import pyarrow as pa
+
+    from hypertrace_ingester_ray.functions.hashing import char_shingle_hashes
+
+    arr = pa.array(texts, pa.string())
+    sh, off = char_shingle_hashes(arr, k)
+    assert len(off) == len(texts) + 1
+    assert off[0] == 0 and off[-1] == len(sh)
+    for i, t in enumerate(texts):
+        n_bytes = len(t.encode())
+        assert off[i + 1] - off[i] == max(n_bytes - k + 1, 0), (i, t)
+    # value consistency: same gram text => same hash (cross-doc)
+    gram_of = {}
+    for i, t in enumerate(texts):
+        b = t.encode()
+        for j in range(max(len(b) - k + 1, 0)):
+            g = b[j : j + k]
+            h = sh[off[i] + j]
+            if g in gram_of:
+                assert gram_of[g] == h, (g, i, j)
+            gram_of[g] = h
+    if len(texts) > 1:
+        sh2, off2 = char_shingle_hashes(pa.array(texts).slice(1), k)
+        assert (sh2 == sh[off[1]:]).all()
