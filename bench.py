@@ -93,7 +93,9 @@ def memory_bw_probe() -> float:
     bandwidth-bound, so gate measurements on THIS number."""
     import numpy as _np
 
-    a = _np.empty(32 * 1024 * 1024, dtype=_np.float64)  # 256 MB
+    a = _np.empty(8 * 1024 * 1024, dtype=_np.float64)  # 64 MB — large
+    # enough to defeat caches, small enough that the probe itself stays
+    # cheap even at 0.02 GB/s (saturated-host polls)
     a.fill(1.0)  # fault the pages before timing
     t0 = time.perf_counter()
     b = a.copy()
