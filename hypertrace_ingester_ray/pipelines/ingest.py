@@ -360,10 +360,40 @@ def _read_normalized(input_path_or_ds, config: "PipelineConfig"):
     return split_bypass(ds, config.normalize)
 
 
+def _input_fingerprint(input_path_or_ds) -> dict:
+    """Identity record for a prepare input: for a path input, a CRC over
+    the sorted (name, size) list of its parquet files — enough to catch
+    'same dir name, different data'.  A Dataset input has no stable
+    identity (lineage isn't serializable), recorded as unverifiable."""
+    import zlib
+
+    if isinstance(input_path_or_ds, str):
+        p = input_path_or_ds
+        if os.path.isdir(p):
+            files = sorted(
+                f for f in os.listdir(p) if f.endswith(".parquet")
+            )
+            sig = "\x00".join(
+                f"{f}:{os.path.getsize(os.path.join(p, f))}" for f in files
+            )
+        else:
+            files = [os.path.basename(p)]
+            sig = f"{files[0]}:{os.path.getsize(p)}"
+        return {
+            "kind": "path",
+            "path": os.path.abspath(p),
+            "n_files": len(files),
+            "crc": zlib.crc32(sig.encode()),
+        }
+    return {"kind": "dataset"}
+
+
 def prepare_bucketed_corpus(
     input_path_or_ds: Union[str, Dataset],
     bucket_dir: str,
     config: Optional[PipelineConfig] = None,
+    *,
+    overwrite: bool = False,
 ) -> dict:
     """Pre-pay the flagship's ONE shuffle: normalize + route once and store
     the main stream as a conv_id-bucketed table
@@ -373,10 +403,47 @@ def prepare_bucketed_corpus(
     replay/reprocessing scenario (Kafka consumers re-reading topics that
     were pre-sharded by trace key,
     JaegerSpanToAvroRawSpanTransformer.java:58-65), where the expensive
-    corpus is reprocessed many times with evolving enrichers."""
+    corpus is reprocessed many times with evolving enrichers.
+
+    Re-preparing into a non-empty ``bucket_dir`` is only allowed when the
+    input provably matches the one recorded in ``_bucket_meta.json``
+    (resume-after-kill of the SAME prepare); anything else — different
+    input files, an unverifiable Dataset input, or a dir with no identity
+    record — raises, because write_bucketed's resume manifests would
+    silently keep stale buckets.  ``overwrite=True`` wipes the dir and
+    rebuilds."""
+    import json
+
     from ..stages.sinks import write_bucketed
 
     config = config or PipelineConfig()
+    if overwrite:
+        shutil.rmtree(bucket_dir, ignore_errors=True)
+    meta_path = os.path.join(bucket_dir, "_bucket_meta.json")
+    fp = _input_fingerprint(input_path_or_ds)
+    fp["num_buckets"] = config.num_partitions
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            prev = json.load(f)
+        if fp["kind"] != "path" or prev != fp:
+            raise ValueError(
+                f"bucket_dir {bucket_dir!r} was prepared from a different "
+                f"(or unverifiable) input: recorded {prev}, now {fp}; "
+                "write_bucketed's resume manifests would keep stale buckets "
+                "— pass overwrite=True to rebuild, or use a fresh dir"
+            )
+    elif os.path.isdir(bucket_dir) and os.listdir(bucket_dir):
+        raise ValueError(
+            f"bucket_dir {bucket_dir!r} is non-empty but carries no "
+            "_bucket_meta.json identity record; refusing to resume into an "
+            "unidentified dir — pass overwrite=True to rebuild"
+        )
+    else:
+        os.makedirs(bucket_dir, exist_ok=True)
+        tmp = meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(fp, f, sort_keys=True)
+        os.rename(tmp, meta_path)
     main, bypass = _read_normalized(input_path_or_ds, config)
     summary = write_bucketed(
         main,

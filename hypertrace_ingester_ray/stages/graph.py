@@ -46,6 +46,93 @@ from .grouping import DEFAULT_NUM_PARTITIONS, group_apply, run_boundaries
 __all__ = ["distinct_edges", "pagerank", "bfs_hops"]
 
 
+def _ckpt_meta_guard(checkpoint_dir: str, meta: dict, loose: tuple = ()) -> None:
+    """Write-or-validate the run-identity record for an iteration checkpoint
+    dir (the ``num_partitions`` check of state/lineage.write_partitioned,
+    applied to iterative jobs).
+
+    ``meta.json`` is written atomically next to the first checkpoint; a
+    resumed run must present identical values for every key not listed in
+    ``loose`` (keys like ``iters``/``max_hops`` are loose: extending the
+    iteration budget of the SAME job is a legitimate continuation, while a
+    different graph / damping / seed set silently poisons the resumed state
+    and must raise).  A dir that already holds checkpoint files but no
+    meta.json predates identity tracking (or belongs to something else) —
+    refuse it rather than trust it.
+    """
+    import json as _json
+    import os as _os
+
+    path = _os.path.join(checkpoint_dir, "meta.json")
+    _os.makedirs(checkpoint_dir, exist_ok=True)
+    if _os.path.exists(path):
+        with open(path) as f:
+            saved = _json.load(f)
+        mismatch = {
+            k: {"saved": saved.get(k), "now": v}
+            for k, v in meta.items()
+            if k not in loose and saved.get(k) != v
+        }
+        if mismatch:
+            raise ValueError(
+                f"checkpoint_dir {checkpoint_dir!r} belongs to a different "
+                f"run (mismatched identity: {mismatch}); resuming would "
+                "silently produce wrong results — use a fresh dir"
+            )
+        return
+    if any(f.endswith(".parquet") for f in _os.listdir(checkpoint_dir)):
+        raise ValueError(
+            f"checkpoint_dir {checkpoint_dir!r} holds checkpoint files but "
+            "no meta.json identity record; refusing to resume from an "
+            "unidentified run — use a fresh dir"
+        )
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        _json.dump(meta, f, sort_keys=True)
+    _os.rename(tmp, path)
+
+
+def _edge_fingerprint(edges: Dataset, src: str, dst: str) -> list:
+    """Order-independent fingerprint of an edge Dataset: (count, sum of
+    per-pair mixed hashes mod 2^64).  One column-pruned streaming pass;
+    only two ints reach the driver.  Used to pin checkpoint identity —
+    collisions need an adversarial edge set, fine for wrong-dir detection."""
+    from .grouping import _hash_column
+
+    def _fp(batch: pa.Table) -> pa.Table:
+        hs = (
+            _hash_column(batch[src], 1 << 31)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.uint64)
+        )
+        hd = (
+            _hash_column(batch[dst], 1 << 31)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.uint64)
+        )
+        mixed = (hs * np.uint64(0x9E3779B97F4A7C15)) ^ (
+            hd + np.uint64(0x85EBCA6B)
+        )
+        return pa.table(
+            {
+                "n": pa.array([batch.num_rows], pa.int64()),
+                "fp": pa.array(
+                    [int(mixed.sum(dtype=np.uint64))], pa.uint64()
+                ),
+            }
+        )
+
+    n, fp = 0, 0
+    for row in (
+        edges.select_columns([src, dst])
+        .map_batches(_fp, batch_format="pyarrow")
+        .take_all()
+    ):
+        n += int(row["n"])
+        fp = (fp + int(row["fp"])) % (1 << 64)
+    return [n, fp]
+
+
 def distinct_edges(
     ds: Dataset,
     *,
@@ -166,7 +253,28 @@ def pagerank(
 
     start_iter = 0
     if checkpoint_dir is not None:
-        _os.makedirs(checkpoint_dir, exist_ok=True)
+        import zlib as _zlib
+
+        # graph identity = node set + out-degree vector (both already
+        # driver-held here): a different edge set with identical degrees
+        # on identical nodes is the only collision, and damping/scale pin
+        # the arithmetic.  iters is loose — extending the budget resumes.
+        _ckpt_meta_guard(
+            checkpoint_dir,
+            {
+                "op": "pagerank",
+                "n_nodes": int(n_nodes),
+                "n_edges": int(deg_arr.sum()),
+                "nodes_crc": _zlib.crc32(
+                    "\x00".join(map(str, nodes.tolist())).encode()
+                ),
+                "deg_crc": _zlib.crc32(deg_arr.tobytes()),
+                "damping_pct": int(damping_pct),
+                "scale": int(scale),
+                "iters": int(iters),
+            },
+            loose=("iters",),
+        )
         while start_iter < iters and _os.path.exists(_iter_path(start_iter + 1)):
             start_iter += 1
         if start_iter:
@@ -336,6 +444,38 @@ def bfs_hops(
     from .joins import cogroup_join
 
     node_schema = pa.schema([("node", pa.int64())])
+    result_schema = pa.schema([("node", pa.int64()), ("dist", pa.int64())])
+
+    def _empty_result() -> Dataset:
+        return _rd.from_arrow(result_schema.empty_table())
+
+    if checkpoint_dir is not None:
+        # run identity: seed set + edge fingerprint (one column-pruned
+        # pass, two ints to the driver) + endpoint column names.  max_hops
+        # is loose — re-running with a larger budget continues the walk
+        # (the resume loop below never loads hops beyond the CURRENT
+        # max_hops, so a smaller budget is also safe).
+        import zlib as _zlib
+
+        seed_list = sorted(
+            r["node"]
+            for r in seeds.select_columns(["node"]).take_all()
+        )
+        _ckpt_meta_guard(
+            checkpoint_dir,
+            {
+                "op": "bfs_hops",
+                "seeds_crc": _zlib.crc32(
+                    "\x00".join(map(str, seed_list)).encode()
+                ),
+                "n_seeds": len(seed_list),
+                "edges_fp": _edge_fingerprint(edges, src, dst),
+                "src": src,
+                "dst": dst,
+                "max_hops": int(max_hops),
+            },
+            loose=("max_hops",),
+        )
 
     def _ckpt_path(hop: int) -> str:
         return _os.path.join(checkpoint_dir, f"hop_{hop}.parquet")
@@ -374,9 +514,13 @@ def bfs_hops(
     visited = None
     start_hop = 0
     if checkpoint_dir is not None:
-        while _os.path.exists(_ckpt_path(start_hop)):
+        # never load hops beyond the CURRENT max_hops — a resume with a
+        # smaller budget must not return distances the caller excluded
+        while start_hop <= max_hops and _os.path.exists(_ckpt_path(start_hop)):
             tbl = _pq.read_table(_ckpt_path(start_hop))
             if tbl.num_rows == 0:  # recorded early termination
+                if not out:  # terminated at hop 0: empty seed set
+                    return _empty_result()
                 result = out[0]
                 for part in out[1:]:
                     result = result.union(part)
@@ -392,6 +536,12 @@ def bfs_hops(
         frontier = distinct_rows(
             seeds.select_columns(["node"]), "node", num_partitions=num_partitions
         ).materialize()
+        if frontier.count() == 0:
+            # empty seed set: an empty distinct() has schema None, which
+            # the hop-1 cogroup cannot consume — record termination and
+            # return a TYPED empty (node, dist) dataset
+            _ckpt_write(0, _rd.from_arrow(node_schema.empty_table()))
+            return _empty_result()
         visited = frontier
         out = [frontier.map_batches(_with_dist(0), batch_format="pyarrow")]
         _ckpt_write(0, frontier)

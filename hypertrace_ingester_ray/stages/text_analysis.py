@@ -605,12 +605,13 @@ def bm25_topk(
             per_tok = pc.cast(
                 pc.equal(flat, pa.scalar(t)), pa.int64()
             ).to_numpy(zero_copy_only=False)
-            per_doc = (
-                np.add.reduceat(per_tok, off[:-1])
-                if per_tok.size
-                else np.zeros(0, np.int64)
-            )
-            per_doc = np.where(np.diff(off) == 0, 0, per_doc)
+            # empty/null-text docs have zero-length segments; off[:-1] may
+            # then contain len(flat) (trailing empties), which reduceat
+            # rejects — index only the non-empty segments and scatter back
+            per_doc = np.zeros(len(off) - 1, np.int64)
+            seg_nz = np.diff(off) > 0
+            if per_tok.size and seg_nz.any():
+                per_doc[seg_nz] = np.add.reduceat(per_tok, off[:-1][seg_nz])
             names.append(t)
             vals.append(int((per_doc > 0).sum()))
         return pa.table(
@@ -653,12 +654,13 @@ def bm25_topk(
             per_tok = pc.cast(
                 pc.equal(flat, pa.scalar(t)), pa.int64()
             ).to_numpy(zero_copy_only=False)
-            tf = (
-                np.add.reduceat(per_tok, off[:-1])
-                if per_tok.size
-                else np.zeros(0, np.int64)
-            )
-            tf_by_term[t] = np.where(dl == 0, 0, tf)
+            # same trailing-empty-segment guard as _stats: reduceat cannot
+            # take an index == len(per_tok)
+            tf = np.zeros(len(off) - 1, np.int64)
+            seg_nz = dl > 0
+            if per_tok.size and seg_nz.any():
+                tf[seg_nz] = np.add.reduceat(per_tok, off[:-1][seg_nz])
+            tf_by_term[t] = tf
         L100 = dl.astype(np.int64) * N * 100 // max(T, 1)
         X = 100 - b_x100 + (b_x100 * L100) // 100
         out_q, out_d, out_s = [], [], []

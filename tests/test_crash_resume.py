@@ -514,3 +514,43 @@ def test_bucketed_corpus_replay_matches_direct_run(ray_session, tmp_path):
             PipelineConfig(num_partitions=4),
             bucketed_corpus=bucket_dir,
         )
+
+
+def test_prepare_bucketed_corpus_identity_guard(ray_session, tmp_path):
+    """Re-preparing a bucket_dir from a DIFFERENT input raises instead of
+    silently serving stale buckets (ADVICE r3); same-input re-prepare is the
+    legit resume path; overwrite=True rebuilds; Dataset inputs are
+    unverifiable and refuse re-entry."""
+    import os
+    import shutil
+
+    import pytest as _pytest
+
+    from hypertrace_ingester_ray.pipelines.ingest import (
+        PipelineConfig,
+        prepare_bucketed_corpus,
+    )
+    from hypertrace_ingester_ray.sources.transcripts import (
+        write_synthetic_transcripts,
+    )
+
+    in_a = str(tmp_path / "in_a")
+    in_b = str(tmp_path / "in_b")
+    write_synthetic_transcripts(in_a, n_convs=40, convs_per_file=20, seed=1)
+    write_synthetic_transcripts(in_b, n_convs=60, convs_per_file=20, seed=2)
+    cfg = PipelineConfig(num_partitions=4)
+    bucket_dir = str(tmp_path / "bk")
+    prepare_bucketed_corpus(in_a, bucket_dir, cfg)
+    assert os.path.exists(os.path.join(bucket_dir, "_bucket_meta.json"))
+    # same input again: allowed (resume-after-kill path)
+    prepare_bucketed_corpus(in_a, bucket_dir, cfg)
+    # different input: loud error
+    with _pytest.raises(ValueError, match="different"):
+        prepare_bucketed_corpus(in_b, bucket_dir, cfg)
+    # overwrite rebuilds from the new input
+    s = prepare_bucketed_corpus(in_b, bucket_dir, cfg, overwrite=True)
+    assert s["rows"] > 0
+    # a non-empty dir without the identity record is refused
+    os.remove(os.path.join(bucket_dir, "_bucket_meta.json"))
+    with _pytest.raises(ValueError, match="no _bucket_meta"):
+        prepare_bucketed_corpus(in_b, bucket_dir, cfg)

@@ -150,8 +150,7 @@ def test_bfs_hops_matches_networkx_style_bfs(ray_session):
 
 def test_bfs_hops_checkpoint_resume(ray_session, tmp_path):
     """Checkpointed BFS resumes from completed hops: a partial run's
-    checkpoints carry a second run past the already-done hops (proved by
-    handing the resumed run EMPTY edges for the completed prefix), and the
+    checkpoints carry a second run past the already-done hops, and the
     resumed result is identical to an unchunked run."""
     import numpy as np
     import pyarrow as pa
@@ -189,14 +188,13 @@ def test_bfs_hops_checkpoint_resume(ray_session, tmp_path):
 
     assert os.path.exists(os.path.join(ck, "hop_0.parquet"))
     assert os.path.exists(os.path.join(ck, "hop_1.parquet"))
-    # resumed run continues to hop 2; hops 0-1 come from checkpoints, so the
-    # seeds may even be garbage — only the NEW hop reads the edge list
+    # resumed run continues to hop 2; hops 0-1 come from checkpoints (the
+    # meta.json identity guard requires the SAME seeds+edges — a different
+    # run raises, see test_bfs_checkpoint_identity_guard)
     resumed = (
         bfs_hops(
             ray.data.from_arrow(edges),
-            ray.data.from_arrow(
-                pa.table({"node": pa.array([999], pa.int64())})
-            ),
+            ray.data.from_arrow(seeds),
             max_hops=2,
             num_partitions=3,
             checkpoint_dir=ck,
@@ -246,3 +244,163 @@ def test_pagerank_checkpoint_resume_bit_identical(ray_session, tmp_path):
         .reset_index(drop=True)
     )
     assert resumed.equals(full)
+
+
+def test_bfs_empty_seed_set_returns_typed_empty(ray_session, tmp_path):
+    """An empty seed set returns a typed empty (node, dist) dataset instead
+    of crashing in the hop-1 cogroup (ADVICE r3), and records termination
+    in the checkpoint dir."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from hypertrace_ingester_ray.stages.graph import bfs_hops
+
+    edges = pa.table(
+        {
+            "src": pa.array([1, 2], pa.int64()),
+            "dst": pa.array([2, 3], pa.int64()),
+        }
+    )
+    empty_seeds = pa.table({"node": pa.array([], pa.int64())})
+    ck = str(tmp_path / "bfs_empty_ck")
+    got = bfs_hops(
+        ray.data.from_arrow(edges),
+        ray.data.from_arrow(empty_seeds),
+        max_hops=2,
+        num_partitions=2,
+        checkpoint_dir=ck,
+    )
+    assert got.count() == 0
+    assert {f.name: str(f.type) for f in got.schema().base_schema} == {
+        "node": "int64",
+        "dist": "int64",
+    }
+    assert os.path.exists(os.path.join(ck, "hop_0.parquet"))
+    # resuming the terminated-empty run is also a typed empty, not IndexError
+    resumed = bfs_hops(
+        ray.data.from_arrow(edges),
+        ray.data.from_arrow(empty_seeds),
+        max_hops=2,
+        num_partitions=2,
+        checkpoint_dir=ck,
+    )
+    assert resumed.count() == 0
+
+
+def test_bfs_checkpoint_identity_guard(ray_session, tmp_path):
+    """Resuming a BFS checkpoint dir with different seeds or different edges
+    raises loudly instead of silently mixing runs (ADVICE r3); a smaller
+    max_hops on resume never returns distances beyond the new budget."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from hypertrace_ingester_ray.stages.graph import bfs_hops
+
+    rng = np.random.RandomState(11)
+    edges = pa.table(
+        {
+            "src": pa.array(rng.randint(0, 40, 100).astype(np.int64)),
+            "dst": pa.array(rng.randint(0, 40, 100).astype(np.int64)),
+        }
+    )
+    seeds = pa.table({"node": pa.array([3], pa.int64())})
+    ck = str(tmp_path / "bfs_guard_ck")
+    bfs_hops(
+        ray.data.from_arrow(edges),
+        ray.data.from_arrow(seeds),
+        max_hops=3,
+        num_partitions=3,
+        checkpoint_dir=ck,
+    ).materialize()
+    # different seeds -> raise
+    with pytest.raises(ValueError, match="different run"):
+        bfs_hops(
+            ray.data.from_arrow(edges),
+            ray.data.from_arrow(
+                pa.table({"node": pa.array([999], pa.int64())})
+            ),
+            max_hops=3,
+            num_partitions=3,
+            checkpoint_dir=ck,
+        )
+    # different edge set -> raise
+    other = pa.table(
+        {
+            "src": pa.array([1, 2, 3], pa.int64()),
+            "dst": pa.array([4, 5, 6], pa.int64()),
+        }
+    )
+    with pytest.raises(ValueError, match="different run"):
+        bfs_hops(
+            ray.data.from_arrow(other),
+            ray.data.from_arrow(seeds),
+            max_hops=3,
+            num_partitions=3,
+            checkpoint_dir=ck,
+        )
+    # smaller max_hops on resume: loaded hops are capped at the new budget
+    small = bfs_hops(
+        ray.data.from_arrow(edges),
+        ray.data.from_arrow(seeds),
+        max_hops=1,
+        num_partitions=3,
+        checkpoint_dir=ck,
+    ).to_pandas()
+    assert small["dist"].max() <= 1
+
+
+def test_pagerank_checkpoint_identity_guard(ray_session, tmp_path):
+    """Resuming a pagerank checkpoint dir with different damping or a
+    different graph raises; extending iters on the same run still resumes
+    (loose key)."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from hypertrace_ingester_ray.stages.graph import pagerank
+
+    rng = np.random.RandomState(12)
+    edges = pa.table(
+        {
+            "src": pa.array(rng.randint(0, 20, 60).astype(np.int64)),
+            "dst": pa.array(rng.randint(0, 20, 60).astype(np.int64)),
+        }
+    )
+    ck = str(tmp_path / "pr_guard_ck")
+    pagerank(
+        ray.data.from_arrow(edges), iters=1, num_partitions=2,
+        checkpoint_dir=ck,
+    ).materialize()
+    with pytest.raises(ValueError, match="different run"):
+        pagerank(
+            ray.data.from_arrow(edges), iters=1, damping_pct=50,
+            num_partitions=2, checkpoint_dir=ck,
+        )
+    other = pa.table(
+        {
+            "src": pa.array([100, 200], pa.int64()),
+            "dst": pa.array([200, 300], pa.int64()),
+        }
+    )
+    with pytest.raises(ValueError, match="different run"):
+        pagerank(
+            ray.data.from_arrow(other), iters=1, num_partitions=2,
+            checkpoint_dir=ck,
+        )
+    # a checkpoint dir with parquet files but no meta.json predates identity
+    # tracking: refuse rather than trust
+    import json
+    import os
+
+    os.remove(os.path.join(ck, "meta.json"))
+    with pytest.raises(ValueError, match="no meta.json"):
+        pagerank(
+            ray.data.from_arrow(edges), iters=2, num_partitions=2,
+            checkpoint_dir=ck,
+        )

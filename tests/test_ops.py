@@ -529,3 +529,31 @@ def test_random_projection_jl(ray_session):
         orig = np.linalg.norm(m[i] - m[j])
         proj = np.linalg.norm(a[i] - a[j])
         assert abs(proj - orig) / orig < 0.4, (i, j, orig, proj)
+
+
+def test_bm25_topk_null_and_empty_text(ray_session):
+    """Null/empty text rows — including as the LAST rows of the batch, which
+    used to push len(flat) into reduceat's index list (ADVICE r3) — score 0
+    and never appear; other docs are unaffected."""
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(5)), pa.int64()),
+            "text": pa.array(["x x y", None, "y y", None, ""], pa.string()),
+        }
+    )
+    out = text_analysis.bm25_topk(
+        ray.data.from_arrow(t), {1: ["x", "y"]}, k=5
+    ).to_pandas()
+    assert set(out.doc_id) == {0, 2}
+    assert (out.score > 0).all()
+    # a batch whose docs are ALL null is also fine
+    t2 = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array([None, None], pa.string()),
+        }
+    )
+    out2 = text_analysis.bm25_topk(
+        ray.data.from_arrow(t2), {1: ["x"]}, k=3
+    )
+    assert out2.num_rows == 0
