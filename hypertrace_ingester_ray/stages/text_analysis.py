@@ -144,16 +144,16 @@ def fingerprints(ds: Dataset) -> Dataset:
 # ---------------------------------------------------------------------------
 
 
-def corpus_df(ds: Dataset, *, text_col: str = "text") -> pa.Table:
-    """Document frequency for EVERY word: per-batch distinct-(doc, word)
-    counts (docs are single rows, so in-batch distinct pairs are globally
-    distinct) -> one vocabulary-sized groupby.  Returns a (word, df) Arrow
-    table, sorted by word.
+#: default loud ceiling for driver-collected vocabularies.  ~10⁷ distinct
+#: words ≈ 100s of MB broadcast — true for natural-language corpora at any
+#: size; 100 TB of WEB text (typos, URLs, code) can reach 10⁹ and must use
+#: the ``vocab="join"`` shuffle path instead of a driver collect.
+MAX_VOCAB_DISTINCT = 10_000_000
 
-    Scale assumption (documented): the full word-level vocabulary fits in a
-    worker's heap when broadcast (~10⁷ words ≈ 100s of MB — true for
-    natural-language corpora at any size; for adversarial vocabularies swap
-    the broadcast in ``tfidf_top_terms`` for a word-keyed shuffle join)."""
+
+def _df_partial_fn(text_col: str):
+    """Per-batch distinct-(doc, word) document-frequency combiner (docs are
+    single rows, so in-batch distinct pairs are globally distinct)."""
 
     def _partial(batch: pa.Table) -> pa.Table:
         toks = pc.split_pattern(batch[text_col], " ")
@@ -171,8 +171,51 @@ def corpus_df(ds: Dataset, *, text_col: str = "text") -> pa.Table:
         ).astype(np.int64)
         return pa.table({"word": enc.dictionary, "df": pa.array(cnt)})
 
-    agg = ds.map_batches(_partial, batch_format="pyarrow").groupby("word").sum("df")
-    rows = agg.take_all()
+    return _partial
+
+
+def corpus_df_ds(ds: Dataset, *, text_col: str = "text") -> Dataset:
+    """Distributed (word, df) document-frequency table — the no-collect form
+    of :func:`corpus_df`: the vocabulary never leaves the cluster, so this
+    is the building block for the word-keyed shuffle-join paths
+    (``vocab="join"``) that stay safe at 10⁹-word web vocabularies."""
+    agg = (
+        ds.map_batches(_df_partial_fn(text_col), batch_format="pyarrow")
+        .groupby("word")
+        .sum("df")
+    )
+    return agg.map_batches(
+        lambda t: t.rename_columns(["word", "df"]), batch_format="pyarrow"
+    )
+
+
+def corpus_df(
+    ds: Dataset,
+    *,
+    text_col: str = "text",
+    max_distinct: int = MAX_VOCAB_DISTINCT,
+) -> pa.Table:
+    """Document frequency for EVERY word, collected to a (word, df) Arrow
+    table sorted by word — the broadcast-side input of the tf-idf family.
+
+    Loudly guarded driver collect: more than ``max_distinct`` distinct words
+    raises (the global_rank contract) instead of silently materializing an
+    unbounded vocabulary on the driver; callers with adversarial/web-scale
+    vocabularies use the ``vocab="join"`` paths built on
+    :func:`corpus_df_ds`."""
+    agg = (
+        ds.map_batches(_df_partial_fn(text_col), batch_format="pyarrow")
+        .groupby("word")
+        .sum("df")
+    )
+    rows = agg.take(max_distinct + 1)
+    if len(rows) > max_distinct:
+        raise ValueError(
+            f"corpus_df: vocabulary exceeds max_distinct={max_distinct}; "
+            "a driver collect of the full vocabulary would be unbounded — "
+            'use the vocab="join" path (word-keyed shuffle join) or raise '
+            "the guard deliberately"
+        )
     words = sorted(r["word"] for r in rows)
     dfmap = {r["word"]: r["sum(df)"] for r in rows}
     return pa.table(
@@ -190,20 +233,46 @@ def tfidf_top_terms(
     text_col: str = "text",
     k: int = 3,
     scale: int = 1_000_000,
+    vocab: str = "broadcast",
+    max_distinct: int = MAX_VOCAB_DISTINCT,
+    num_partitions: int = 16,
 ) -> Dataset:
     """Top-``k`` characteristic terms per document by integer tf·idf with
     idf = 1/df (score = tf·``scale`` // df — log-free so the DuckDB mirror
     is bit-exact; the ranking favors frequent-in-doc, rare-in-corpus terms
     exactly like the log form for the common case tf ≥ 1, df spread wide).
 
-    Shape: ONE vocabulary-sized aggregate broadcast via ``ray.put`` (see
-    ``corpus_df``), then a single stateless ``map_batches`` pass — per-doc
-    tf and the segmented top-k rank never leave the batch (docs are single
-    rows).  No per-doc shuffle at all.  Ties break by word ascending.
-    Emits (id, word, tf, df, score, rank)."""
+    ``vocab="broadcast"`` (default): ONE vocabulary-sized aggregate
+    broadcast via ``ray.put`` (see ``corpus_df``, loudly guarded at
+    ``max_distinct``), then a single stateless ``map_batches`` pass —
+    per-doc tf and the segmented top-k rank never leave the batch (docs
+    are single rows).  No per-doc shuffle at all.
+
+    ``vocab="join"``: the scale path for vocabularies beyond the driver
+    (10⁹-word web corpora) — distinct (doc, word, tf) pairs are shuffle-
+    joined against the distributed :func:`corpus_df_ds` table on the word
+    key, then one doc-keyed exchange ranks the top-k.  Identical output
+    (pytest-checked), three exchanges instead of zero, unbounded
+    vocabulary.
+
+    Ties break by word ascending.  Emits (id, word, tf, df, score, rank).
+    """
     import ray as _ray
 
-    df_ref = _ray.put(corpus_df(ds, text_col=text_col))
+    if vocab == "join":
+        return _tfidf_top_terms_join(
+            ds,
+            id_col=id_col,
+            text_col=text_col,
+            k=k,
+            scale=scale,
+            num_partitions=num_partitions,
+        )
+    if vocab != "broadcast":
+        raise ValueError(f"tfidf_top_terms: unknown vocab strategy {vocab!r}")
+    df_ref = _ray.put(
+        corpus_df(ds, text_col=text_col, max_distinct=max_distinct)
+    )
 
     def _topk(batch: pa.Table) -> pa.Table:
         dft = _ray.get(df_ref)
@@ -244,6 +313,105 @@ def tfidf_top_terms(
         )
 
     return ds.map_batches(_topk, batch_format="pyarrow")
+
+
+def _doc_word_tf_pairs(ds: Dataset, id_col: str, text_col: str) -> Dataset:
+    """Explode docs into distinct (id, word, tf) rows — globally distinct
+    because docs are single rows.  Shared by the vocab="join" paths."""
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch[text_col], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        off = np.asarray(toks.offsets)
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_codes = max(len(enc.dictionary), 1)
+        doc = np.repeat(np.arange(len(toks), dtype=np.int64), np.diff(off))
+        pair, tf = np.unique(doc * np.int64(n_codes) + codes, return_counts=True)
+        pdoc = (pair // n_codes).astype(np.int64)
+        pcode = (pair % n_codes).astype(np.int64)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        words = np.asarray(enc.dictionary.to_numpy(zero_copy_only=False))[pcode]
+        return pa.table(
+            {
+                id_col: pa.array(ids[pdoc]),
+                "word": pa.array(words, pa.string()),
+                "tf": pa.array(tf.astype(np.int64)),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        _pairs, batch_format="pyarrow"
+    )
+
+
+def _tfidf_top_terms_join(
+    ds: Dataset,
+    *,
+    id_col: str,
+    text_col: str,
+    k: int,
+    scale: int,
+    num_partitions: int,
+) -> Dataset:
+    """Word-keyed shuffle-join tf-idf (the unbounded-vocabulary path): the
+    df table stays a distributed Dataset; (doc, word, tf) pairs join it on
+    the word hash; one final doc-keyed exchange ranks top-k.  Output is
+    row-identical to the broadcast path."""
+    from .grouping import group_apply, segment_ids_from_boundaries, segmented_cumcount
+    from .joins import cogroup_join
+
+    pairs = _doc_word_tf_pairs(ds, id_col, text_col)
+    dfds = corpus_df_ds(ds, text_col=text_col)
+    joined = cogroup_join(
+        pairs, dfds, on=["word"], num_partitions=num_partitions
+    )
+
+    def _score(batch: pa.Table) -> pa.Table:
+        tf = batch["tf"].to_numpy(zero_copy_only=False)
+        dfv = batch["df"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "score", pa.array(tf * np.int64(scale) // dfv)
+        )
+
+    scored = joined.map_batches(_score, batch_format="pyarrow")
+
+    def _topk_part(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "word": pa.array([], pa.string()),
+                    "tf": pa.array([], pa.int64()),
+                    "df": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int64()),
+                }
+            )
+        # part arrives key-grouped (sorted by id) from group_apply
+        idc = (
+            part[id_col]
+            .combine_chunks()
+            .dictionary_encode()
+            .indices.to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        words = part["word"].to_numpy(zero_copy_only=False)
+        score = part["score"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((words, -score, idc))
+        seg = run_boundaries(idc[order])
+        rank = segmented_cumcount(segment_ids_from_boundaries(seg))
+        keep = order[rank < k]
+        out = part.take(pa.array(keep)).append_column(
+            "rank", pa.array(rank[rank < k].astype(np.int64))
+        )
+        return out.select([id_col, "word", "tf", "df", "score", "rank"])
+
+    return group_apply(
+        scored, id_col, _topk_part, num_partitions=num_partitions
+    )
 
 
 def inverted_index(
@@ -331,6 +499,9 @@ def bigram_pmi(
     text_col: str = "text",
     k: int = 40,
     scale: int = 10**12,
+    vocab: str = "broadcast",
+    max_distinct: int = MAX_VOCAB_DISTINCT,
+    num_partitions: int = 16,
 ) -> Dataset:
     """Top-``k`` collocations by integer PMI: rank adjacent word pairs by
     ``pair_cnt * scale // (left_cnt * right_cnt)`` where the marginals are
@@ -341,16 +512,25 @@ def bigram_pmi(
 
     Scale shape: the pair table is built with the same in-batch combiner as
     :func:`~.corpus.ngram_top_k` (adjacency-masked, cross-document pairs
-    excluded), aggregated once by ngram; the two marginal tables are
-    vocabulary-sized and broadcast via ``ray.put`` (swap for a hash_join
-    when the vocabulary outgrows the driver); scoring is one vectorized
-    pass.  Guards: pair counts above ``2^63 // scale`` raise loudly
-    (int64 scoring overflow)."""
+    excluded), aggregated once by ngram; with ``vocab="broadcast"``
+    (default) the two marginal tables are vocabulary-sized and broadcast
+    via ``ray.put`` — LOUDLY guarded at ``max_distinct`` — while
+    ``vocab="join"`` shuffle-joins the pair table against the distributed
+    marginals on each word key (identical output, pytest-checked, no
+    driver vocabulary).  Scoring is one vectorized pass.  Guards: pair
+    counts above ``2^63 // scale`` raise loudly (int64 scoring
+    overflow)."""
     import ray as _ray
 
     from .corpus import ngram_counts
 
     pairs = ngram_counts(ds, text_col=text_col, n=2)
+    if vocab == "join":
+        return _bigram_pmi_join(
+            pairs, k=k, scale=scale, num_partitions=num_partitions
+        )
+    if vocab != "broadcast":
+        raise ValueError(f"bigram_pmi: unknown vocab strategy {vocab!r}")
 
     def _marginal_partial(t: pa.Table) -> pa.Table:
         s = pc.split_pattern(t["ngram"], " ")
@@ -370,12 +550,19 @@ def bigram_pmi(
 
     left: dict = {}
     right: dict = {}
-    for row in (
+    marg_rows = (
         pairs.map_batches(_marginal_partial, batch_format="pyarrow")
         .groupby(["side", "word"])
         .sum("cnt_sum")
-        .take_all()
-    ):  # vocabulary-sized by construction
+        .take(2 * max_distinct + 1)
+    )  # vocabulary-sized by construction (≤ 2·vocab rows)
+    if len(marg_rows) > 2 * max_distinct:
+        raise ValueError(
+            f"bigram_pmi: marginal vocabulary exceeds max_distinct="
+            f"{max_distinct}; a driver collect would be unbounded — use "
+            'vocab="join" or raise the guard deliberately'
+        )
+    for row in marg_rows:
         d = left if row["side"] == "l" else right
         d[row["word"]] = int(row["sum(cnt_sum)"])
     lr_ref = _ray.put((left, right))
@@ -414,12 +601,84 @@ def bigram_pmi(
     )
 
 
+def _bigram_pmi_join(
+    pairs: Dataset, *, k: int, scale: int, num_partitions: int
+) -> Dataset:
+    """Word-keyed shuffle-join PMI (the unbounded-vocabulary path): the two
+    marginal tables stay distributed Datasets and the bigram table joins
+    each on its word key (two chained cogroup joins), so no vocabulary ever
+    reaches the driver.  Output is row-identical to the broadcast path."""
+    from .joins import cogroup_join
+
+    def _split(t: pa.Table) -> pa.Table:
+        s = pc.split_pattern(t["ngram"], " ")
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        return t.append_column("lw", pc.list_element(s, 0)).append_column(
+            "rw", pc.list_element(s, 1)
+        )
+
+    pw = pairs.map_batches(_split, batch_format="pyarrow")
+
+    def _marginal(col: str, out: str) -> Dataset:
+        def _partial(t: pa.Table) -> pa.Table:
+            g = t.select([col, "cnt"]).group_by(col).aggregate([("cnt", "sum")])
+            return g.rename_columns(["word", out])
+
+        return (
+            pw.map_batches(_partial, batch_format="pyarrow")
+            .groupby("word")
+            .sum(out)
+            .map_batches(
+                lambda t, o=out: t.rename_columns(["word", o]),
+                batch_format="pyarrow",
+            )
+        )
+
+    lm = _marginal("lw", "left_cnt")
+    rm = _marginal("rw", "right_cnt")
+    j1 = cogroup_join(
+        pw, lm, on=["lw"], right_on=["word"], num_partitions=num_partitions
+    )
+    j2 = cogroup_join(
+        j1, rm, on=["rw"], right_on=["word"], num_partitions=num_partitions
+    )
+
+    def _score(t: pa.Table) -> pa.Table:
+        cnt = t["cnt"].to_numpy(zero_copy_only=False)
+        if len(cnt) and cnt.max() > (2**63 - 1) // scale:
+            raise OverflowError(
+                "bigram_pmi: pair count too large for int64 scoring; "
+                "lower `scale`"
+            )
+        la = t["left_cnt"].to_numpy(zero_copy_only=False)
+        ra = t["right_cnt"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "ngram": t["ngram"],
+                "pair_cnt": t["cnt"],
+                "left_cnt": t["left_cnt"],
+                "right_cnt": t["right_cnt"],
+                "pmi_x1e12": pa.array(cnt * scale // (la * ra)),
+            }
+        )
+
+    return (
+        j2.map_batches(_score, batch_format="pyarrow")
+        .sort(["pmi_x1e12", "ngram"], descending=[True, False])
+        .limit(k)
+    )
+
+
 def unigram_surprisal(
     ds: Dataset,
     *,
     text_col: str = "text",
     id_col: str = "doc_id",
     scale: int = 10**6,
+    vocab: str = "broadcast",
+    max_distinct: int = MAX_VOCAB_DISTINCT,
+    num_partitions: int = 16,
 ) -> Dataset:
     """CCNet-style LM quality proxy: score every document by its mean
     inverse corpus unigram frequency — ``rarity = (Σ_t total*scale//cnt[t])
@@ -431,15 +690,18 @@ def unigram_surprisal(
     inverse frequency) and is bit-exact against a HUGEINT SQL mirror —
     a float KenLM-style scorer would be rows-only checkable.
 
-    Scale shape: pass 1 is the corpus unigram count table (in-batch
-    ``value_counts`` combiner → one vocabulary-bounded ``groupby``
-    exchange), collected and broadcast via ``ray.put`` (vocabulary-sized,
-    Zipf-small; swap for a hash_join against an exploded token table when
-    the vocabulary outgrows the driver).  Pass 2 is one vectorized batch
-    pass: split → dictionary-encode → per-DISTINCT-word lookup fanned out
-    via codes → ``np.add.reduceat`` per-document sums.  Guards: both the
-    per-word term (``total*scale``) and the per-document sum are checked
-    against int64 and raise loudly — never a silent wrap.
+    Scale shape, ``vocab="broadcast"`` (default): pass 1 is the corpus
+    unigram count table (in-batch ``value_counts`` combiner → one
+    vocabulary-bounded ``groupby`` exchange), collected — LOUDLY guarded at
+    ``max_distinct`` — and broadcast via ``ray.put``.  Pass 2 is one
+    vectorized batch pass: split → dictionary-encode → per-DISTINCT-word
+    lookup fanned out via codes → ``np.add.reduceat`` per-document sums.
+    ``vocab="join"`` is the unbounded-vocabulary path: (doc, word, tf)
+    pairs shuffle-join the distributed count table on the word key, then
+    one doc-keyed exchange sums — identical output (pytest-checked), no
+    driver vocabulary.  Guards: both the per-word term (``total*scale``)
+    and the per-document sum are checked against int64 and raise loudly —
+    never a silent wrap.
 
     Emits (id_col, n_tokens:int64, rarity_x1e6:int64).
     """
@@ -457,14 +719,32 @@ def unigram_surprisal(
             }
         )
 
-    counts: dict = {}
-    for row in (
+    count_agg = (
         ds.map_batches(_count_partial, batch_format="pyarrow")
         .groupby("word")
         .sum("cnt")
-        .take_all()
-    ):  # vocabulary-sized by construction
-        counts[row["word"]] = int(row["sum(cnt)"])
+    )
+    if vocab == "join":
+        return _unigram_surprisal_join(
+            ds,
+            count_agg,
+            text_col=text_col,
+            id_col=id_col,
+            scale=scale,
+            num_partitions=num_partitions,
+        )
+    if vocab != "broadcast":
+        raise ValueError(
+            f"unigram_surprisal: unknown vocab strategy {vocab!r}"
+        )
+    rows = count_agg.take(max_distinct + 1)
+    if len(rows) > max_distinct:
+        raise ValueError(
+            f"unigram_surprisal: vocabulary exceeds max_distinct="
+            f"{max_distinct}; a driver collect would be unbounded — use "
+            'vocab="join" or raise the guard deliberately'
+        )
+    counts = {row["word"]: int(row["sum(cnt)"]) for row in rows}
     total = sum(counts.values())
     if total > (2**63 - 1) // scale:
         raise OverflowError(
@@ -511,6 +791,135 @@ def unigram_surprisal(
 
     return ds.select_columns([id_col, text_col]).map_batches(
         _score, batch_format="pyarrow"
+    )
+
+
+def _unigram_surprisal_join(
+    ds: Dataset,
+    count_agg: Dataset,
+    *,
+    text_col: str,
+    id_col: str,
+    scale: int,
+    num_partitions: int,
+) -> Dataset:
+    """Word-keyed shuffle-join surprisal (the unbounded-vocabulary path).
+    The count table stays distributed; (doc, word, tf) pairs join it on the
+    word hash; per-pair contribution = tf · (total·scale // cnt); one
+    doc-keyed exchange sums.  Zero-token docs ride a parallel (id, n_tok,
+    0) stream so every input row appears in the output, exactly like the
+    broadcast path.  Only ``total`` (one int) reaches the driver."""
+    from .grouping import group_apply, segmented_sum
+    from .joins import cogroup_join
+
+    counts_ds = count_agg.map_batches(
+        lambda t: t.rename_columns(["word", "cnt"]), batch_format="pyarrow"
+    )
+    total = 0
+    for row in counts_ds.map_batches(
+        lambda t: pa.table(
+            {"s": pa.array([pc.sum(t["cnt"]).as_py() or 0], pa.int64())}
+        ),
+        batch_format="pyarrow",
+    ).take_all():
+        total += int(row["s"])
+    if total > (2**63 - 1) // scale:
+        raise OverflowError(
+            "unigram_surprisal: corpus token total too large for int64 "
+            "scoring at this scale; lower `scale`"
+        )
+
+    pairs = _doc_word_tf_pairs(ds, id_col, text_col)
+    joined = cogroup_join(
+        pairs, counts_ds, on=["word"], num_partitions=num_partitions
+    )
+
+    def _contrib(batch: pa.Table) -> pa.Table:
+        tf = batch["tf"].to_numpy(zero_copy_only=False)
+        cnt = batch["cnt"].to_numpy(zero_copy_only=False)
+        inv = total * scale // cnt
+        # float shadow with 2x margin: catches per-pair products that
+        # could wrap int64 (mirrors the broadcast path's per-doc check)
+        if tf.size and (tf.astype(np.float64) * inv.astype(np.float64)).max() > float(
+            2**62
+        ):
+            raise OverflowError(
+                "unigram_surprisal: per-pair contribution would overflow "
+                "int64; lower `scale`"
+            )
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "contrib": pa.array(tf * inv),
+            }
+        )
+
+    contribs = joined.map_batches(_contrib, batch_format="pyarrow")
+
+    # parallel per-doc token-count stream: guarantees zero-token docs (no
+    # pairs at all) still emit a row, and carries n_tokens for the divisor
+    def _base(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch[text_col], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        off = np.asarray(toks.offsets, dtype=np.int64)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "contrib": pa.array(np.diff(off) * np.int64(-1)),
+            }
+        )
+
+    # n_tok rides as NEGATIVE contrib values in the same stream (one
+    # exchange instead of two column-aligned ones): per doc,
+    # sum(neg) = -n_tok and sum(pos) = rarity numerator
+    base = ds.select_columns([id_col, text_col]).map_batches(
+        _base, batch_format="pyarrow"
+    )
+
+    def _final(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "rarity_x1e6": pa.array([], pa.int64()),
+                }
+            )
+        idc = (
+            part[id_col]
+            .combine_chunks()
+            .dictionary_encode()
+            .indices.to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        c = part["contrib"].to_numpy(zero_copy_only=False)
+        bounds = run_boundaries(idc)
+        pos = np.where(c > 0, c, 0)
+        neg = np.where(c < 0, -c, 0)
+        # float shadow on the per-doc sum (2x margin) before the int64 sum
+        shadow = segmented_sum(pos.astype(np.float64), bounds)
+        if shadow.size and shadow.max() > float(2**62):
+            raise OverflowError(
+                "unigram_surprisal: per-document rarity sum would "
+                "overflow int64; lower `scale`"
+            )
+        sums = segmented_sum(pos, bounds).astype(np.int64)
+        n_tok = segmented_sum(neg, bounds).astype(np.int64)
+        rarity = np.zeros(len(sums), dtype=np.int64)
+        nz = n_tok > 0
+        rarity[nz] = sums[nz] // n_tok[nz]
+        firsts = pa.array(bounds[:-1])
+        return pa.table(
+            {
+                id_col: part[id_col].take(firsts),
+                "n_tokens": pa.array(n_tok),
+                "rarity_x1e6": pa.array(rarity),
+            }
+        )
+
+    return group_apply(
+        contribs.union(base), id_col, _final, num_partitions=num_partitions
     )
 
 

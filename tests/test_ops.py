@@ -557,3 +557,90 @@ def test_bm25_topk_null_and_empty_text(ray_session):
         ray.data.from_arrow(t2), {1: ["x"]}, k=3
     )
     assert out2.num_rows == 0
+
+
+def test_tfidf_vocab_join_identical_to_broadcast(ray_session):
+    """The word-keyed shuffle-join path (vocab='join', unbounded
+    vocabulary) produces row-identical output to the broadcast path for
+    tfidf_top_terms, unigram_surprisal and bigram_pmi; the broadcast
+    driver-collect guard raises loudly when the vocabulary exceeds
+    max_distinct (VERDICT r3 #3)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vocab = [f"w{i}" for i in range(60)]
+    texts = [
+        " ".join(rng.choice(vocab, rng.randint(3, 25)).tolist())
+        for _ in range(80)
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(80)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(5)
+
+    def _sorted(d, cols):
+        return (
+            d.to_pandas().sort_values(cols).reset_index(drop=True)
+        )
+
+    a = _sorted(
+        text_analysis.tfidf_top_terms(ds, k=3), ["doc_id", "rank"]
+    )
+    b = _sorted(
+        text_analysis.tfidf_top_terms(ds, k=3, vocab="join", num_partitions=4),
+        ["doc_id", "rank"],
+    )
+    assert a.equals(b), (len(a), len(b))
+
+    a = _sorted(text_analysis.unigram_surprisal(ds), ["doc_id"])
+    b = _sorted(
+        text_analysis.unigram_surprisal(ds, vocab="join", num_partitions=4),
+        ["doc_id"],
+    )
+    assert a.equals(b), (len(a), len(b))
+
+    a = text_analysis.bigram_pmi(ds, k=10).to_pandas()
+    b = text_analysis.bigram_pmi(
+        ds, k=10, vocab="join", num_partitions=4
+    ).to_pandas()
+    assert a.equals(b), (len(a), len(b))
+
+    # loud guards on the broadcast driver collect
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_distinct"):
+        text_analysis.tfidf_top_terms(ds, k=3, max_distinct=10).materialize()
+    with _pytest.raises(ValueError, match="max_distinct"):
+        text_analysis.unigram_surprisal(ds, max_distinct=10).materialize()
+    with _pytest.raises(ValueError, match="max_distinct"):
+        text_analysis.bigram_pmi(ds, k=5, max_distinct=3).materialize()
+
+
+def test_tfidf_join_path_null_and_empty_docs(ray_session):
+    """vocab='join' keeps zero-token docs in unigram_surprisal output
+    (rarity 0), matching broadcast."""
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(["x x y", None, "y z"], pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    a = (
+        text_analysis.unigram_surprisal(ds)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        text_analysis.unigram_surprisal(ds, vocab="join", num_partitions=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+    assert set(b.doc_id) == {0, 1, 2}
+    assert b.set_index("doc_id").loc[1, "rarity_x1e6"] == 0
