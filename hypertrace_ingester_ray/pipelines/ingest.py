@@ -36,6 +36,7 @@ from dataclasses import dataclass, field
 from typing import Dict, Optional, Union
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -50,6 +51,7 @@ from ..stages.grouping import (
     assemble_conversations,
     group_apply,
 )
+from ..stages.filters import RateLimitConfig
 from ..stages.normalize import NormalizeConfig, normalize, split_bypass
 from ..stages.views import VIEW_BUILDERS
 from ..state import lineage
@@ -88,6 +90,12 @@ class PipelineConfig:
     drop_root_exits: bool = False  # F3 parentless-client-span drop
     root_exit_exclusions: tuple = ()
     latency_sample_pct: Optional[int] = None  # G5 TraceLatencyMeter analog
+    # F5 production rate limiting (SpanDropManager composes
+    # RateLimitingSpanFilter.java:34-57): deterministic per-(conversation,
+    # ts-window) row cap applied post-shuffle in stable turn order; dropped
+    # rows counted as rows_rate_limited in the manifest.  None = off
+    # (mirrors the reference default).
+    rate_limit: Optional["RateLimitConfig"] = None
 
 
 def process_partition(
@@ -101,6 +109,8 @@ def process_partition(
     root_exit_exclusions=(),
     latency_sample_pct: Optional[int] = None,
     tenant_id: Optional[str] = None,
+    tenant_column: Optional[str] = None,
+    rate_limit: Optional["RateLimitConfig"] = None,
 ):
     """Pure core: normalized partition (sorted by conv_id, turn_idx, ts) →
     (views dict, stats dict).  Shared by the sink-writing actor and tests.
@@ -117,6 +127,29 @@ def process_partition(
     # tenant column the light path elided from the exchange
     table = extract_batch(table, tenant_id=tenant_id or DEFAULT_TENANT)
     rows_in = table.num_rows
+    n_no_tenant = 0
+    if tenant_column is not None:
+        # M2 column-derived tenant drop-if-absent (TenantIdHandler.java:
+        # 33-81 drops records whose configured tenant tag is missing);
+        # counted into the manifest as rows_no_tenant
+        valid = pc.is_valid(table["tenant_id"])
+        if not pc.all(valid).as_py():
+            n_no_tenant = table.num_rows - int(
+                pc.sum(pc.cast(valid, pa.int64())).as_py()
+            )
+            table = table.filter(valid)
+    n_rate_limited = 0
+    if rate_limit is not None:
+        from ..stages.filters import rate_limit_part
+
+        # pre-grouping position mirrors SpanDropManager (rate-limited spans
+        # never reach the grouper); the partition arrives in stable
+        # (conv_id, turn_idx, ts) order so admission is deterministic
+        table, n_rate_limited = rate_limit_part(
+            table,
+            max_rows_per_window=rate_limit.max_rows_per_window,
+            window_us=int(rate_limit.window_sec * 1_000_000),
+        )
     if drop_root_exits:
         from ..stages.filters import root_exit_drop
 
@@ -138,6 +171,8 @@ def process_partition(
         "rows_in": rows_in,
         "rows_deduped": n_dedup,
         "rows_capped": n_capped,
+        "rows_no_tenant": n_no_tenant,
+        "rows_rate_limited": n_rate_limited,
         "view_counts": {k: v.num_rows for k, v in views.items()},
     }
     return views, stats
@@ -187,6 +222,8 @@ class PartitionProcessor:
             pa.field("rows_in", pa.int64()),
             pa.field("rows_deduped", pa.int64()),
             pa.field("rows_capped", pa.int64()),
+            pa.field("rows_no_tenant", pa.int64()),
+            pa.field("rows_rate_limited", pa.int64()),
             pa.field("resumed", pa.bool_()),
         ]
         + [pa.field(f"rows_{v}", pa.int64()) for v in VIEW_BUILDERS]
@@ -211,6 +248,9 @@ class PartitionProcessor:
             "rows_in": [stats["rows_in"]],
             "rows_deduped": [stats["rows_deduped"]],
             "rows_capped": [stats["rows_capped"]],
+            # .get: manifests committed before these counters existed
+            "rows_no_tenant": [stats.get("rows_no_tenant", 0)],
+            "rows_rate_limited": [stats.get("rows_rate_limited", 0)],
             "resumed": [resumed],
         }
         for v in VIEW_BUILDERS:
@@ -233,6 +273,8 @@ class PartitionProcessor:
             root_exit_exclusions=cfg.root_exit_exclusions,
             latency_sample_pct=cfg.latency_sample_pct,
             tenant_id=cfg.normalize.tenant_id,
+            tenant_column=cfg.normalize.tenant_column,
+            rate_limit=cfg.rate_limit,
         )
         checksums = {}
         for name, tbl in views.items():
@@ -247,6 +289,10 @@ class PartitionProcessor:
             rows_capped=stats["rows_capped"],
             view_counts=stats["view_counts"],
             view_checksums=checksums,
+            extra={
+                "rows_no_tenant": stats["rows_no_tenant"],
+                "rows_rate_limited": stats["rows_rate_limited"],
+            },
         )
         return self._stats_row(part_id, stats, resumed=False)
 
@@ -628,11 +674,20 @@ def run_pipeline(
         if not os.path.exists(bp_dir):
             tmp = bp_dir + "_tmp"
             shutil.rmtree(tmp, ignore_errors=True)
-            bypass.map_batches(
+            bp = bypass.map_batches(
                 extract_batch,
                 batch_format="pyarrow",
                 fn_kwargs={"tenant_id": config.normalize.tenant_id},
-            ).write_parquet(tmp)
+            )
+            if config.normalize.tenant_column is not None:
+                # tenant resolution precedes routing in the reference
+                # (TenantIdHandler runs in the pre-processor): bypass rows
+                # without a tenant are dropped too (uncounted side output)
+                bp = bp.map_batches(
+                    lambda t: t.filter(pc.is_valid(t["tenant_id"])),
+                    batch_format="pyarrow",
+                )
+            bp.write_parquet(tmp)
             os.rename(tmp, bp_dir)
 
     # metrics stage: final combine over the per-partition partial counts
@@ -656,6 +711,8 @@ def run_pipeline(
         "rows_in": total_rows_in,
         "rows_deduped": int(stats["rows_deduped"].sum()),
         "rows_capped": int(stats["rows_capped"].sum()),
+        "rows_no_tenant": int(stats["rows_no_tenant"].sum()),
+        "rows_rate_limited": int(stats["rows_rate_limited"].sum()),
         "view_counts": {
             v: int(stats[f"rows_{v}"].sum()) for v in VIEW_BUILDERS
         },

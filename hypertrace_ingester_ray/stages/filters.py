@@ -17,6 +17,7 @@
 from __future__ import annotations
 
 import time
+from dataclasses import dataclass
 from typing import Optional, Sequence
 
 import numpy as np
@@ -24,8 +25,60 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .grouping import run_boundaries
+from .grouping import run_boundaries, segment_ids_from_boundaries, segmented_cumcount
 from .normalize import DropCondition, rules_mask
+
+
+@dataclass(frozen=True)
+class RateLimitConfig:
+    """Production rate-limit knob (F5) — the SpanDropManager composition of
+    RateLimitingSpanFilter (SpanDropManager.java composes it;
+    RateLimitingSpanFilter.java:34-57 counts per (tenant, groupingKey) per
+    wall-clock minute).
+
+    The batch engine's window is DATA time, not wall clock: wall-clock
+    admission would make resumed runs emit different rows than the original
+    (breaking the north rule's no-dup/no-missing resume contract), so the
+    production pipeline caps rows per (conversation, ts-window) in stable
+    (turn_idx, ts) order — exact and deterministic, where the reference's
+    per-stream-thread counter is approximate across threads."""
+
+    max_rows_per_window: int
+    window_sec: float = 60.0
+
+
+def rate_limit_part(
+    part: pa.Table,
+    *,
+    max_rows_per_window: int,
+    window_us: int,
+    key_col: str = "conv_id",
+) -> tuple:
+    """Deterministic per-(key, ts-window) cap over one sorted partition:
+    keeps the FIRST ``max_rows_per_window`` rows of each window in the
+    partition's (key, turn) order.  Fully vectorized (one stable lexsort +
+    segmented cumcount, no row loop).  Returns ``(table, n_dropped)``."""
+    if part.num_rows == 0 or max_rows_per_window <= 0:
+        return part, 0
+    keys = (
+        part[key_col]
+        .combine_chunks()
+        .dictionary_encode()
+        .indices.to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    ts = part["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+    wcode = ts // np.int64(max(window_us, 1))
+    # stable sort by (key, window): equal cells keep partition order, so the
+    # cumcount below is 'arrival order within the window'
+    order = np.lexsort((wcode, keys))
+    bounds = run_boundaries(keys[order], wcode[order])
+    pos = segmented_cumcount(segment_ids_from_boundaries(bounds))
+    keep = np.empty(len(keys), dtype=bool)
+    keep[order] = pos < max_rows_per_window
+    if keep.all():
+        return part, 0
+    return part.filter(pa.array(keep)), int((~keep).sum())
 
 
 class RateLimiter:
@@ -55,16 +108,27 @@ class RateLimiter:
         if now - self._window_start >= self.window_sec:
             self._counts.clear()
             self._window_start = now
-        tenants = batch["tenant_id"].to_numpy(zero_copy_only=False)
-        keys = batch[self.key_col].to_numpy(zero_copy_only=False)
-        keep = np.ones(batch.num_rows, dtype=bool)
+        tenants = np.asarray(batch["tenant_id"].to_pandas(), dtype=object)
+        keys = np.asarray(batch[self.key_col].to_pandas(), dtype=object)
+        # vectorized per-(tenant, key) cumcount in batch order; the Python
+        # dict is touched once per DISTINCT pair, not per row
+        g = pd.DataFrame({"t": tenants, "k": keys}).groupby(
+            ["t", "k"], sort=False
+        )
+        codes = g.ngroup().to_numpy()  # 0..G-1 in first-appearance order
+        within = g.cumcount().to_numpy()
+        first_pos = np.unique(codes, return_index=True)[1]
         counts = self._counts
-        for i, k in enumerate(zip(tenants, keys)):
-            c = counts.get(k, 0)
-            if c >= self.max_rows:
-                keep[i] = False
-            else:
-                counts[k] = c + 1
+        prior = np.array(
+            [counts.get((tenants[i], keys[i]), 0) for i in first_pos],
+            dtype=np.int64,
+        )
+        keep = (within + prior[codes]) < self.max_rows
+        admitted = np.bincount(
+            codes, weights=keep, minlength=len(first_pos)
+        ).astype(np.int64)
+        for j, i in enumerate(first_pos):
+            counts[(tenants[i], keys[i])] = int(prior[j] + admitted[j])
         if keep.all():
             return batch
         return batch.filter(pa.array(keep))

@@ -542,10 +542,21 @@ def skew_join(
     (``grouping.hot_key_counts``: key column only, per-batch combine,
     distributed threshold filter) — the driver never sees the full key
     histogram, only the hot set.
+
+    Single-scan discipline (r3 verdict: the old version re-executed the
+    probe lineage THREE times — hot pre-count, hot split, cold split — at
+    2x the cost of a plain join): both inputs are ``materialize()``d once
+    up front, so the count and both splits read pinned object-store blocks
+    instead of re-running upstream stages.  The pin is block-level state in
+    the object store (spillable), not a driver collect — the price of skew
+    insurance is now residency, not recompute; measured at sf0.1 this puts
+    skew_join within the plain-join envelope (BASELINE.md round-4 audit).
     """
     right_on = right_on or on
     from .grouping import hot_key_counts
 
+    left = left.materialize()
+    right = right.materialize()
     hot = hot_key_counts(left, on, threshold=hot_threshold)
     if not hot:
         return hash_join(

@@ -62,14 +62,58 @@ class DropCondition:
 
 
 @dataclass(frozen=True)
+class RuleTree:
+    """Arbitrary AND/OR tree over conditions — the nested logical-rule form
+    of the reference's exclude rules (ExcludeSpanRuleEvaluator.java:42-62
+    evaluates LogicalSpanFilterExpression trees, not just OR-of-AND lists).
+    ``children`` holds DropCondition leaves and/or nested RuleTree nodes.
+    """
+
+    op: Literal["and", "or"]
+    children: tuple = ()
+
+    def __post_init__(self):
+        if self.op not in ("and", "or"):
+            raise ValueError(f"RuleTree op must be 'and'/'or', got {self.op!r}")
+        if not self.children:
+            raise ValueError("RuleTree requires at least one child")
+
+
+#: a "rule" is either a flat AND-list of conditions (the classic OR-of-AND
+#: shape) or a RuleTree for arbitrary nesting
+Rule = Sequence  # Sequence[DropCondition] | RuleTree
+
+
+def iter_rule_conditions(rules):
+    """Yield every leaf DropCondition of a rule list (flat or tree form)."""
+    for rule in rules:
+        stack = [rule]
+        while stack:
+            node = stack.pop()
+            if isinstance(node, DropCondition):
+                yield node
+            elif isinstance(node, RuleTree):
+                stack.extend(node.children)
+            else:  # flat AND-list
+                stack.extend(node)
+
+
+@dataclass(frozen=True)
 class NormalizeConfig:
     tenant_id: str = DEFAULT_TENANT
+    # M2 column-derived tenant (TenantIdHandler.java:33-81 resolves the
+    # tenant from a configured tag key): when set, tenant_id comes from this
+    # input column and rows WITHOUT one are dropped (counted in the run
+    # manifest as rows_no_tenant, main path).  When None, tenant_id is the
+    # static constant above (elided from the exchange).
+    tenant_column: Optional[str] = None
     # OR of ANDs: a row matching every condition of any rule is dropped
-    # (SpanFilter.java:123-155).
-    drop_rules: Sequence[Sequence[DropCondition]] = ()
+    # (SpanFilter.java:123-155).  Each rule may also be a RuleTree for
+    # arbitrary AND/OR nesting (F4, ExcludeSpanRuleEvaluator.java:42-62).
+    drop_rules: Sequence = ()
     # bypass predicate (ByPassPredicate.java:28-44): rows matching skip
     # grouping/enrichment and are routed straight to the bypass sink.
-    bypass_rules: Sequence[Sequence[DropCondition]] = ()
+    bypass_rules: Sequence = ()
 
 
 def _condition_mask(batch: pa.Table, cond: DropCondition) -> pa.ChunkedArray:
@@ -89,16 +133,35 @@ def _condition_mask(batch: pa.Table, cond: DropCondition) -> pa.ChunkedArray:
     return pc.fill_null(m, False) if cond.op not in ("EXISTS", "NOT_EXISTS") else m
 
 
-def rules_mask(batch: pa.Table, rules: Sequence[Sequence[DropCondition]]) -> Optional[pa.ChunkedArray]:
-    """True where a row matches any rule (each rule = AND of conditions)."""
+def _node_mask(batch: pa.Table, node):
+    """Compile one rule node (condition leaf, AND/OR tree, or flat AND-list)
+    down to a boolean mask — the vectorized form of the reference's
+    recursive tree evaluation (ExcludeSpanRuleEvaluator.java:42-62)."""
+    if isinstance(node, DropCondition):
+        return _condition_mask(batch, node)
+    if isinstance(node, RuleTree):
+        combine = pc.and_ if node.op == "and" else pc.or_
+        acc = None
+        for child in node.children:
+            m = _node_mask(batch, child)
+            acc = m if acc is None else combine(acc, m)
+        return acc
+    # flat sequence of conditions = AND (the classic rule shape)
+    acc = None
+    for cond in node:
+        m = _condition_mask(batch, cond)
+        acc = m if acc is None else pc.and_(acc, m)
+    return acc
+
+
+def rules_mask(batch: pa.Table, rules: Sequence) -> Optional[pa.ChunkedArray]:
+    """True where a row matches any rule (each rule = AND-list of conditions
+    or an arbitrary AND/OR RuleTree)."""
     if not rules:
         return None
     any_rule = None
     for rule in rules:
-        rule_mask = None
-        for cond in rule:
-            m = _condition_mask(batch, cond)
-            rule_mask = m if rule_mask is None else pc.and_(rule_mask, m)
+        rule_mask = _node_mask(batch, rule)
         any_rule = rule_mask if any_rule is None else pc.or_(any_rule, rule_mask)
     return any_rule
 
@@ -115,10 +178,9 @@ def needs_extraction_for_rules(config: NormalizeConfig) -> bool:
     """True when any drop/bypass rule references a grok-extracted column, in
     which case extraction must run before filtering (pre-shuffle)."""
     for rules in (config.drop_rules, config.bypass_rules):
-        for rule in rules:
-            for cond in rule:
-                if cond.column not in LIGHT_COLUMNS:
-                    return True
+        for cond in iter_rule_conditions(rules):
+            if cond.column not in LIGHT_COLUMNS:
+                return True
     return False
 
 
@@ -158,11 +220,19 @@ def normalize_light_batch(
         "tool": batch["tool"],
         "ts": batch["ts"],
     }
-    if any(
+    if config.tenant_column is not None:
+        # column-derived tenant (M2): data-dependent, so it MUST ride the
+        # exchange; null-tenant rows ride too and are dropped + counted
+        # post-shuffle (rows_no_tenant in the manifest)
+        cols = {
+            "tenant_id": pc.cast(batch[config.tenant_column], pa.string()),
+            **cols,
+        }
+    elif any(
         cond.column == "tenant_id"
-        for rules in (config.drop_rules, config.bypass_rules)
-        for rule in rules
-        for cond in rule
+        for cond in iter_rule_conditions(
+            (*config.drop_rules, *config.bypass_rules)
+        )
     ):
         cols = {
             "tenant_id": pa.array([config.tenant_id] * batch.num_rows, pa.string()),
@@ -197,6 +267,8 @@ def _parse_text_fields(text_col, n: int) -> dict:
 
     def tok(k):
         present = counts > k
+        if len(flat) == 0 or not present.any():
+            return pa.nulls(n, str_t)
         got = flat.take(pa.array(np.where(present, base + k, 0)))
         return pc.if_else(pa.array(present), got, pa.nulls(n, str_t))
 
@@ -211,6 +283,8 @@ def _parse_text_fields(text_col, n: int) -> dict:
 
     def utok(k):
         present = ucounts > k
+        if len(uflat) == 0 or not present.any():
+            return pa.nulls(n, str_t)
         got = uflat.take(pa.array(np.where(present, ubase + k, 0)))
         return pc.if_else(pa.array(present), got, pa.nulls(n, str_t))
 
@@ -317,12 +391,13 @@ def extract_batch(batch: pa.Table, tenant_id: str = DEFAULT_TENANT) -> pa.Table:
 
 
 def normalize_batch(batch: pa.Table, config: NormalizeConfig = NormalizeConfig()) -> pa.Table:
-    """transcripts batch → NORMALIZED_TURNS batch (drop-filtered)."""
-    batch = drop_poison_rows(batch)
-    drop = rules_mask(batch, config.drop_rules)
-    if drop is not None:
-        batch = batch.filter(pc.invert(drop))
+    """transcripts batch → NORMALIZED_TURNS batch (drop-filtered).
 
+    Drop rules are applied AFTER extraction (on the full NORMALIZED_TURNS
+    layout) so rules may reference grok-extracted columns — this is the
+    heavy path ``needs_extraction_for_rules`` selects; light-column rules
+    filter identically on either side of the projection."""
+    batch = drop_poison_rows(batch)
     n = batch.num_rows
     f = _parse_text_fields(batch["text"], n)
     http_method = f["http_method"]
@@ -337,8 +412,13 @@ def normalize_batch(batch: pa.Table, config: NormalizeConfig = NormalizeConfig()
     service_name = pc.coalesce(batch["tool"], batch["role"])
     is_error = pc.fill_null(pc.greater_equal(status_code, 400), False)
 
+    tenant = (
+        pc.cast(batch[config.tenant_column], pa.string())
+        if config.tenant_column is not None
+        else pa.array([config.tenant_id] * n, pa.string())
+    )
     cols = {
-        "tenant_id": pa.array([config.tenant_id] * n, pa.string()),
+        "tenant_id": tenant,
         "conv_id": batch["conv_id"],
         "turn_idx": pc.cast(batch["turn_idx"], pa.int32()),
         "role": batch["role"],
@@ -356,7 +436,11 @@ def normalize_batch(batch: pa.Table, config: NormalizeConfig = NormalizeConfig()
         "service_name": service_name,
         "is_error": is_error,
     }
-    return pa.table(cols)
+    out = pa.table(cols)
+    drop = rules_mask(out, config.drop_rules)
+    if drop is not None:
+        out = out.filter(pc.invert(drop))
+    return out
 
 
 def normalize(ds: Dataset, config: NormalizeConfig = NormalizeConfig()) -> Dataset:

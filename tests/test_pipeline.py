@@ -168,3 +168,167 @@ def test_call_edges_four_scenarios(ray_session):
         "jdbc://db:5432", "http://http:80/api/v1/view/3",
     ]
     assert b.backend_id.notna().all()
+
+
+def test_rate_limit_wired_into_pipeline(tmp_path, sf_dir):
+    """F5 production wiring (VERDICT r3 #5): a config-driven rate limit caps
+    rows per (conversation, ts-window) in run_pipeline output; the dropped
+    count lands in the run manifest; the config round-trips from JSON."""
+    import pyarrow.parquet as pq
+
+    from hypertrace_ingester_ray.config import pipeline_config_from_dict
+    from hypertrace_ingester_ray.stages.filters import RateLimitConfig
+
+    window_sec = 10**7  # ~115-day windows so the cap actually binds
+    cfg = pipeline_config_from_dict(
+        {
+            "num_partitions": 8,
+            "rate_limit": {
+                "max_rows_per_window": 5,
+                "window_sec": window_sec,
+            },
+        }
+    )
+    assert cfg.rate_limit == RateLimitConfig(5, window_sec)
+    out = str(tmp_path / "rl")
+    s = run_pipeline(transcripts_from_events(sf_dir), out, cfg)
+    assert s["rows_rate_limited"] > 0
+    # every (conv, window) in the per_turn sink holds <= 5 rows
+    pt = pq.read_table(os.path.join(out, "per_turn"))
+    df = pt.select(["conv_id", "ts"]).to_pandas()
+    df["w"] = df["ts"].astype("int64") // (window_sec * 10**6)
+    assert df.groupby(["conv_id", "w"]).size().max() <= 5
+    assert (
+        s["view_counts"]["per_turn"] + s["rows_rate_limited"]
+        + s["rows_deduped"] == s["rows_in"]
+    )
+    # resume stays idempotent under rate limiting (deterministic data-time
+    # windows, not wall clock)
+    s2 = run_pipeline(transcripts_from_events(sf_dir), out, cfg)
+    assert s2["resumed_partitions"] == 8
+    assert s2["view_counts"] == s["view_counts"]
+
+
+def test_column_derived_tenant(tmp_path, sf_dir):
+    """M2 column-derived tenant (VERDICT r3 #6, TenantIdHandler.java:33-81):
+    per_turn carries the tenant from the configured column; rows without a
+    tenant are dropped and counted in the manifest."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from hypertrace_ingester_ray.stages.normalize import NormalizeConfig
+
+    base = transcripts_from_events(sf_dir)
+
+    def _add_tenant(batch: "pa.Table") -> "pa.Table":
+        conv = batch["conv_id"].to_pandas()
+        # tenant derived from the conversation id; every 7th conv missing
+        h = conv.map(lambda c: sum(map(ord, c)))
+        tenant = np.where(
+            h % 7 == 0, None, np.where(h % 2 == 0, "acme", "globex")
+        )
+        return batch.append_column("tenant", pa.array(tenant, pa.string()))
+
+    ds = base.map_batches(_add_tenant, batch_format="pyarrow")
+    cfg = PipelineConfig(
+        normalize=NormalizeConfig(tenant_column="tenant"), num_partitions=8
+    )
+    out = str(tmp_path / "mt")
+    s = run_pipeline(ds, out, cfg)
+    assert s["rows_no_tenant"] > 0
+    pt = pq.read_table(os.path.join(out, "per_turn")).to_pandas()
+    assert set(pt["tenant_id"].unique()) == {"acme", "globex"}
+    assert len(pt) + s["rows_no_tenant"] + s["rows_deduped"] == s["rows_in"]
+    # manifest carries the per-partition counter
+    m = json.load(
+        open(glob.glob(os.path.join(out, "_manifests", "part-*.json"))[0])
+    )
+    assert "rows_no_tenant" in m
+
+
+def test_nested_rule_trees(ray_session):
+    """F4 nested AND/OR rule trees (VERDICT r3 #7): a reference-shaped
+    nested rule config ports 1:1 and filters identically to its manually
+    expanded OR-of-AND form."""
+    import pyarrow as pa
+
+    from hypertrace_ingester_ray.config import pipeline_config_from_dict
+    from hypertrace_ingester_ray.stages.normalize import (
+        NormalizeConfig,
+        normalize_batch,
+    )
+
+    batch = pa.table(
+        {
+            "conv_id": pa.array([f"c{i}" for i in range(6)]),
+            "turn_idx": pa.array([0] * 6, pa.int32()),
+            "role": pa.array(
+                ["system", "tool", "assistant", "tool", "user", "tool"]
+            ),
+            "text": pa.array(
+                ["a", "boom", "boom", "calm", "boom", "x"]
+            ),
+            "tool": pa.array(["t", "t", None, "t", None, None]),
+            "ts": pa.array([0] * 6, pa.timestamp("us")),
+        }
+    )
+    # nested: AND(tool EXISTS, OR(role == tool, text CONTAINS boom))
+    cfg = pipeline_config_from_dict(
+        {
+            "drop_rules": [
+                {
+                    "and": [
+                        {"column": "tool", "op": "EXISTS"},
+                        {
+                            "or": [
+                                {"column": "role", "op": "EQ", "value": "tool"},
+                                {
+                                    "column": "text",
+                                    "op": "CONTAINS",
+                                    "value": "boom",
+                                },
+                            ]
+                        },
+                    ]
+                }
+            ]
+        }
+    )
+    got = normalize_batch(batch, cfg.normalize)
+    # manual expansion: OR of AND-lists
+    expanded = NormalizeConfig(
+        drop_rules=[
+            [
+                type(cfg.normalize.drop_rules[0].children[0])(
+                    "tool", "EXISTS"
+                ),
+                type(cfg.normalize.drop_rules[0].children[0])(
+                    "role", "EQ", "tool"
+                ),
+            ],
+            [
+                type(cfg.normalize.drop_rules[0].children[0])(
+                    "tool", "EXISTS"
+                ),
+                type(cfg.normalize.drop_rules[0].children[0])(
+                    "text", "CONTAINS", "boom"
+                ),
+            ],
+        ]
+    )
+    exp = normalize_batch(batch, expanded)
+    assert got.equals(exp)
+    # dropped: c1 (tool+role==tool), c3 (tool+role==tool);
+    # kept: c0 (tool but no OR branch), c2/c4/c5 (no tool)
+    assert sorted(got["conv_id"].to_pylist()) == ["c0", "c2", "c4", "c5"]
+    # malformed trees raise loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="empty"):
+        pipeline_config_from_dict({"drop_rules": [{"or": []}]})
+    with _pytest.raises(ValueError, match="exactly one"):
+        pipeline_config_from_dict(
+            {"drop_rules": [{"and": [], "or": []}]}
+        )
