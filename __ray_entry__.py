@@ -137,6 +137,8 @@ e1 AS (
     service_name || ':' || op AS api_name,
     CASE WHEN op IS NULL THEN NULL
          ELSE 'api_' || substr(md5(service_name || ':' || op),1,8) END AS api_id,
+    CASE WHEN op IS NULL THEN NULL ELSE 'DISCOVERED' END
+         AS api_discovery_state,
     -- E7 provider chain (enrichers/backend_providers.py mirror)
     CASE WHEN tool IS NULL THEN NULL
          WHEN protocol='SQL' THEN 'JDBC' WHEN protocol='GRPC' THEN 'GRPC'
@@ -220,7 +222,7 @@ ENRICHED_COLS = (
     " service_name, is_error,"
     " span_kind, protocol, api_status, status_message, status_class,"
     " is_boundary, episode_id,"
-    " episode_head, service_id, api_id, api_name,"
+    " episode_head, service_id, api_id, api_name, api_discovery_state,"
     " backend_type, backend_host, backend_port, backend_path, backend_url,"
     " backend_id, exit_call_count,"
     " transaction_name, conv_has_error, session_id, proto_request,"

@@ -230,9 +230,17 @@ class EndpointEnricher(Enricher):
                 ids[i] = md5_id("api_", name)
         api_name = names[inverse]
         api_id = ids[inverse]
-        return table.append_column(
-            "api_id", pa.array(api_id, pa.string())
-        ).append_column("api_name", pa.array(api_name, pa.string()))
+        # API_DISCOVERY_STATE (EndpointEnricher.java:49-120 marks every
+        # endpoint it resolves/creates DISCOVERED): constant on rows that
+        # carry a discovered endpoint, null otherwise
+        discovery = np.where(api_id != None, "DISCOVERED", None)  # noqa: E711
+        return (
+            table.append_column("api_id", pa.array(api_id, pa.string()))
+            .append_column("api_name", pa.array(api_name, pa.string()))
+            .append_column(
+                "api_discovery_state", pa.array(discovery, pa.string())
+            )
+        )
 
 
 class BackendEntityEnricher(Enricher):

@@ -72,6 +72,7 @@ ENRICHED_EXTRA = [
     pa.field("service_id", pa.string()),  # (E4)
     pa.field("api_id", pa.string()),  # (E5)
     pa.field("api_name", pa.string()),
+    pa.field("api_discovery_state", pa.string()),  # (E5) DISCOVERED / null
     # E7 provider-chain outputs (backend/provider/*.java analogs); tool turns only
     pa.field("backend_type", pa.string()),  # JDBC / GRPC / HTTP / PROC
     pa.field("backend_host", pa.string()),
