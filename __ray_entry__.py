@@ -259,6 +259,14 @@ def _view(sf_dir: str, name: str):
     return view_dataset(_pipeline_out(sf_dir), name)
 
 
+def _metrics_otlp(sf_dir: str):
+    from hypertrace_ingester_ray.stages.metrics import to_otlp_gauges
+
+    return _view(sf_dir, "metrics").map_batches(
+        to_otlp_gauges, batch_format="pyarrow"
+    )
+
+
 def _per_turn_hashable(sf_dir: str):
     """per_turn with the open ``tags`` map rendered as a deterministic
     ``tags_kv`` string (key-sorted ``k=v;...``) so the driver can
@@ -684,6 +692,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "view_per_tool": lambda sf: _view(sf, "per_tool"),
         "view_errors": lambda sf: _view(sf, "errors"),
         "metrics_by_minute": lambda sf: _view(sf, "metrics"),
+        # S7 exporter-side format (MetricsExporterService.java:29-46):
+        # OTLP-gauge-shaped datapoints derived from the metrics sink
+        "metrics_otlp": lambda sf: _metrics_otlp(sf),
         # --- generic relational operators
         "lineitem_pricing_summary": relational.lineitem_pricing_summary,
         "revenue_by_nation": relational.revenue_by_nation,
@@ -3043,6 +3054,19 @@ WITH {ENRICHED_CTE}
 SELECT date_trunc('minute', ts) AS window_ts, tenant_id, service_name,
   api_status, COUNT(*) AS num_calls
 FROM enriched GROUP BY ALL
+"""
+    sql["metrics_otlp"] = f"""
+WITH {ENRICHED_CTE},
+m AS (
+  SELECT date_trunc('minute', ts) AS window_ts, tenant_id, service_name,
+    api_status, COUNT(*) AS num_calls
+  FROM enriched GROUP BY ALL)
+SELECT 'num_calls' AS name, window_ts AS ts,
+  CAST(num_calls AS BIGINT) AS value,
+  'api_status=' || COALESCE(api_status, '')
+    || ';service_name=' || COALESCE(service_name, '')
+    || ';tenant_id=' || COALESCE(tenant_id, '') AS attributes
+FROM m
 """
     sql["lineitem_pricing_summary"] = """
 SELECT l_returnflag, l_linestatus,

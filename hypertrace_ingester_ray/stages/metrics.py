@@ -48,6 +48,63 @@ def finalize_partials(partials: "pa.Table") -> "pa.Table":
     return out.rename_columns(METRIC_DIMS + ["num_calls"])
 
 
+def to_otlp_gauges(
+    batch: pa.Table, *, metric_name: str = "num_calls"
+) -> pa.Table:
+    """Metrics-sink rows → OTLP-gauge-shaped datapoints — the exporter-side
+    format (S7, MetricsExporterService.java:29-46 converts the generator's
+    windowed sums into OTLP gauges for the Prometheus collector): one row
+    per datapoint ``(name, ts, value, attributes)`` where ``attributes`` is
+    the key-sorted ``k=v;...`` label-set serialization of the metric dims
+    (deterministic, so the artifact is oracle-hashable and diffable).
+    Vectorized string concat; stateless ``map_batches`` kernel."""
+    dims = sorted(d for d in METRIC_DIMS if d != "window_ts")
+    parts = []
+    for d in dims:
+        parts.append(pa.array([f"{d}="] * batch.num_rows, pa.string()))
+        parts.append(pc.fill_null(pc.cast(batch[d], pa.string()), ""))
+        parts.append(pa.array([";"] * batch.num_rows, pa.string()))
+    attrs = pc.binary_join_element_wise(*parts[:-1], "")
+    return pa.table(
+        {
+            "name": pa.array([metric_name] * batch.num_rows, pa.string()),
+            "ts": batch["window_ts"],
+            "value": pc.cast(batch["num_calls"], pa.int64()),
+            "attributes": attrs,
+        }
+    )
+
+
+def export_metrics_otlp(out_dir: str, *, metric_name: str = "num_calls") -> str:
+    """Write the OTLP-gauge export artifact next to the metrics sink:
+    ``<out_dir>/metrics_otlp/`` Parquet with (name, ts, value, attributes)
+    rows (atomic tmp+rename, idempotent on rerun).  The optional sidecar
+    the reference runs as hypertrace-metrics-exporter."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    src = os.path.join(out_dir, "metrics")
+    dst = os.path.join(out_dir, "metrics_otlp")
+    if os.path.exists(dst):
+        return dst
+    if not os.path.exists(src):
+        raise FileNotFoundError(
+            f"export_metrics_otlp: no metrics sink at {src}; run the "
+            "pipeline (finalize_metrics) first"
+        )
+    tmp = dst + "_tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    # metrics sink is dims-sized (small by construction) — single-process
+    # conversion, same reasoning as finalize_metrics' non-distributed path
+    tbl = to_otlp_gauges(pq.read_table(src), metric_name=metric_name)
+    pq.write_table(tbl, os.path.join(tmp, "part-00000.parquet"))
+    os.rename(tmp, dst)
+    return dst
+
+
 def windowed_metrics(per_turn: Dataset, window: str = "minute") -> Dataset:
     """turns → (window_ts, tenant, service, api_status, num_calls)."""
     partial = per_turn.map_batches(

@@ -332,3 +332,25 @@ def test_nested_rule_trees(ray_session):
         pipeline_config_from_dict(
             {"drop_rules": [{"and": [], "or": []}]}
         )
+
+
+def test_metrics_otlp_export(pipeline_out):
+    """S7 exporter analog: export_metrics_otlp writes an OTLP-gauge-shaped
+    artifact (name, ts, value, attributes) whose total equals the metrics
+    sink total; idempotent on rerun."""
+    import pyarrow.parquet as pq
+
+    from hypertrace_ingester_ray.stages.metrics import export_metrics_otlp
+
+    out, summary = pipeline_out
+    dst = export_metrics_otlp(out)
+    t = pq.read_table(dst)
+    assert t.column_names == ["name", "ts", "value", "attributes"]
+    assert set(t["name"].to_pylist()) == {"num_calls"}
+    # gauge total == per_turn rows (every turn counted exactly once)
+    assert sum(t["value"].to_pylist()) == summary["view_counts"]["per_turn"]
+    attrs = t["attributes"].to_pylist()
+    assert all(
+        a.startswith("api_status=") and ";tenant_id=" in a for a in attrs
+    )
+    assert export_metrics_otlp(out) == dst  # idempotent
