@@ -121,9 +121,22 @@ def wait_quiet(
     return p, bw
 
 
-def run_headline(num_cpus: int, repeats: int = 1) -> dict:
+CLEAN_BW_GBPS = 3.0  # quiet host delivers >= 5; below 3 the run measures
+# the co-tenant's memory-bandwidth steal, not the engine (BENCH/BASELINE.md)
+
+
+def run_headline(num_cpus: int, repeats: int = 1, max_extra: int = 4) -> dict:
     """Steady-state throughput: repeats share ONE Ray session (workers are
-    warm after the first run, as on a long-lived cluster); returns the best."""
+    warm after the first run, as on a long-lived cluster); returns the best
+    CLEAN repeat.
+
+    Contamination gate (r3 verdict #1 — BENCH_r03 was poisoned by host
+    memory-bandwidth steal the single pre-run probe missed): every repeat
+    is probe-stamped BEFORE and AFTER its timed section; a repeat is clean
+    iff both bandwidth probes read >= CLEAN_BW_GBPS.  Each repeat first
+    waits (bounded) for a quiet window; if NO repeat lands clean, up to
+    ``max_extra`` retry repeats run before giving up and reporting the best
+    dirty attempt with ``clean: false`` stamped in the artifact."""
     import ray
 
     corpus = _corpus_dir()  # built before the clock starts
@@ -176,35 +189,55 @@ def run_headline(num_cpus: int, repeats: int = 1) -> dict:
     # (its bandwidth doesn't 4x when CPUs do, and writeback stalls add 5-100s
     # of noise); on a real N-node cluster sink I/O scales with nodes.
     sink_base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
-    # dodge contention spikes when a quiet window is near (bounded; the
-    # per-repeat probes below record what the run actually saw)
-    wait_quiet()
-    best = None
-    runs = []
-    probes = []
-    bw_probes = []
-    for i in range(repeats):
+
+    results = []
+
+    def one_run(i: int) -> dict:
+        # dodge contention spikes when a quiet window is near (bounded; the
+        # per-repeat probes record what the run actually saw)
+        wait_quiet(max_wait_sec=90.0, min_bw_gbps=CLEAN_BW_GBPS)
         out = f"{sink_base}/htr_bench_out/{_sf_tag()}_{num_cpus}_{i}"
         shutil.rmtree(out, ignore_errors=True)
-        probes.append(host_contention_probe())
-        bw_probes.append(memory_bw_probe())
+        pre_ms = host_contention_probe()
+        pre_bw = memory_bw_probe()
         t0 = time.perf_counter()
         summary = run_pipeline(corpus, out, cfg)
         elapsed = time.perf_counter() - t0
-        r = {
+        post_bw = memory_bw_probe()
+        shutil.rmtree(out, ignore_errors=True)  # keep /tmp bounded
+        return {
             "elapsed_sec": elapsed,
             "turns": summary["rows_in"],
             "turns_per_sec": summary["rows_in"] / elapsed,
             "view_counts": summary["view_counts"],
             "num_cpus": num_cpus,
+            "pre_ms": pre_ms,
+            "pre_bw": pre_bw,
+            "post_bw": post_bw,
+            "clean": pre_bw >= CLEAN_BW_GBPS and post_bw >= CLEAN_BW_GBPS,
         }
-        runs.append(round(r["turns_per_sec"], 1))
-        if best is None or r["turns_per_sec"] > best["turns_per_sec"]:
-            best = r
-        shutil.rmtree(out, ignore_errors=True)  # keep /tmp bounded
-    best["all_runs"] = runs
-    best["host_probe_ms"] = probes
-    best["host_bw_gbps"] = bw_probes
+
+    for i in range(repeats):
+        results.append(one_run(i))
+    # the gate: if every scheduled repeat landed dirty, retry (bounded) —
+    # one clean attempt beats seven contaminated ones as the round's record
+    extra = 0
+    while not any(r["clean"] for r in results) and extra < max_extra:
+        extra += 1
+        results.append(one_run(repeats - 1 + extra))
+
+    clean_results = [r for r in results if r["clean"]]
+    pool = clean_results or results
+    best = dict(max(pool, key=lambda r: r["turns_per_sec"]))
+    for k in ("pre_ms", "pre_bw", "post_bw"):
+        best.pop(k, None)
+    best["all_runs"] = [round(r["turns_per_sec"], 1) for r in results]
+    best["clean_runs"] = [
+        round(r["turns_per_sec"], 1) for r in clean_results
+    ]
+    best["host_probe_ms"] = [r["pre_ms"] for r in results]
+    best["host_bw_gbps"] = [r["pre_bw"] for r in results]
+    best["host_bw_gbps_after"] = [r["post_bw"] for r in results]
     return best
 
 
@@ -286,10 +319,19 @@ def main():
                 probes[n] = {
                     "ms": r.get("host_probe_ms"),
                     "bw_gbps": r.get("host_bw_gbps"),
+                    "bw_gbps_after": r.get("host_bw_gbps_after"),
+                    "clean_runs": r.get("clean_runs"),
                 }
                 tp.append(r["turns_per_sec"])
             ratio = levels[1] / levels[0]
-            med = [statistics.median(all_runs[n]) for n in levels]
+            # medians over CLEAN runs when any exist (contaminated repeats
+            # measure the host, not the engine); all runs stay reported
+            med = [
+                statistics.median(
+                    probes[n]["clean_runs"] or all_runs[n]
+                )
+                for n in levels
+            ]
             return {
                 "levels": levels,
                 "efficiency_best": round((tp[1] / tp[0]) / ratio, 4),
@@ -346,9 +388,17 @@ def main():
         "num_cpus": args.cpus,
         # per-run host-contention evidence: ms per single-thread 800^2
         # matmul (quiet 25-40) AND large-copy GB/s (quiet >= 5; external
-        # co-tenants steal memory bandwidth invisibly to the CPU probe)
+        # co-tenants steal memory bandwidth invisibly to the CPU probe).
+        # Each repeat is stamped before AND after its timed section; the
+        # emitted best is the best CLEAN repeat (clean=true) unless every
+        # attempt incl. retries landed dirty (clean=false -> the number
+        # measures the host, compare against BASELINE.md clean-window runs)
+        "clean": head.get("clean"),
+        "all_runs": head.get("all_runs"),
+        "clean_runs": head.get("clean_runs"),
         "host_probe_ms": head.get("host_probe_ms"),
         "host_bw_gbps": head.get("host_bw_gbps"),
+        "host_bw_gbps_after": head.get("host_bw_gbps_after"),
     }
     print(json.dumps(out))
 
