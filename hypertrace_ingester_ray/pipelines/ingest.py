@@ -128,10 +128,11 @@ def process_partition(
     table = extract_batch(table, tenant_id=tenant_id or DEFAULT_TENANT)
     rows_in = table.num_rows
     n_no_tenant = 0
-    if tenant_column is not None:
+    if tenant_column is not None and table.num_rows:
         # M2 column-derived tenant drop-if-absent (TenantIdHandler.java:
         # 33-81 drops records whose configured tenant tag is missing);
-        # counted into the manifest as rows_no_tenant
+        # counted into the manifest as rows_no_tenant.  num_rows guard:
+        # pc.all/pc.sum return null over an empty array
         valid = pc.is_valid(table["tenant_id"])
         if not pc.all(valid).as_py():
             n_no_tenant = table.num_rows - int(
@@ -416,8 +417,14 @@ def _input_fingerprint(input_path_or_ds) -> dict:
     if isinstance(input_path_or_ds, str):
         p = input_path_or_ds
         if os.path.isdir(p):
+            # recursive: read_parquet reads nested/partitioned layouts, so
+            # the identity record must cover them too (a top-level-only
+            # listing fingerprints every nested dir as the empty string)
             files = sorted(
-                f for f in os.listdir(p) if f.endswith(".parquet")
+                os.path.relpath(os.path.join(root, f), p)
+                for root, _dirs, names in os.walk(p)
+                for f in names
+                if f.endswith(".parquet")
             )
             sig = "\x00".join(
                 f"{f}:{os.path.getsize(os.path.join(p, f))}" for f in files
@@ -431,7 +438,7 @@ def _input_fingerprint(input_path_or_ds) -> dict:
             "n_files": len(files),
             "crc": zlib.crc32(sig.encode()),
         }
-    return {"kind": "dataset"}
+    return {"kind": "none" if input_path_or_ds is None else "dataset"}
 
 
 def prepare_bucketed_corpus(
@@ -463,33 +470,25 @@ def prepare_bucketed_corpus(
     from ..stages.sinks import write_bucketed
 
     config = config or PipelineConfig()
+    from ..state.lineage import identity_guard
+
     if overwrite:
         shutil.rmtree(bucket_dir, ignore_errors=True)
-    meta_path = os.path.join(bucket_dir, "_bucket_meta.json")
+    meta_name = "_bucket_meta.json"
     fp = _input_fingerprint(input_path_or_ds)
     fp["num_buckets"] = config.num_partitions
-    if os.path.exists(meta_path):
-        with open(meta_path) as f:
-            prev = json.load(f)
-        if fp["kind"] != "path" or prev != fp:
-            raise ValueError(
-                f"bucket_dir {bucket_dir!r} was prepared from a different "
-                f"(or unverifiable) input: recorded {prev}, now {fp}; "
-                "write_bucketed's resume manifests would keep stale buckets "
-                "— pass overwrite=True to rebuild, or use a fresh dir"
-            )
-    elif os.path.isdir(bucket_dir) and os.listdir(bucket_dir):
+    if fp["kind"] != "path" and os.path.exists(
+        os.path.join(bucket_dir, meta_name)
+    ):
+        # a Dataset input has no stable identity, so a re-prepare into an
+        # existing dir can never be PROVEN to be the same run — refuse
         raise ValueError(
-            f"bucket_dir {bucket_dir!r} is non-empty but carries no "
-            "_bucket_meta.json identity record; refusing to resume into an "
-            "unidentified dir — pass overwrite=True to rebuild"
+            f"bucket_dir {bucket_dir!r} already exists and the Dataset "
+            "input is unverifiable; write_bucketed's resume manifests "
+            "would keep stale buckets — pass overwrite=True to rebuild, "
+            "or use a fresh dir"
         )
-    else:
-        os.makedirs(bucket_dir, exist_ok=True)
-        tmp = meta_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(fp, f, sort_keys=True)
-        os.rename(tmp, meta_path)
+    identity_guard(bucket_dir, fp, filename=meta_name, kind="bucket_dir")
     main, bypass = _read_normalized(input_path_or_ds, config)
     summary = write_bucketed(
         main,
@@ -526,22 +525,27 @@ def run_pipeline(
     config = config or PipelineConfig()
     os.makedirs(out_dir, exist_ok=True)
 
-    # resume guard: the partition layout (hash(conv_id) % P) must be identical
-    # across resumes, or manifests would describe different row sets
-    cfg_path = os.path.join(out_dir, "_run_config.json")
-    if os.path.exists(cfg_path):
-        with open(cfg_path) as f:
-            prev = json.load(f)
-        if prev.get("num_partitions") != config.num_partitions:
-            raise ValueError(
-                f"resume with num_partitions={config.num_partitions} but "
-                f"{out_dir} was written with {prev.get('num_partitions')}"
-            )
-    else:
-        tmp = cfg_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"num_partitions": config.num_partitions}, f)
-        os.rename(tmp, cfg_path)
+    # resume guard: resume manifests skip committed partitions, which is
+    # only safe for the SAME run — same partition layout (hash(conv_id)%P),
+    # same config (a changed rate_limit / tenant_column / drop rule would
+    # otherwise silently no-op on resumed partitions) and same input.
+    # repr(config) covers every knob that shapes routed rows; a Dataset
+    # input has no stable identity and is recorded as such (config changes
+    # are still caught; changed dataset CONTENTS are the caller's burden,
+    # as the north-rule resume contract assumes the same input stream).
+    from ..state.lineage import identity_guard
+
+    identity_guard(
+        out_dir,
+        {
+            "num_partitions": config.num_partitions,
+            "config": repr(config),
+            "input": _input_fingerprint(input_path_or_ds),
+            "bucketed_corpus": bucketed_corpus,
+        },
+        filename="_run_config.json",
+        kind="pipeline out_dir",
+    )
 
     t0 = time.perf_counter()
     phases = {}

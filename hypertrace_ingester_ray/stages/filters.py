@@ -111,9 +111,13 @@ class RateLimiter:
         tenants = np.asarray(batch["tenant_id"].to_pandas(), dtype=object)
         keys = np.asarray(batch[self.key_col].to_pandas(), dtype=object)
         # vectorized per-(tenant, key) cumcount in batch order; the Python
-        # dict is touched once per DISTINCT pair, not per row
+        # dict is touched once per DISTINCT pair, not per row.
+        # dropna=False: a null tenant/key is a real group (M2 tenant_column
+        # can yield null tenants upstream of the drop) — pandas' default
+        # dropna=True emits ngroup()==-1 / cumcount NaN for those rows,
+        # which mis-indexes prior[] and crashes np.bincount
         g = pd.DataFrame({"t": tenants, "k": keys}).groupby(
-            ["t", "k"], sort=False
+            ["t", "k"], sort=False, dropna=False
         )
         codes = g.ngroup().to_numpy()  # 0..G-1 in first-appearance order
         within = g.cumcount().to_numpy()

@@ -60,36 +60,19 @@ def _ckpt_meta_guard(checkpoint_dir: str, meta: dict, loose: tuple = ()) -> None
     meta.json predates identity tracking (or belongs to something else) —
     refuse it rather than trust it.
     """
-    import json as _json
     import os as _os
 
-    path = _os.path.join(checkpoint_dir, "meta.json")
-    _os.makedirs(checkpoint_dir, exist_ok=True)
-    if _os.path.exists(path):
-        with open(path) as f:
-            saved = _json.load(f)
-        mismatch = {
-            k: {"saved": saved.get(k), "now": v}
-            for k, v in meta.items()
-            if k not in loose and saved.get(k) != v
-        }
-        if mismatch:
-            raise ValueError(
-                f"checkpoint_dir {checkpoint_dir!r} belongs to a different "
-                f"run (mismatched identity: {mismatch}); resuming would "
-                "silently produce wrong results — use a fresh dir"
-            )
-        return
-    if any(f.endswith(".parquet") for f in _os.listdir(checkpoint_dir)):
-        raise ValueError(
-            f"checkpoint_dir {checkpoint_dir!r} holds checkpoint files but "
-            "no meta.json identity record; refusing to resume from an "
-            "unidentified run — use a fresh dir"
-        )
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        _json.dump(meta, f, sort_keys=True)
-    _os.rename(tmp, path)
+    from ..state.lineage import identity_guard
+
+    identity_guard(
+        checkpoint_dir,
+        meta,
+        loose=loose,
+        kind="checkpoint_dir",
+        has_prior_output=lambda: any(
+            f.endswith(".parquet") for f in _os.listdir(checkpoint_dir)
+        ),
+    )
 
 
 def _edge_fingerprint(edges: Dataset, src: str, dst: str) -> list:
@@ -127,6 +110,35 @@ def _edge_fingerprint(edges: Dataset, src: str, dst: str) -> list:
         edges.select_columns([src, dst])
         .map_batches(_fp, batch_format="pyarrow")
         .take_all()
+    ):
+        n += int(row["n"])
+        fp = (fp + int(row["fp"])) % (1 << 64)
+    return [n, fp]
+
+
+def _node_fingerprint(ds: Dataset, col: str) -> list:
+    """Order-independent fingerprint of one key column: (count, sum of
+    hashes mod 2^64) — the single-column form of ``_edge_fingerprint``.
+    Streaming; two ints reach the driver regardless of set size."""
+    from .grouping import _hash_column
+
+    def _fp(batch: pa.Table) -> pa.Table:
+        hs = (
+            _hash_column(batch[col], 1 << 31)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.uint64)
+        )
+        mixed = hs * np.uint64(0x9E3779B97F4A7C15) + np.uint64(0x85EBCA6B)
+        return pa.table(
+            {
+                "n": pa.array([batch.num_rows], pa.int64()),
+                "fp": pa.array([int(mixed.sum(dtype=np.uint64))], pa.uint64()),
+            }
+        )
+
+    n, fp = 0, 0
+    for row in (
+        ds.select_columns([col]).map_batches(_fp, batch_format="pyarrow").take_all()
     ):
         n += int(row["n"])
         fp = (fp + int(row["fp"])) % (1 << 64)
@@ -450,25 +462,17 @@ def bfs_hops(
         return _rd.from_arrow(result_schema.empty_table())
 
     if checkpoint_dir is not None:
-        # run identity: seed set + edge fingerprint (one column-pruned
-        # pass, two ints to the driver) + endpoint column names.  max_hops
-        # is loose — re-running with a larger budget continues the walk
-        # (the resume loop below never loads hops beyond the CURRENT
-        # max_hops, so a smaller budget is also safe).
-        import zlib as _zlib
-
-        seed_list = sorted(
-            r["node"]
-            for r in seeds.select_columns(["node"]).take_all()
-        )
+        # run identity: seed + edge fingerprints (streaming, two ints each
+        # to the driver — a large seed set never materializes here) +
+        # endpoint column names.  max_hops is loose — re-running with a
+        # larger budget continues the walk (the resume loop below never
+        # loads hops beyond the CURRENT max_hops, so a smaller budget is
+        # also safe).
         _ckpt_meta_guard(
             checkpoint_dir,
             {
                 "op": "bfs_hops",
-                "seeds_crc": _zlib.crc32(
-                    "\x00".join(map(str, seed_list)).encode()
-                ),
-                "n_seeds": len(seed_list),
+                "seeds_fp": _node_fingerprint(seeds, "node"),
                 "edges_fp": _edge_fingerprint(edges, src, dst),
                 "src": src,
                 "dst": dst,

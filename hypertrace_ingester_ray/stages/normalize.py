@@ -117,6 +117,13 @@ class NormalizeConfig:
 
 
 def _condition_mask(batch: pa.Table, cond: DropCondition) -> pa.ChunkedArray:
+    if cond.column not in batch.column_names:
+        # a column the row simply doesn't carry behaves like the reference's
+        # attribute-map lookup on an absent tag (SpanFilter.java matches
+        # against a null attribute): EXISTS false, NOT_EXISTS true,
+        # EQ/NEQ/CONTAINS no match
+        val = cond.op == "NOT_EXISTS"
+        return pa.chunked_array([pa.array([val] * batch.num_rows, pa.bool_())])
     col = batch[cond.column]
     if cond.op == "EQ":
         m = pc.equal(col, cond.value)
@@ -437,7 +444,15 @@ def normalize_batch(batch: pa.Table, config: NormalizeConfig = NormalizeConfig()
         "is_error": is_error,
     }
     out = pa.table(cols)
-    drop = rules_mask(out, config.drop_rules)
+    # rules may reference raw input columns the projection drops (e.g. the
+    # tenant_column source, or any extra attribute column riding the input):
+    # evaluate them over projection + leftover raw columns (zero-copy
+    # appends), then filter the projection
+    rule_tbl = out
+    for name in batch.column_names:
+        if name not in cols:
+            rule_tbl = rule_tbl.append_column(name, batch[name])
+    drop = rules_mask(rule_tbl, config.drop_rules)
     if drop is not None:
         out = out.filter(pc.invert(drop))
     return out

@@ -618,7 +618,11 @@ def _bigram_pmi_join(
             "rw", pc.list_element(s, 1)
         )
 
-    pw = pairs.map_batches(_split, batch_format="pyarrow")
+    # pw feeds THREE consumers (both marginals + j1's probe side):
+    # materialize once so the upstream ngram_counts shuffle runs once, not
+    # three times — block-level object-store residency, not a driver
+    # collect (the skew_join single-scan discipline)
+    pw = pairs.map_batches(_split, batch_format="pyarrow").materialize()
 
     def _marginal(col: str, out: str) -> Dataset:
         def _partial(t: pa.Table) -> pa.Table:
@@ -812,9 +816,12 @@ def _unigram_surprisal_join(
     from .grouping import group_apply, segmented_sum
     from .joins import cogroup_join
 
+    # counts_ds feeds TWO consumers (the total reduction and the join's
+    # build side): materialize once so the corpus-wide count aggregation
+    # runs once, not twice — object-store residency, not a driver collect
     counts_ds = count_agg.map_batches(
         lambda t: t.rename_columns(["word", "cnt"]), batch_format="pyarrow"
-    )
+    ).materialize()
     total = 0
     for row in counts_ds.map_batches(
         lambda t: pa.table(

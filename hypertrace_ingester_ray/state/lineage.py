@@ -168,3 +168,61 @@ def write_run_manifest(out_dir: str, summary: dict) -> None:
     with open(tmp, "w") as f:
         json.dump(summary, f, indent=2, default=str)
     os.rename(tmp, path)
+
+
+def identity_guard(
+    dir_path: str,
+    meta: dict,
+    *,
+    loose: tuple = (),
+    filename: str = "meta.json",
+    has_prior_output=None,
+    kind: str = "output dir",
+) -> None:
+    """Write-or-validate a run-identity record for a resumable directory.
+
+    Resume manifests make re-runs skip committed work, which is only safe
+    when the re-run IS the same run: same input, same config.  This is the
+    one shared mechanism (used by the pipeline out_dir, bucketed-corpus
+    dirs, and iterative graph checkpoints) — on first use it atomically
+    writes ``filename``; on any later use it compares and raises on
+    mismatch instead of silently serving stale results.
+
+    ``loose`` keys may differ between runs (e.g. extending ``iters`` /
+    ``max_hops`` of the SAME iterative job is a legitimate continuation).
+    ``has_prior_output()`` says whether the dir already holds run output;
+    output present without an identity record predates tracking (or belongs
+    to something else) — refused rather than trusted.  Defaults to "any
+    directory entry besides the record itself".
+    """
+    os.makedirs(dir_path, exist_ok=True)
+    path = os.path.join(dir_path, filename)
+    if os.path.exists(path):
+        with open(path) as f:
+            saved = json.load(f)
+        mismatch = {
+            k: {"saved": saved.get(k), "now": v}
+            for k, v in meta.items()
+            if k not in loose and saved.get(k) != v
+        }
+        if mismatch:
+            raise ValueError(
+                f"{kind} {dir_path!r} belongs to a different run "
+                f"(mismatched identity: {mismatch}); resuming would "
+                "silently produce wrong results — use a fresh dir"
+            )
+        return
+    if has_prior_output is None:
+        has_prior_output = lambda: any(
+            e != filename for e in os.listdir(dir_path)
+        )
+    if has_prior_output():
+        raise ValueError(
+            f"{kind} {dir_path!r} holds prior output but no {filename} "
+            "identity record; refusing to resume from an unidentified run "
+            "— use a fresh dir"
+        )
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f, sort_keys=True)
+    os.rename(tmp, path)
