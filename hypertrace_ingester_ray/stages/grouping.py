@@ -32,6 +32,7 @@ Skew handling, two complementary mechanisms:
 from __future__ import annotations
 
 import os
+import zlib
 from typing import Callable, Dict, Optional, Sequence, Union
 
 import numpy as np
@@ -141,24 +142,55 @@ def add_part_column(batch: pa.Table, key, num_partitions: int) -> pa.Table:
 
 
 def hot_key_counts(
-    ds: Dataset, key: str, *, threshold: int
+    ds: Dataset, key: str, *, threshold: int, sample_rate: int = 1
 ) -> Dict[str, int]:
     """Pre-count pass: keys whose row count exceeds ``threshold``.
 
-    Cheap by construction — only the key column leaves the scan, and the
-    count is combined per batch before the (tiny) global groupby.  This is
-    the 'pre-count group sizes' step of skew-aware salting (SURVEY.md §4).
+    Only the key column leaves the scan, and the count is combined per
+    batch before the global groupby — cheap when keys REPEAT within
+    batches (conversations: many turns per conv).  This is the 'pre-count
+    group sizes' step of skew-aware salting (SURVEY.md §4).
+
+    For near-unique keys (join keys), per-batch combining compresses
+    nothing and the pre-count groupby would shuffle ~every row.  Pass
+    ``sample_rate`` R > 1 to count a deterministic 1-in-R row sample
+    instead: the exchange shrinks R×, and a key with ≥ ``threshold`` rows
+    is detected from ~threshold/R sampled hits (the detection cutoff is
+    ``threshold/(2R)``, so missing a truly-hot key needs its sample count
+    to fall below HALF its expectation — vanishing for threshold/R ≥ ~32).
+    Returned counts are then ESTIMATES (scaled back by R) and the hot set
+    may include keys down to ~threshold/2 — callers that use the set for
+    ROUTING (skew_join, salting) are insensitive to both; callers that
+    need exact counts must keep R = 1.
     """
 
     def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select([key])
+        if sample_rate > 1 and t.num_rows:
+            # deterministic strided row sample: the phase varies per batch
+            # (derived from batch content) so same-key runs that span
+            # batches are sampled at independent offsets
+            phase = zlib.crc32(
+                f"{t.num_rows}:{t[key][0].as_py()}".encode()
+            ) % sample_rate
+            t = t.take(pa.array(np.arange(phase, t.num_rows, sample_rate)))
         return (
-            batch.select([key])
-            .group_by([key])
+            t.group_by([key])
             .aggregate([([], "count_all")])
             .rename_columns([key, "n"])
         )
 
     agg = ds.map_batches(partial, batch_format="pyarrow").groupby(key).sum("n")
+    if sample_rate > 1:
+        cutoff = max(1, threshold // (2 * sample_rate))
+        hot_est = agg.map_batches(
+            lambda t: t.filter(pc.greater(t["sum(n)"], cutoff)),
+            batch_format="pyarrow",
+        )
+        return {
+            row[key]: int(row["sum(n)"]) * sample_rate
+            for row in hot_est.take_all()
+        }
     # Filter DISTRIBUTED, before anything reaches the driver: at 10^12 turns
     # the per-key histogram has billions of rows, but the hot set (keys above
     # threshold) is tiny by definition — only it may be materialized.

@@ -557,7 +557,16 @@ def skew_join(
 
     left = left.materialize()
     right = right.materialize()
-    hot = hot_key_counts(left, on, threshold=hot_threshold)
+    # join keys are near-unique, so the pre-count's per-batch combine
+    # compresses nothing — sample the count pass whenever the threshold
+    # leaves enough sampled hits (threshold/rate >= 64) for detection to
+    # be sound.  The hot set is pure ROUTING state: over- or
+    # under-inclusion changes which path a key takes, never the joined
+    # rows, so sampling cannot affect correctness.
+    sample_rate = max(1, hot_threshold // 64)
+    hot = hot_key_counts(
+        left, on, threshold=hot_threshold, sample_rate=sample_rate
+    )
     if not hot:
         return hash_join(
             left, right, on=[on], right_on=[right_on], num_partitions=num_partitions

@@ -170,3 +170,45 @@ def test_bfs_checkpoint_seed_fingerprint_streaming(tmp_path):
     )
     with pytest.raises(ValueError, match="different run"):
         bfs_hops(edges, other, max_hops=2, num_partitions=2, checkpoint_dir=ck)
+
+
+def test_hot_key_counts_sampled_detection():
+    """Sampled pre-count (skew_join's near-unique-key regime): a planted
+    hot key is detected from a 1-in-R row sample, singletons are not, and
+    the returned estimate is within 2x of truth."""
+    import ray.data
+
+    from hypertrace_ingester_ray.stages.grouping import hot_key_counts
+
+    hot_n, n_unique = 5000, 20000
+    keys = ["hot"] * hot_n + [f"u{i}" for i in range(n_unique)]
+    ds = ray.data.from_arrow(pa.table({"k": keys})).repartition(8)
+    got = hot_key_counts(ds, "k", threshold=1000, sample_rate=16)
+    assert set(got) == {"hot"}
+    assert hot_n / 2 <= got["hot"] <= hot_n * 2
+    # exact path unchanged
+    exact = hot_key_counts(ds, "k", threshold=1000)
+    assert exact == {"hot": hot_n}
+
+
+def test_skew_join_sampled_still_row_identical():
+    """skew_join with a sampling-regime threshold returns exactly the plain
+    inner join rows (the hot set only routes)."""
+    import ray.data
+
+    from hypertrace_ingester_ray.stages.joins import hash_join, skew_join
+
+    n = 40000
+    lk = ["h"] * (n // 2) + [f"k{i % 997}" for i in range(n // 2)]
+    left = ray.data.from_arrow(
+        pa.table({"k": lk, "v": list(range(n))})
+    ).repartition(8)
+    right = ray.data.from_arrow(
+        pa.table({"k": ["h"] + [f"k{i}" for i in range(997)],
+                  "w": list(range(998))})
+    )
+    a = skew_join(left, right, on="k", hot_threshold=8192, num_partitions=8)
+    b = hash_join(left, right, on=["k"], num_partitions=8)
+    pa_a = a.to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+    pa_b = b.to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+    assert pa_a[["k", "v", "w"]].equals(pa_b[["k", "v", "w"]])
