@@ -696,8 +696,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "metrics_otlp",
     # round-4 new/changed operators (highest-risk this round)
     "corpus_prep", "doc_tfidf_top3", "doc_rarity", "doc_bigram_pmi",
-    "doc_bm25_top10", "order_revenue_skewjoin", "graph_pagerank",
-    "graph_bfs_3hop",
+    "doc_bm25_top10", "order_revenue_skewjoin", "events_skewjoin_sampled",
+    "graph_pagerank", "graph_bfs_3hop",
     # one representative per family with no prior driver-green row
     "top_customers_by_revenue",        # big-big hash join
     "users_more_views_than_purchases", # cogroup
@@ -953,6 +953,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # row-identical to a plain inner join, so the oracle is the plain
         # JOIN aggregate
         "order_revenue_skewjoin": _order_revenue_skewjoin,
+        "events_skewjoin_sampled": _events_skewjoin_sampled,
         # language-model n-gram count table (top-k bigrams)
         "doc_bigrams_top50": lambda sf: corpus.ngram_top_k(
             _docs(sf).select_columns(["text"]), n=2, k=50
@@ -2298,6 +2299,77 @@ def _event_value_outliers(sf_dir: str):
     )
 
 
+def _events_skewjoin_sampled(sf_dir: str):
+    """skew_join in its DESIGN regime (the 10^12-turn case): a deliberately
+    skewed derived key (every 5th user collapses onto mega-key -1, ~20% of
+    all rows) joined against a per-key count dimension with a hot_threshold
+    high enough that the pre-count runs SAMPLED (threshold//64 = 1-in-15
+    rows) — the mega-key takes the broadcast path, the ~uniform cold keys
+    co-shuffle, and the final hot/cold rollup is value-exact against the
+    plain-join SQL oracle."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hypertrace_ingester_ray.stages.joins import skew_join
+
+    ev = _rpq(os.path.join(sf_dir, "events.parquet"), columns=["user_id", "value"])
+
+    def _derive(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        k = np.where(uid % 5 == 0, np.int64(-1), uid)
+        cents = np.floor(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table({"k": pa.array(k), "v_cents": pa.array(cents)})
+
+    evk = ev.map_batches(_derive, batch_format="pyarrow")
+
+    def _dim_partial(batch: pa.Table) -> pa.Table:
+        return (
+            batch.select(["k"])
+            .group_by(["k"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["k", "dim_n"])
+        )
+
+    dim = (
+        evk.map_batches(_dim_partial, batch_format="pyarrow")
+        .groupby("k")
+        .sum("dim_n")
+        .map_batches(
+            lambda t: t.rename_columns(["k", "dim_n"]), batch_format="pyarrow"
+        )
+    )
+    j = skew_join(evk, dim, on="k", hot_threshold=1000, num_partitions=16)
+
+    def _rollup(batch: pa.Table) -> pa.Table:
+        hot = pc.greater_equal(batch["dim_n"], 1000)
+        cls = pc.if_else(hot, "hot", "cold")
+        t = pa.table(
+            {
+                "size_class": cls,
+                "revenue_cents": batch["v_cents"],
+                "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+        return (
+            t.group_by(["size_class"])
+            .aggregate([("revenue_cents", "sum"), ("n", "sum")])
+            .rename_columns(["size_class", "revenue_cents", "n"])
+        )
+
+    agg = (
+        j.map_batches(_rollup, batch_format="pyarrow")
+        .groupby("size_class")
+        .sum(["revenue_cents", "n"])
+    )
+    return agg.map_batches(
+        lambda b: b.rename_columns(["size_class", "revenue_cents", "n"]),
+        batch_format="pyarrow",
+    )
+
+
 def _order_revenue_skewjoin(sf_dir: str):
     """skew_join demo with a deliberately low hot threshold so BOTH paths
     (broadcast hot keys + co-shuffled cold keys) carry real rows; the union
@@ -3417,6 +3489,20 @@ FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
 """
     sql["order_revenue_skewjoin"] = sql["order_priority_revenue"]
+    sql["events_skewjoin_sampled"] = """
+WITH ev AS (
+  SELECT CASE WHEN user_id % 5 = 0 THEN -1 ELSE user_id END AS k,
+         CAST(FLOOR(value * 100) AS BIGINT) AS v_cents
+  FROM events
+), dim AS (
+  SELECT k, COUNT(*) AS dim_n FROM ev GROUP BY k
+)
+SELECT CASE WHEN d.dim_n >= 1000 THEN 'hot' ELSE 'cold' END AS size_class,
+       CAST(SUM(e.v_cents) AS BIGINT) AS revenue_cents,
+       COUNT(*) AS n
+FROM ev e JOIN dim d ON e.k = d.k
+GROUP BY 1
+"""
     sql["user_activity_islands"] = """
 WITH iv AS (
   SELECT user_id, event_id, epoch_us(ts) AS s,
