@@ -210,8 +210,15 @@ def run_headline(num_cpus: int, repeats: int = 1, max_extra: int = 6) -> dict:
         t0 = time.perf_counter()
         summary = run_pipeline(corpus, out, cfg)
         elapsed = time.perf_counter() - t0
-        post_bw = memory_bw_probe()
+        # free the tmpfs sinks BEFORE the post-stamp: probing while /dev/shm
+        # still holds this run's output measures OUR OWN memory pressure,
+        # not the co-tenant (observed: every pre-probe clean at 5.5-7 GB/s,
+        # every immediate post-probe 0.04-0.35, post-cleanup reads clean
+        # again).  External steal persists for minutes, so a post-cleanup
+        # probe still catches steal that arrived mid-run.
         shutil.rmtree(out, ignore_errors=True)  # keep /tmp bounded
+        time.sleep(1.0)  # let freed pages settle
+        post_bw = memory_bw_probe()
         return {
             "elapsed_sec": elapsed,
             "turns": summary["rows_in"],
