@@ -429,6 +429,22 @@ def _knn_ivf(sf_dir: str):
     return similarity.ivf_search(indexed, qids, qmat, centroids, k=5, nprobe=3)
 
 
+def _knn_pq(sf_dir: str):
+    """PQ-compressed approximate k-NN (the MEMORY scale path: 64 float32 →
+    8 uint8 codes, 32x; ADC table-lookup scoring — approximate → rows-only).
+    Same 5 queries as knn_ivf_top5 so the two scale paths are comparable."""
+    import pyarrow.parquet as pq
+
+    q = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    mask = np.asarray(q["vec_id"].to_numpy(zero_copy_only=False)) < 5
+    qids = q["vec_id"].to_numpy(zero_copy_only=False)[mask]
+    qmat = np.asarray(q["embedding"].combine_chunks().to_pylist(), dtype=np.float64)[mask]
+    ds = _rpq(os.path.join(sf_dir, "embeddings.parquet"))
+    books = similarity.pq_train(ds, m=8, k=16, iters=3, sample=1024)
+    encoded = similarity.pq_encode(ds, books)
+    return similarity.pq_search(encoded, books, qids, qmat, k=5)
+
+
 def _log_tokens(sf_dir: str):
     """flat_map row expansion (raw-logs side-output analog, M11)."""
     from hypertrace_ingester_ray.stages.explode import explode_tokens
@@ -837,6 +853,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clicks_before_error": _clicks_before_error,
         "events_sliding_1h": _events_sliding_1h,
         "knn_ivf_top5": _knn_ivf,
+        "knn_pq_top5": _knn_pq,
         "media_features": _media_features,
         # REAL video frame sampling: concatenated-PPM clips split and
         # decoded per frame (rows-only: binary container, not SQL data)

@@ -343,3 +343,190 @@ def random_projection(
         return pa.table(cols)
 
     return ds.map_batches(_project, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the memory scale path for ANN
+# ---------------------------------------------------------------------------
+# At 100 TB an embedding corpus (say 10^10 × 64 float32 = 2.5 TB) cannot be
+# held raw for search; FAISS-style PQ compresses each vector to m uint8
+# codes (here 64 float32 → 8 bytes, 32x) so the searchable index fits in a
+# cluster's aggregate RAM and every batch scan is a table lookup, not a
+# matmul.  Reference parity: the reference has no ANN at all — this extends
+# the engine's similarity family (SURVEY.md training-data ops) alongside
+# brute-force and IVF.
+
+
+def pq_train(
+    ds: Dataset,
+    *,
+    m: int = 8,
+    k: int = 16,
+    vec_col: str = "embedding",
+    iters: int = 5,
+    sample: int = 4096,
+) -> np.ndarray:
+    """Train per-subspace codebooks: returns ``(m, k, d/m)`` float64.
+
+    Training runs per-subspace Lloyd's on the driver over a BOUNDED
+    deterministic sample (the ``sample`` lowest-id vectors via the same
+    per-block-min-c pattern as :func:`deterministic_centroids` — ≤
+    sample × d floats of driver state regardless of corpus size; training
+    on a sample is the standard PQ practice, e.g. FAISS trains codebooks
+    on ~1e5-1e6 of 1e9+ vectors).  Vectors are L2-normalized first so
+    ADC's L2 ranking equals cosine ranking, matching the knn family.
+
+    Init per subspace = first ``k`` sample rows (deterministic); empty
+    clusters keep their previous centroid, so the codebook shape is always
+    exactly (m, k, dsub) and the whole run is reproducible.
+    """
+    mat = _normalize(deterministic_centroids(ds, sample, vec_col=vec_col))
+    n, d = mat.shape
+    if d % m:
+        raise ValueError(f"PQ requires dim % m == 0, got dim={d} m={m}")
+    dsub = d // m
+    sub = mat.reshape(n, m, dsub)
+    books = np.empty((m, k, dsub), dtype=np.float64)
+    for j in range(m):
+        x = sub[:, j, :]  # (n, dsub)
+        c = x[: min(k, len(x))].copy()
+        if len(c) < k:  # degenerate tiny corpus: pad by repeating rows
+            c = np.resize(c, (k, dsub))
+        for _ in range(iters):
+            d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            lab = np.argmin(d2, axis=1)
+            for ci in range(k):
+                sel = lab == ci
+                if sel.any():
+                    c[ci] = x[sel].mean(axis=0)
+        books[j] = c
+    return books
+
+
+def pq_encode(
+    ds: Dataset,
+    codebooks: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+) -> Dataset:
+    """Index step: map every vector to its ``m`` nearest-centroid codes
+    (uint8 fixed-size list — the 32x-compressed searchable index).  One
+    (batch × k) matmul-free distance argmin per subspace; codebooks are
+    broadcast once via ``ray.put`` (zero-copy plasma read per node)."""
+    m, k, dsub = codebooks.shape
+    if k > 256:
+        raise ValueError("uint8 PQ codes require k <= 256")
+    bref = ray.put(np.ascontiguousarray(codebooks))
+
+    def _encode(batch: pa.Table) -> pa.Table:
+        books = ray.get(bref)
+        mat = _normalize(_to_matrix(batch[vec_col]))
+        n = mat.shape[0]
+        codes = np.empty((n, m), dtype=np.uint8)
+        if n:
+            sub = mat.reshape(n, m, dsub)
+            for j in range(m):
+                # ||x-c||^2 argmin via -2xc + ||c||^2 (||x||^2 constant per row)
+                c = books[j]
+                d2 = -2.0 * (sub[:, j, :] @ c.T) + (c * c).sum(axis=1)[None, :]
+                codes[:, j] = np.argmin(d2, axis=1)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                code_col: pa.FixedSizeListArray.from_arrays(
+                    pa.array(codes.ravel(), pa.uint8()), m
+                ),
+            }
+        )
+
+    return ds.map_batches(_encode, batch_format="pyarrow")
+
+
+def pq_search(
+    encoded: Dataset,
+    codebooks: np.ndarray,
+    query_ids: np.ndarray,
+    query_matrix: np.ndarray,
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+    exclude_self: bool = True,
+) -> pa.Table:
+    """ADC (asymmetric distance) top-k over PQ codes: per query a
+    ``(m, k_codebook)`` lookup table of exact subvector→centroid squared
+    distances is broadcast; each batch scores its rows with m table
+    lookups + a sum (no float vectors touched), keeps a LOCAL top-k, and
+    the driver merges tasks × Q × k partial rows — the same
+    broadcast-small / partial-top-k shape as :func:`knn_bruteforce`.
+    Returns (query_id, neighbor_id, rank, adc_d2) sorted by (query, rank).
+    """
+    mm, kk, dsub = codebooks.shape
+    qmat = _normalize(np.asarray(query_matrix, dtype=np.float64))
+    nq = qmat.shape[0]
+    qsub = qmat.reshape(nq, mm, dsub)
+    # luts[q, j, c] = ||q_sub[j] - codebook[j, c]||^2  — (Q, m, k): tiny
+    luts = ((qsub[:, :, None, :] - codebooks[None, :, :, :]) ** 2).sum(axis=3)
+    lref = ray.put(
+        {"ids": np.asarray(query_ids, dtype=np.int64), "luts": luts}
+    )
+    fetch_k = k + (1 if exclude_self else 0)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        q = ray.get(lref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        codes_arr = batch[code_col].combine_chunks()
+        codes = (
+            codes_arr.flatten()
+            .to_numpy(zero_copy_only=False)
+            .reshape(len(codes_arr), mm)
+            .astype(np.int64)
+        )
+        n = codes.shape[0]
+        kloc = min(fetch_k, n)
+        out_q, out_n, out_d = [], [], []
+        cols = np.arange(mm)
+        for qi, lut in zip(q["ids"], q["luts"]):
+            d2 = lut[cols[None, :], codes].sum(axis=1)  # (n,)
+            top = np.argpartition(d2, kloc - 1)[:kloc] if kloc else np.empty(0, int)
+            out_q.append(np.full(kloc, qi, dtype=np.int64))
+            out_n.append(ids[top])
+            out_d.append(d2[top])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q) if out_q else [], pa.int64()),
+                "neighbor_id": pa.array(
+                    np.concatenate(out_n).astype(np.int64) if out_n else [],
+                    pa.int64(),
+                ),
+                "adc_d2": pa.array(
+                    np.concatenate(out_d).astype(np.float64) if out_d else [],
+                    pa.float64(),
+                ),
+            }
+        )
+
+    refs = encoded.map_batches(_partial, batch_format="pyarrow").to_arrow_refs()
+    tbl = pa.concat_tables([ray.get(r) for r in refs])  # tasks × Q × k: small
+    qid = tbl["query_id"].to_numpy(zero_copy_only=False)
+    nid = tbl["neighbor_id"].to_numpy(zero_copy_only=False)
+    d2 = tbl["adc_d2"].to_numpy(zero_copy_only=False)
+    if exclude_self:
+        keep = qid != nid
+        qid, nid, d2 = qid[keep], nid[keep], d2[keep]
+    order = np.lexsort((nid, d2, qid))
+    qid, nid, d2 = qid[order], nid[order], d2[order]
+    bounds = run_boundaries(qid)
+    seg_lens = np.diff(bounds)
+    pos = np.arange(len(qid)) - np.repeat(bounds[:-1], seg_lens)
+    keep = pos < k
+    return pa.table(
+        {
+            "query_id": pa.array(qid[keep]),
+            "neighbor_id": pa.array(nid[keep]),
+            "rank": pa.array((pos[keep] + 1).astype(np.int64)),
+            "adc_d2": pa.array(d2[keep]),
+        }
+    )

@@ -644,3 +644,90 @@ def test_tfidf_join_path_null_and_empty_docs(ray_session):
     assert a.equals(b)
     assert set(b.doc_id) == {0, 1, 2}
     assert b.set_index("doc_id").loc[1, "rarity_x1e6"] == 0
+
+
+def _vec_table(mat: np.ndarray) -> pa.Table:
+    n, d = mat.shape
+    return pa.table(
+        {
+            "vec_id": pa.array(np.arange(n), pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(mat.reshape(-1).astype(np.float32)), d
+            ),
+        }
+    )
+
+
+def test_pq_exact_when_codebook_covers_corpus(ray_session):
+    # every vector is one of 4 distinct prototypes -> with k=4 centroids per
+    # subspace the quantization is LOSSLESS, so ADC ranking must equal the
+    # exact cosine ranking from knn_bruteforce
+    rng = np.random.default_rng(1)
+    protos = rng.normal(size=(4, 8))
+    labels = rng.integers(0, 4, size=120)
+    mat = protos[labels]
+    ds = ray.data.from_arrow(_vec_table(mat)).repartition(4)
+    books = similarity.pq_train(ds, m=4, k=4, iters=4, sample=120)
+    assert books.shape == (4, 4, 2)
+    encoded = similarity.pq_encode(ds, books)
+    enc = encoded.to_pandas().sort_values("vec_id")
+    codes = np.stack(enc.pq_code.to_numpy())
+    assert codes.dtype == np.uint8 and codes.shape == (120, 4)
+    # lossless: same prototype -> same code row
+    for lab in range(4):
+        rows = codes[labels == lab]
+        assert (rows == rows[0]).all()
+    qids = np.arange(3)
+    out = similarity.pq_search(encoded, books, qids, mat[:3], k=5).to_pandas()
+    brute = similarity.knn_bruteforce(
+        ds, qids, mat[:3].astype(np.float32), k=5
+    ).to_pandas()
+    for qi in range(3):
+        got = set(out[out.query_id == qi].neighbor_id)
+        # ADC distances tie across a whole prototype class; compare the
+        # NEIGHBOR SET by class, which losslessness makes exact
+        want_lab = {labels[n] for n in brute[brute.query_id == qi].neighbor_id}
+        got_lab = {labels[n] for n in got}
+        assert got_lab == want_lab
+        assert len(got) == 5
+
+
+def test_pq_deterministic_and_approximates_bruteforce(ray_session):
+    rng = np.random.default_rng(2)
+    # clustered corpus (ANN's design regime): 8 clusters, small noise
+    centers = rng.normal(size=(8, 16)) * 3
+    labels = rng.integers(0, 8, size=400)
+    mat = centers[labels] + rng.normal(size=(400, 16)) * 0.05
+    ds = ray.data.from_arrow(_vec_table(mat)).repartition(3)
+    books1 = similarity.pq_train(ds, m=4, k=16, iters=3, sample=256)
+    books2 = similarity.pq_train(ds, m=4, k=16, iters=3, sample=256)
+    assert np.array_equal(books1, books2)  # deterministic
+    encoded = similarity.pq_encode(ds, books1)
+    qids = np.arange(5)
+    out = similarity.pq_search(encoded, books1, qids, mat[:5], k=10).to_pandas()
+    brute = similarity.knn_bruteforce(
+        ds, qids, mat[:5].astype(np.float32), k=10
+    ).to_pandas()
+    # PQ's quantization error (~centroid spacing) exceeds the 0.05
+    # within-cluster noise, so ranking WITHIN a cluster is beyond its
+    # resolution by design — the ANN property PQ must deliver is
+    # CLUSTER-level retrieval: neighbors come from the query's cluster
+    same_cluster = []
+    for qi in range(5):
+        got = out[out.query_id == qi].neighbor_id.to_numpy()
+        same_cluster.append(np.mean(labels[got] == labels[qi]))
+    assert np.mean(same_cluster) >= 0.9
+    # and brute-force agrees that's the right cluster (sanity)
+    b0 = brute[brute.query_id == 0].neighbor_id.to_numpy()
+    assert (labels[b0] == labels[0]).all()
+    # rank output contract
+    r = out[out.query_id == 0].sort_values("rank")
+    assert list(r["rank"]) == list(range(1, 11))
+    assert (np.diff(r.adc_d2) >= -1e-12).all()
+
+
+def test_pq_dim_not_divisible_raises(ray_session):
+    mat = np.random.default_rng(3).normal(size=(20, 6))
+    ds = ray.data.from_arrow(_vec_table(mat))
+    with pytest.raises(ValueError, match="dim % m"):
+        similarity.pq_train(ds, m=4, k=4, sample=20)
