@@ -445,6 +445,28 @@ def _knn_pq(sf_dir: str):
     return similarity.pq_search(encoded, books, qids, qmat, k=5)
 
 
+def _knn_ivfpq(sf_dir: str):
+    """IVF+PQ composed index (FAISS ``IVFx,PQy`` analog): coarse quantizer
+    cuts COMPUTE to ~nprobe/C of the corpus, PQ codes cut MEMORY to 1/32 —
+    the layout a 10^10-vector corpus actually ships.  Approximate on both
+    axes → rows-only."""
+    import pyarrow.parquet as pq
+
+    q = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    mask = np.asarray(q["vec_id"].to_numpy(zero_copy_only=False)) < 5
+    qids = q["vec_id"].to_numpy(zero_copy_only=False)[mask]
+    qmat = np.asarray(q["embedding"].combine_chunks().to_pylist(), dtype=np.float64)[mask]
+    ds = _rpq(os.path.join(sf_dir, "embeddings.parquet"))
+    centroids = similarity.deterministic_centroids(ds, 8)
+    books = similarity.pq_train(ds, m=8, k=16, iters=3, sample=1024)
+    index = similarity.pq_encode(
+        similarity.ivf_assign(ds, centroids), books, keep_cols=["ivf_bucket"]
+    )
+    return similarity.ivfpq_search(
+        index, books, centroids, qids, qmat, k=5, nprobe=3
+    )
+
+
 def _log_tokens(sf_dir: str):
     """flat_map row expansion (raw-logs side-output analog, M11)."""
     from hypertrace_ingester_ray.stages.explode import explode_tokens
@@ -854,6 +876,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_1h": _events_sliding_1h,
         "knn_ivf_top5": _knn_ivf,
         "knn_pq_top5": _knn_pq,
+        "knn_ivfpq_top5": _knn_ivfpq,
         "media_features": _media_features,
         # REAL video frame sampling: concatenated-PPM clips split and
         # decoded per frame (rows-only: binary container, not SQL data)

@@ -410,11 +410,13 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     code_col: str = "pq_code",
+    keep_cols: Sequence[str] = (),
 ) -> Dataset:
     """Index step: map every vector to its ``m`` nearest-centroid codes
     (uint8 fixed-size list — the 32x-compressed searchable index).  One
     (batch × k) matmul-free distance argmin per subspace; codebooks are
-    broadcast once via ``ray.put`` (zero-copy plasma read per node)."""
+    broadcast once via ``ray.put`` (zero-copy plasma read per node).
+    ``keep_cols`` carries extra columns (e.g. the IVF bucket) through."""
     m, k, dsub = codebooks.shape
     if k > 256:
         raise ValueError("uint8 PQ codes require k <= 256")
@@ -432,14 +434,13 @@ def pq_encode(
                 c = books[j]
                 d2 = -2.0 * (sub[:, j, :] @ c.T) + (c * c).sum(axis=1)[None, :]
                 codes[:, j] = np.argmin(d2, axis=1)
-        return pa.table(
-            {
-                id_col: batch[id_col],
-                code_col: pa.FixedSizeListArray.from_arrays(
-                    pa.array(codes.ravel(), pa.uint8()), m
-                ),
-            }
+        cols = {id_col: batch[id_col]}
+        for c in keep_cols:
+            cols[c] = batch[c]
+        cols[code_col] = pa.FixedSizeListArray.from_arrays(
+            pa.array(codes.ravel(), pa.uint8()), m
         )
+        return pa.table(cols)
 
     return ds.map_batches(_encode, batch_format="pyarrow")
 
@@ -529,4 +530,45 @@ def pq_search(
             "rank": pa.array((pos[keep] + 1).astype(np.int64)),
             "adc_d2": pa.array(d2[keep]),
         }
+    )
+
+
+def ivfpq_search(
+    indexed_encoded: Dataset,
+    codebooks: np.ndarray,
+    centroids: np.ndarray,
+    query_ids: np.ndarray,
+    query_matrix: np.ndarray,
+    *,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+    bucket_col: str = "ivf_bucket",
+) -> pa.Table:
+    """IVF+PQ — the standard composed ANN layout (FAISS ``IVFx,PQy``):
+    the coarse quantizer routes each query to its ``nprobe`` nearest
+    centroid buckets (compute touches ~nprobe/C of the corpus, as
+    :func:`ivf_search`) and ADC scores only the PQ codes inside them
+    (memory touches 1/32 of the raw bytes, as :func:`pq_search`).  Input is
+    the composed index ``pq_encode(ivf_assign(ds, centroids),
+    keep_cols=[bucket_col])`` — codes + bucket, no raw vectors.
+
+    Approximate on both axes (bucket recall × quantization), so query
+    entries over it are rows-only by nature."""
+    qmat = _normalize(np.asarray(query_matrix, dtype=np.float64))
+    cmat = _normalize(np.asarray(centroids, dtype=np.float64))
+    probe = np.argsort(-(qmat @ cmat.T), axis=1)[:, :nprobe]
+    wanted = np.unique(probe.reshape(-1))
+    sub = indexed_encoded.filter(
+        expr=f"{bucket_col} in {sorted(int(b) for b in wanted)}"
+    )
+    return pq_search(
+        sub,
+        codebooks,
+        query_ids,
+        query_matrix,
+        k=k,
+        id_col=id_col,
+        code_col=code_col,
     )

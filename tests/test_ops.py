@@ -731,3 +731,27 @@ def test_pq_dim_not_divisible_raises(ray_session):
     ds = ray.data.from_arrow(_vec_table(mat))
     with pytest.raises(ValueError, match="dim % m"):
         similarity.pq_train(ds, m=4, k=4, sample=20)
+
+
+def test_ivfpq_search_composed_index(ray_session):
+    rng = np.random.default_rng(4)
+    centers = rng.normal(size=(6, 16)) * 3
+    labels = rng.integers(0, 6, size=300)
+    mat = centers[labels] + rng.normal(size=(300, 16)) * 0.05
+    ds = ray.data.from_arrow(_vec_table(mat)).repartition(3)
+    centroids = similarity.deterministic_centroids(ds, 12)
+    books = similarity.pq_train(ds, m=4, k=16, iters=3, sample=256)
+    index = similarity.pq_encode(
+        similarity.ivf_assign(ds, centroids), books, keep_cols=["ivf_bucket"]
+    )
+    assert set(index.schema().names) == {"vec_id", "ivf_bucket", "pq_code"}
+    out = similarity.ivfpq_search(
+        index, books, centroids, np.arange(4), mat[:4], k=5, nprobe=4
+    ).to_pandas()
+    assert len(out) == 20
+    # composed approximation still retrieves the query's own cluster
+    same = [
+        np.mean(labels[out[out.query_id == qi].neighbor_id.to_numpy()] == labels[qi])
+        for qi in range(4)
+    ]
+    assert np.mean(same) >= 0.8
