@@ -354,3 +354,75 @@ def test_metrics_otlp_export(pipeline_out):
         a.startswith("api_status=") and ";tenant_id=" in a for a in attrs
     )
     assert export_metrics_otlp(out) == dst  # idempotent
+
+
+def test_combined_round4_config_features(tmp_path, sf_dir):
+    """All round-4 config features in ONE run — column-derived tenant,
+    nested AND/OR drop tree, and rate limiting interact: the drop tree
+    evaluates pre-shuffle, tenant/limit accounting composes exactly, and
+    resume stays idempotent under the full combination."""
+    import glob as _glob
+    import json as _json
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hypertrace_ingester_ray.config import pipeline_config_from_dict
+
+    base = transcripts_from_events(sf_dir)
+    raw_rows = base.count()
+
+    def _add_tenant(batch: "pa.Table") -> "pa.Table":
+        conv = batch["conv_id"].to_pandas()
+        h = conv.map(lambda c: sum(map(ord, c)))
+        tenant = np.where(h % 5 == 0, None, np.where(h % 2 == 0, "acme", "globex"))
+        return batch.append_column("tenant", pa.array(tenant, pa.string()))
+
+    ds = base.map_batches(_add_tenant, batch_format="pyarrow")
+    cfg = pipeline_config_from_dict(
+        {
+            "num_partitions": 8,
+            "tenant_column": "tenant",
+            "drop_rules": [
+                {"and": [
+                    {"column": "role", "op": "EQ", "value": "tool"},
+                    {"or": [
+                        {"column": "text", "op": "CONTAINS", "value": "POST"},
+                        {"column": "text", "op": "CONTAINS", "value": "GET"},
+                    ]},
+                ]}
+            ],
+            "rate_limit": {"max_rows_per_window": 8, "window_sec": 10**7},
+        }
+    )
+    out = str(tmp_path / "combined")
+    s = run_pipeline(ds, out, cfg)
+    # the nested tree dropped rows BEFORE the shuffle
+    assert s["rows_in"] < raw_rows
+    # every remaining accounting bucket composes exactly
+    assert s["rows_no_tenant"] > 0 and s["rows_rate_limited"] > 0
+    assert (
+        s["view_counts"]["per_turn"] + s["rows_no_tenant"]
+        + s["rows_rate_limited"] + s["rows_deduped"] == s["rows_in"]
+    )
+    pt = pq.read_table(os.path.join(out, "per_turn")).to_pandas()
+    # no dropped-rule row survived into the sink
+    assert not (
+        (pt.role == "tool")
+        & (pt.text.str.contains("POST") | pt.text.str.contains("GET"))
+    ).any()
+    # tenants derived, never null
+    assert set(pt["tenant_id"].unique()) == {"acme", "globex"}
+    # windows capped
+    w = pt["ts"].astype("int64") // (10**7 * 10**6)
+    assert pt.assign(w=w).groupby(["conv_id", "w"]).size().max() <= 8
+    # manifest records all three counters
+    m = _json.load(
+        open(_glob.glob(os.path.join(out, "_manifests", "part-*.json"))[0])
+    )
+    assert {"rows_no_tenant", "rows_rate_limited", "rows_deduped"} <= set(m)
+    # resume idempotency under the full combination
+    s2 = run_pipeline(ds, out, cfg)
+    assert s2["resumed_partitions"] == 8
+    assert s2["view_counts"] == s["view_counts"]
