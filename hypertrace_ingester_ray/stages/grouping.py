@@ -180,28 +180,33 @@ def hot_key_counts(
             .rename_columns([key, "n"])
         )
 
-    agg = ds.map_batches(partial, batch_format="pyarrow").groupby(key).sum("n")
-    if sample_rate > 1:
-        cutoff = max(1, threshold // (2 * sample_rate))
-        hot_est = agg.map_batches(
-            lambda t: t.filter(pc.greater(t["sum(n)"], cutoff)),
-            batch_format="pyarrow",
-        )
-        return {
-            row[key]: int(row["sum(n)"]) * sample_rate
-            for row in hot_est.take_all()
-        }
-    # Filter DISTRIBUTED, before anything reaches the driver: at 10^12 turns
-    # the per-key histogram has billions of rows, but the hot set (keys above
+    # The global count-sum rides the repo's direct two-stage hash exchange
+    # (group_apply shuffle="direct"), not the Ray Data sort-based groupby:
+    # the histogram is one narrow (key, n) column pair, and at bench scale
+    # the sort-groupby's fixed costs (sample, sort, reduce scheduling) were
+    # ~the cost of the join being protected (BASELINE.md round-4 audit).
+    # Filter DISTRIBUTED, inside the reduce: at 10^12 turns the per-key
+    # histogram has billions of rows, but the hot set (keys above
     # threshold) is tiny by definition — only it may be materialized.
-    hot_only = agg.map_batches(
-        lambda t: t.filter(pc.greater(t["sum(n)"], threshold)),
-        batch_format="pyarrow",
+    cutoff = threshold if sample_rate == 1 else max(1, threshold // (2 * sample_rate))
+
+    def _reduce(part: pa.Table) -> pa.Table:
+        g = (
+            part.group_by([key])
+            .aggregate([("n", "sum")])
+            .rename_columns([key, "n"])
+        )
+        return g.filter(pc.greater(g["n"], cutoff))
+
+    hot_only = group_apply(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        key,
+        _reduce,
+        num_partitions=32,
     )
-    out: Dict[str, int] = {}
-    for row in hot_only.take_all():
-        out[row[key]] = int(row["sum(n)"])
-    return out
+    return {
+        row[key]: int(row["n"]) * sample_rate for row in hot_only.take_all()
+    }
 
 
 def salted_group_apply(

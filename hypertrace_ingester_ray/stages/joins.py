@@ -610,12 +610,15 @@ def skew_join(
         hot_right = hot_right.rename_columns(
             [on if c == right_on else c for c in hot_right.column_names]
         )
+    # sort ONCE before broadcast (bounded by |hot| × right fanout) — a
+    # per-batch sort of the build table dominated the hot path when the
+    # hot set is large (the low-threshold demo regime: 2x whole-query cost)
+    hot_right = hot_right.sort_by([(on, "ascending")]).combine_chunks()
     build_ref = ray.put(hot_right)
 
     def _probe_hot(batch: pa.Table) -> pa.Table:
-        build = ray.get(build_ref)
+        bsorted = ray.get(build_ref)
         lk = batch[on].to_numpy(zero_copy_only=False)
-        bsorted = build.sort_by([(on, "ascending")])
         bk = bsorted[on].to_numpy(zero_copy_only=False)
         lo = np.searchsorted(bk, lk, side="left")
         hi = np.searchsorted(bk, lk, side="right")
