@@ -596,8 +596,9 @@ def skew_join(
     # hot path: right rows for hot keys collected once, broadcast, probed
     # per batch (build side bounded by |hot| x right fanout — raise
     # hot_threshold if that ever isn't small)
-    hot_right = pa.concat_tables(
-        t for t in ray.get(
+    hot_right_parts = [
+        t
+        for t in ray.get(
             right.map_batches(
                 _split,
                 batch_format="pyarrow",
@@ -605,7 +606,13 @@ def skew_join(
             ).to_arrow_refs()
         )
         if t.num_rows
-    )
+    ]
+    if not hot_right_parts:
+        # hot LEFT keys with zero build-side rows: an inner join contributes
+        # nothing for them, so the cold path is the whole answer (and
+        # pa.concat_tables would raise on an empty list)
+        return cold
+    hot_right = pa.concat_tables(hot_right_parts)
     if right_on != on:
         hot_right = hot_right.rename_columns(
             [on if c == right_on else c for c in hot_right.column_names]

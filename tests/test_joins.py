@@ -326,6 +326,34 @@ def test_skew_join_no_hot_keys_falls_back(ray_session):
     assert sorted(out["k"].tolist()) == list(range(50, 100))
 
 
+def test_skew_join_hot_key_absent_from_build_side(ray_session):
+    """A hot LEFT key with ZERO right-side rows must not crash the hot
+    path (empty broadcast build) — the inner join's answer is the cold
+    path alone."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from hypertrace_ingester_ray.stages.joins import skew_join
+
+    lk = np.concatenate([np.full(5000, 7), np.arange(100, 200)])
+    left = pd.DataFrame({"k": lk.astype(np.int64), "lv": np.arange(len(lk), dtype=np.int64)})
+    # right side covers only the cold keys — nothing for hot key 7
+    right = pd.DataFrame(
+        {"k": np.arange(100, 200, dtype=np.int64), "rv": np.arange(100, dtype=np.int64)}
+    )
+    out = skew_join(
+        ray.data.from_pandas(left).repartition(4),
+        ray.data.from_pandas(right).repartition(2),
+        on="k",
+        hot_threshold=1000,
+        num_partitions=4,
+    ).to_pandas()
+    assert (out["k"] == 7).sum() == 0
+    assert sorted(out["k"].unique().tolist()) == list(range(100, 200))
+    assert len(out) == 100
+
+
 def test_apply_changes_merge(ray_session):
     """Upserts replace/insert, deletes drop, untouched rows pass through;
     bad ops and duplicate keys raise."""
