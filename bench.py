@@ -136,8 +136,19 @@ def run_headline(num_cpus: int, repeats: int = 1, max_extra: int = 6) -> dict:
     iff both bandwidth probes read >= CLEAN_BW_GBPS.  Each repeat first
     waits (bounded) for a quiet window; if NO repeat lands clean, up to
     ``max_extra`` retry repeats run before giving up and reporting the best
-    dirty attempt with ``clean: false`` stamped in the artifact."""
+    dirty attempt with ``clean: false`` stamped in the artifact.
+
+    Global wall-clock budget (``HTR_BENCH_BUDGET_SEC``, default 1500 s):
+    quiet-window waits, retry repeats, and post-settle polls all charge
+    against it, so a fully-dirty host degrades to FEWER stamped-dirty
+    repeats instead of an unbounded, driver-timeout-risking run — losing
+    the round's record entirely is worse than emitting a dirty-stamped
+    one.  At least one repeat always runs."""
     import ray
+
+    bench_deadline = time.perf_counter() + float(
+        os.environ.get("HTR_BENCH_BUDGET_SEC", "1500")
+    )
 
     corpus = _corpus_dir()  # built before the clock starts
     # large-shuffle jobs must not spill: input + sort output both live in the
@@ -200,7 +211,10 @@ def run_headline(num_cpus: int, repeats: int = 1, max_extra: int = 6) -> dict:
         # bounded so a fully-dirty hour degrades to stamped-dirty repeats
         # rather than a hung bench
         wait_quiet(
-            max_wait_sec=float(os.environ.get("HTR_QUIET_WAIT_SEC", "150")),
+            max_wait_sec=min(
+                float(os.environ.get("HTR_QUIET_WAIT_SEC", "150")),
+                max(0.0, bench_deadline - time.perf_counter()),
+            ),
             min_bw_gbps=CLEAN_BW_GBPS,
         )
         out = f"{sink_base}/htr_bench_out/{_sf_tag()}_{num_cpus}_{i}"
@@ -223,8 +237,13 @@ def run_headline(num_cpus: int, repeats: int = 1, max_extra: int = 6) -> dict:
         # ongoing external episode; never reading clean marks the repeat
         # dirty with the full decay series visible in host_bw_gbps_after.
         shutil.rmtree(out, ignore_errors=True)  # keep /tmp bounded
-        post_deadline = time.perf_counter() + float(
-            os.environ.get("HTR_POST_SETTLE_SEC", "90")
+        post_deadline = min(
+            time.perf_counter()
+            + float(os.environ.get("HTR_POST_SETTLE_SEC", "90")),
+            # the settle window may not outlive the global budget (plus a
+            # grace period so the FIRST repeat still gets a real stamp even
+            # when the budget was spent waiting for a quiet window)
+            max(bench_deadline, time.perf_counter() + 20.0),
         )
         post_bw = memory_bw_probe()
         while post_bw < CLEAN_BW_GBPS and time.perf_counter() < post_deadline:
@@ -244,10 +263,16 @@ def run_headline(num_cpus: int, repeats: int = 1, max_extra: int = 6) -> dict:
 
     for i in range(repeats):
         results.append(one_run(i))
+        if time.perf_counter() >= bench_deadline:
+            break  # budget spent: keep what we have, stamped
     # the gate: if every scheduled repeat landed dirty, retry (bounded) —
     # one clean attempt beats seven contaminated ones as the round's record
     extra = 0
-    while not any(r["clean"] for r in results) and extra < max_extra:
+    while (
+        not any(r["clean"] for r in results)
+        and extra < max_extra
+        and time.perf_counter() < bench_deadline
+    ):
         extra += 1
         results.append(one_run(repeats - 1 + extra))
 
@@ -328,6 +353,18 @@ def main():
             tp = []
             all_runs = {}
             probes = {}
+            # each level gets an equal slice of the scaling budget so a
+            # fully-dirty host can't stretch one level into a driver timeout
+            n_levels = 2 if args.levels else 4
+            level_budget = float(
+                os.environ.get("HTR_SCALING_BUDGET_SEC", "3600")
+            ) / n_levels
+            env = dict(
+                os.environ,
+                HTR_BENCH_BUDGET_SEC=os.environ.get(
+                    "HTR_BENCH_BUDGET_SEC", str(int(level_budget))
+                ),
+            )
             for n in levels:
                 p = subprocess.run(
                     [
@@ -337,9 +374,15 @@ def main():
                     capture_output=True,
                     text=True,
                     cwd=REPO,
+                    env=env,
                 )
-                line = [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
-                r = json.loads(line)
+                lines = [l for l in p.stdout.splitlines() if l.startswith("{")]
+                if not lines:
+                    raise RuntimeError(
+                        f"scaling level {n} produced no JSON (rc={p.returncode}): "
+                        + p.stderr[-800:]
+                    )
+                r = json.loads(lines[-1])
                 all_runs[n] = r["all_runs"]
                 probes[n] = {
                     "ms": r.get("host_probe_ms"),
