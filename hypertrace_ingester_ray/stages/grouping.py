@@ -112,7 +112,10 @@ def _hash_column(col: pa.ChunkedArray, num_partitions: int) -> pa.Array:
     """
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     if pa.types.is_integer(arr.type):
-        np_vals = arr.to_numpy(zero_copy_only=False).astype(np.uint64, copy=False)
+        with np.errstate(invalid="ignore"):  # null keys arrive as NaN
+            np_vals = arr.to_numpy(zero_copy_only=False).astype(
+                np.uint64, copy=False
+            )
         hashed = np_vals * np.uint64(0x9E3779B97F4A7C15)  # Fibonacci mix
         hashed ^= hashed >> np.uint64(29)
     else:
@@ -669,6 +672,8 @@ def cogroup(
     left_sort: Optional[Sequence[str]] = None,
     right_sort: Optional[Sequence[str]] = None,
     num_partitions: int = DEFAULT_NUM_PARTITIONS,
+    left_schema: Optional[pa.Schema] = None,
+    right_schema: Optional[pa.Schema] = None,
 ):
     """Co-partition TWO datasets by the same key hash and hand each reduce
     task the pair of partition tables: ``fn(left_part, right_part)`` with
@@ -683,6 +688,15 @@ def cogroup(
     ONE exchange per side (same hash → same partition ids, so matching keys
     are guaranteed co-located); nothing is broadcast, so BOTH sides may be
     corpus-sized.  Same ``key`` columns must exist in both inputs.
+
+    Zero-row inputs: Ray loses the schema of an empty dataset after any
+    transform (``ds.schema()`` → None), so a certainly-empty side cannot
+    report its payload columns.  ``left_schema``/``right_schema`` are
+    explicit fallbacks for that case; without one, the empty side is
+    synthesized as a KEYS-ONLY empty table (key fields copied from the
+    known side — valid for fns that only touch the other side's payload
+    when keys match, e.g. local joins), and when BOTH sides are schema-less
+    the result is an untyped empty dataset.
     """
     import ray as _ray
     import ray.data as _rd
@@ -709,8 +723,25 @@ def cogroup(
             [pa.field(n, _to_pa(t)) for n, t in zip(base.names, base.types)]
         )
 
-    schema_l = _as_arrow_schema(left.schema())
-    schema_r = _as_arrow_schema(right.schema())
+    raw_l, raw_r = left.schema(), right.schema()
+    schema_l = _as_arrow_schema(raw_l) if raw_l is not None else left_schema
+    schema_r = _as_arrow_schema(raw_r) if raw_r is not None else right_schema
+    if schema_l is None and schema_r is None:
+        return _rd.from_arrow([])  # both certainly empty, nothing typed left
+    if schema_l is None or schema_r is None:
+        known = schema_l if schema_l is not None else schema_r
+        missing = [k for k in keys if known.get_field_index(k) < 0]
+        if missing:
+            raise ValueError(
+                f"cogroup: key column(s) {missing} absent from the known "
+                "side's schema; pass left_schema/right_schema for the "
+                "empty side"
+            )
+        synth = pa.schema([known.field(k) for k in keys])
+        if schema_l is None:
+            schema_l = synth
+        else:
+            schema_r = synth
 
     map_remote = _ray.remote(num_returns=num_partitions + 1)(_shuffle_map_fn)
     reduce_remote = _ray.remote(_cogroup_reduce_fn)

@@ -73,14 +73,39 @@ def hash_join(
     right_on: Optional[Sequence[str]] = None,
     how: str = "inner",
     num_partitions: int = 32,
+    native: bool = False,
 ) -> Dataset:
-    """Distributed hash join (both sides large → co-shuffle by key)."""
-    return left.join(
+    """Distributed hash join (both sides large → co-shuffle by key).
+
+    Delegates to :func:`cogroup_join` (the repo's schema-explicit direct
+    exchange + local pyarrow join): measured 3-5x faster than Ray's native
+    hash-shuffle operator on the sf0.1 lineitem×orders workload
+    (interleaved A/B: cogroup 1.5-2.4 s vs native 6.4-12.4 s at 16 CPUs)
+    AND safe on empty/chained inputs, where the native operator loses a
+    side's schema and fails at finalize with ``ArrowInvalid: No match ...
+    FieldRef`` (both on a zero-row input table and intermittently when a
+    chained join's partition arrives empty).  ``native=True`` reaches
+    Ray's built-in operator for comparison.
+
+    Note one schema nuance: for ``right_outer`` with ``right_on`` named
+    differently, the native operator keeps the right key's name while the
+    cogroup path coalesces keys under the LEFT name (values identical).
+    """
+    if native:
+        return left.join(
+            right,
+            how,
+            num_partitions,
+            on=tuple(on),
+            right_on=tuple(right_on) if right_on else None,
+        )
+    return cogroup_join(
+        left,
         right,
-        how,
-        num_partitions,
-        on=tuple(on),
-        right_on=tuple(right_on) if right_on else None,
+        on=on,
+        right_on=right_on,
+        how=how,
+        num_partitions=num_partitions,
     )
 
 
@@ -147,9 +172,23 @@ def asof_join(
 ) -> Dataset:
     """Backward as-of join: each left row gains the columns of the latest
     right row with ``right.ts <= left.ts`` and the same key (nulls if none).
+
+    Zero-row inputs (Ray drops the schema of an empty dataset, so the empty
+    side's payload columns are unrecoverable): an empty LEFT returns an
+    untyped empty dataset; an empty RIGHT returns the left rows unchanged —
+    value-correct, but without the (untypeable) null right-payload columns.
     """
-    for side, ds_ in (("left", left), ("right", right)):
-        names = ds_.schema().names
+    lsch_raw, rsch_raw = left.schema(), right.schema()
+    if lsch_raw is None:
+        return ray.data.from_arrow([])
+    if rsch_raw is None:
+        return (
+            left
+            if left_cols is None
+            else left.select_columns(list(left_cols))
+        )
+    for side, sch in (("left", lsch_raw), ("right", rsch_raw)):
+        names = sch.names
         for col in (key, ts_col):
             if col not in names:
                 raise ValueError(
@@ -295,10 +334,14 @@ def range_join(
     vectorized — right side sorted by (key, ts), per-left-row window located
     with two searchsorted calls over a rank-compressed composite key, and
     the ragged match ranges expanded with repeat/arange (no per-row loop).
-    Inner semantics: unmatched left rows emit nothing.
+    Inner semantics: unmatched left rows emit nothing; a zero-row side
+    (whose schema Ray drops) therefore short-circuits to an empty result.
     """
-    left_cols = list(left_cols or left.schema().names)
-    right_cols = list(right_cols or right.schema().names)
+    lsch_raw, rsch_raw = left.schema(), right.schema()
+    if lsch_raw is None or rsch_raw is None:
+        return ray.data.from_arrow([])
+    left_cols = list(left_cols or lsch_raw.names)
+    right_cols = list(right_cols or rsch_raw.names)
     left_payload = [c for c in left_cols if c not in (key, ts_col)]
     right_payload = [c for c in right_cols if c not in (key, ts_col)]
 
@@ -669,7 +712,29 @@ def apply_changes(
     """
     from .grouping import cogroup, run_boundaries
 
-    snap_cols = snapshot.schema().names
+    ssch, csch = snapshot.schema(), changes.schema()
+    if csch is None:
+        # zero-row change stream (schema unrecoverable): next snapshot is
+        # the current one unchanged
+        return snapshot
+    left_hint = None
+    if ssch is not None:
+        snap_cols = list(ssch.names)
+    else:
+        # zero-row snapshot: the contract says changes carry the snapshot's
+        # payload columns plus op_col, so derive the layout (and a typed
+        # empty-left hint for the exchange) from the change stream
+        cbase = getattr(csch, "base_schema", csch)
+        if not isinstance(cbase, pa.Schema):
+            cbase = pa.schema(
+                [
+                    pa.field(n, t)
+                    for n, t in zip(cbase.names, cbase.types)
+                    if isinstance(t, pa.DataType)
+                ]
+            )
+        left_hint = pa.schema([f for f in cbase if f.name != op_col])
+        snap_cols = left_hint.names
     ops = pa.array(["upsert", "delete"])
 
     def _merge(lt: pa.Table, rt: pa.Table) -> pa.Table:
@@ -692,7 +757,12 @@ def apply_changes(
         return pa.concat_tables([keep.select(snap_cols), ups])
 
     return cogroup(
-        snapshot, changes, key, _merge, num_partitions=num_partitions
+        snapshot,
+        changes,
+        key,
+        _merge,
+        num_partitions=num_partitions,
+        left_schema=left_hint,
     )
 
 
@@ -712,14 +782,24 @@ def set_op(
     local semi/anti join.  Both inputs may be corpus-sized; nothing
     broadcasts.  (``UNION`` distinct is just ``exact-dedup(concat)`` —
     already covered by ``ds.union`` + :func:`~.dedup.exact_dedup``.)
+    Zero-row inputs: a schema-less empty side (Ray drops empty-dataset
+    schemas) skips the schema-equality validation — the cogroup keys-only
+    synthesis covers the FULL schema here since every column is a key.
     """
     from .grouping import cogroup
 
-    cols = list(left.schema().names)
-    if list(right.schema().names) != cols:
+    lsch, rsch = left.schema(), right.schema()
+    if lsch is None and rsch is None:
+        return ray.data.from_arrow([])
+    if (
+        lsch is not None
+        and rsch is not None
+        and list(lsch.names) != list(rsch.names)
+    ):
         raise ValueError(
-            f"set_op: schemas differ: {cols} vs {right.schema().names}"
+            f"set_op: schemas differ: {lsch.names} vs {rsch.names}"
         )
+    cols = list((lsch if lsch is not None else rsch).names)
     join_type = {"intersect": "left semi", "except": "left anti"}[how]
 
     def _resolve(lp: pa.Table, rp: pa.Table) -> pa.Table:

@@ -71,6 +71,13 @@ def test_cogroup_join_matches_hash_join(ray_session):
     ).to_pandas()
     assert sorted(louter.k.tolist()) == [1, 2, 3, 5]
     assert louter.set_index("k").r.isna().sum() == 2
+    # cross-check vs Ray's native operator (hash_join default path IS
+    # cogroup_join now; native=True reaches the built-in for comparison)
+    nat = hash_join(
+        left, right, on=["k"], right_on=["rk"], num_partitions=4, native=True
+    ).to_pandas()
+    assert sorted(nat.k.tolist()) == sorted(inner.k.tolist())
+    assert sorted(nat.r.tolist()) == sorted(inner.r.tolist())
 
 
 def test_cogroup_join_chained(ray_session):
