@@ -295,16 +295,29 @@ def _rpq(path, **kw):
     return read_parquet_clean(path, **kw)
 
 
-def _knn(sf_dir: str):
+def _query_vecs(sf_dir: str, n: int = 5):
+    """The first ``n`` embedding rows as a query set — null-embedding rows
+    are excluded (a web corpus always carries rows lacking vectors; they
+    cannot be queries)."""
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
-    import ray.data
 
     q = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
-    qmask = np.asarray(q["vec_id"].to_numpy(zero_copy_only=False)) < 5
+    q = q.filter(pc.is_valid(q["embedding"]))
+    qmask = np.asarray(q["vec_id"].to_numpy(zero_copy_only=False)) < n
     qids = q["vec_id"].to_numpy(zero_copy_only=False)[qmask]
     qmat = np.asarray(
         q["embedding"].combine_chunks().to_pylist(), dtype=np.float64
     )[qmask]
+    if qmat.size == 0:
+        qmat = qmat.reshape(0, 0)
+    return qids, qmat
+
+
+def _knn(sf_dir: str):
+    import ray.data
+
+    qids, qmat = _query_vecs(sf_dir)
     ds = _rpq(os.path.join(sf_dir, "embeddings.parquet"))
     out = similarity.knn_bruteforce(ds, qids, qmat, k=5)
     return out.select(["query_id", "neighbor_id", "rank"])
@@ -416,29 +429,33 @@ def _sessionized(sf_dir: str):
 
 def _knn_ivf(sf_dir: str):
     """IVF-bucketed approximate k-NN (scale path; approximate → rows-only)."""
-    import pyarrow.parquet as pq
-    import ray.data
-
-    q = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
-    mask = np.asarray(q["vec_id"].to_numpy(zero_copy_only=False)) < 5
-    qids = q["vec_id"].to_numpy(zero_copy_only=False)[mask]
-    qmat = np.asarray(q["embedding"].combine_chunks().to_pylist(), dtype=np.float64)[mask]
+    qids, qmat = _query_vecs(sf_dir)
     ds = _rpq(os.path.join(sf_dir, "embeddings.parquet"))
     centroids = similarity.deterministic_centroids(ds, 8)
     indexed = similarity.ivf_assign(ds, centroids)
     return similarity.ivf_search(indexed, qids, qmat, centroids, k=5, nprobe=3)
 
 
+def _empty_pq_result():
+    import pyarrow as pa
+
+    return pa.table(
+        {
+            "query_id": pa.array([], pa.int64()),
+            "neighbor_id": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int64()),
+            "adc_d2": pa.array([], pa.float64()),
+        }
+    )
+
+
 def _knn_pq(sf_dir: str):
     """PQ-compressed approximate k-NN (the MEMORY scale path: 64 float32 →
     8 uint8 codes, 32x; ADC table-lookup scoring — approximate → rows-only).
     Same 5 queries as knn_ivf_top5 so the two scale paths are comparable."""
-    import pyarrow.parquet as pq
-
-    q = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
-    mask = np.asarray(q["vec_id"].to_numpy(zero_copy_only=False)) < 5
-    qids = q["vec_id"].to_numpy(zero_copy_only=False)[mask]
-    qmat = np.asarray(q["embedding"].combine_chunks().to_pylist(), dtype=np.float64)[mask]
+    qids, qmat = _query_vecs(sf_dir)
+    if qids.size == 0:  # no queries (e.g. empty corpus): nothing to train on
+        return _empty_pq_result()
     ds = _rpq(os.path.join(sf_dir, "embeddings.parquet"))
     books = similarity.pq_train(ds, m=8, k=16, iters=3, sample=1024)
     encoded = similarity.pq_encode(ds, books)
@@ -450,12 +467,9 @@ def _knn_ivfpq(sf_dir: str):
     cuts COMPUTE to ~nprobe/C of the corpus, PQ codes cut MEMORY to 1/32 —
     the layout a 10^10-vector corpus actually ships.  Approximate on both
     axes → rows-only."""
-    import pyarrow.parquet as pq
-
-    q = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
-    mask = np.asarray(q["vec_id"].to_numpy(zero_copy_only=False)) < 5
-    qids = q["vec_id"].to_numpy(zero_copy_only=False)[mask]
-    qmat = np.asarray(q["embedding"].combine_chunks().to_pylist(), dtype=np.float64)[mask]
+    qids, qmat = _query_vecs(sf_dir)
+    if qids.size == 0:  # no queries (e.g. empty corpus): nothing to train on
+        return _empty_pq_result()
     ds = _rpq(os.path.join(sf_dir, "embeddings.parquet"))
     centroids = similarity.deterministic_centroids(ds, 8)
     books = similarity.pq_train(ds, m=8, k=16, iters=3, sample=1024)

@@ -29,6 +29,15 @@ from .grouping import run_boundaries
 
 def _to_matrix(col: pa.ChunkedArray) -> np.ndarray:
     arr = col.combine_chunks()
+    if len(arr) == 0:
+        return np.zeros((0, 0), dtype=np.float64)
+    if arr.null_count:
+        # flatten() silently drops null slots, desyncing rows from ids —
+        # callers drop null-vector rows first (_valid_vec_rows)
+        raise ValueError(
+            "_to_matrix: null embeddings in batch; filter rows with "
+            "pc.is_valid(col) upstream"
+        )
     flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
     if isinstance(arr, pa.FixedSizeListArray):
         return flat.reshape(len(arr), arr.type.list_size)
@@ -37,7 +46,20 @@ def _to_matrix(col: pa.ChunkedArray) -> np.ndarray:
     return flat.reshape(-1, dim)
 
 
+def _valid_vec_rows(batch: pa.Table, vec_col: str) -> pa.Table:
+    """Drop rows whose vector is null — a web corpus always carries rows
+    lacking embeddings, and they are not comparable, so every similarity
+    kernel excludes them rather than crashing mid-shuffle."""
+    col = batch[vec_col]
+    nulls = col.null_count
+    if nulls:
+        batch = batch.filter(pc.is_valid(col))
+    return batch
+
+
 def _normalize(m: np.ndarray) -> np.ndarray:
+    if m.ndim != 2 or m.shape[0] == 0:  # empty query/corpus matrices
+        return m.reshape(0, m.shape[1] if m.ndim == 2 else 0)
     norms = np.sqrt((m * m).sum(axis=1, keepdims=True))
     norms[norms == 0] = 1.0
     return m / norms
@@ -56,6 +78,15 @@ class _PartialTopK:
         self.vec_col = vec_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        batch = _valid_vec_rows(batch, self.vec_col)
+        if batch.num_rows == 0 or len(self.qids) == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                    "cosine": pa.array([], pa.float64()),
+                }
+            )
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
         mat = _normalize(_to_matrix(batch[self.vec_col]))
         sim = self.qmat @ mat.T  # (Q, B)
@@ -101,7 +132,20 @@ def knn_bruteforce(
     kwargs = {"concurrency": concurrency} if concurrency is not None else {}
     partials = ds.map_batches(_partial, batch_format="pyarrow", **kwargs)
     t = partials.to_arrow_refs()
-    tbl = pa.concat_tables([ray.get(r) for r in t])  # tasks × Q × k rows: small
+    parts = [ray.get(r) for r in t]  # tasks × Q × k rows: small
+    empty_result = pa.table(
+        {
+            "query_id": pa.array([], pa.int64()),
+            "neighbor_id": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int64()),
+            "cosine": pa.array([], pa.float64()),
+        }
+    )
+    if not parts:
+        return empty_result
+    tbl = pa.concat_tables(parts)
+    if tbl.num_rows == 0:
+        return empty_result
 
     qid = tbl["query_id"].to_numpy(zero_copy_only=False)
     nid = tbl["neighbor_id"].to_numpy(zero_copy_only=False)
@@ -141,7 +185,12 @@ def ivf_assign(
     cref = ray.put(_normalize(np.asarray(centroids, dtype=np.float64)))
 
     def _assign(batch: pa.Table) -> pa.Table:
+        batch = _valid_vec_rows(batch, vec_col)
         c = ray.get(cref)  # zero-copy plasma read, cached per node
+        if batch.num_rows == 0 or c.size == 0:
+            return batch.slice(0, 0).append_column(
+                "ivf_bucket", pa.array([], pa.int32())
+            )
         mat = _normalize(_to_matrix(batch[vec_col]))
         best = np.argmax(mat @ c.T, axis=1).astype(np.int32)
         return batch.append_column("ivf_bucket", pa.array(best))
@@ -164,6 +213,15 @@ def ivf_search(
     only (approximate; recall grows with nprobe)."""
     qmat = _normalize(np.asarray(query_matrix, dtype=np.float64))
     cmat = _normalize(np.asarray(centroids, dtype=np.float64))
+    if qmat.shape[0] == 0 or cmat.shape[0] == 0:
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            }
+        )
     probe = np.argsort(-(qmat @ cmat.T), axis=1)[:, :nprobe]  # (Q, nprobe)
     wanted = np.unique(probe.reshape(-1))
     sub = indexed.filter(
@@ -188,16 +246,26 @@ def deterministic_centroids(ds: Dataset, c: int, *, vec_col: str = "embedding") 
     """
 
     def per_block_min_c(t: pa.Table) -> pa.Table:
-        t = t.select(["vec_id", vec_col])
+        if t.num_rows == 0 and "vec_id" not in t.column_names:
+            # Ray synthesizes a zero-COLUMN batch for a fully-empty dataset
+            return pa.table(
+                {"vec_id": pa.array([], pa.int64()), vec_col: pa.array([])}
+            )
+        t = _valid_vec_rows(t.select(["vec_id", vec_col]), vec_col)
         idx = pc.array_sort_indices(t["vec_id"])[:c]
         return t.take(idx)
 
-    cand = pa.concat_tables(
-        ray.get(
+    parts = [
+        t
+        for t in ray.get(
             ds.map_batches(per_block_min_c, batch_format="pyarrow")
             .to_arrow_refs()
         )
-    )
+        if t.num_rows
+    ]
+    if not parts:  # empty corpus: callers decide (kmeans -> empty result,
+        return np.zeros((0, 0), dtype=np.float64)  # pq_train -> loud error)
+    cand = pa.concat_tables(parts)
     head = cand.take(pc.array_sort_indices(cand["vec_id"])[:c])
     return _to_matrix(head[vec_col])
 
@@ -232,12 +300,27 @@ def kmeans(
     produces the output.  Cluster labels are the INIT centroid ids
     (positions), stable across rounds."""
     cents = deterministic_centroids(ds, k, vec_col=vec_col)
+    if cents.size == 0:
+        # empty corpus: no centroids can exist, the assignment is empty
+        cols = {id_col: pa.array([], pa.int64()), "cluster": pa.array([], pa.int64())}
+        if include_vec:
+            cols[vec_col] = pa.array([])
+        return ray.data.from_arrow(pa.table(cols))
     ids = np.arange(k, dtype=np.int64)
 
     def _assign_fn(cref, idref, keep_vec=False):
         def _assign(batch: pa.Table) -> pa.Table:
+            batch = _valid_vec_rows(batch, vec_col)
             c = ray.get(cref)
             cid = ray.get(idref)
+            if batch.num_rows == 0:
+                cols = {
+                    id_col: batch[id_col],
+                    "cluster": pa.array([], pa.int64()),
+                }
+                if keep_vec:
+                    cols[vec_col] = batch[vec_col]
+                return pa.table(cols)
             mat = _to_matrix(batch[vec_col])
             # exact squared L2 per (row, centroid); (n,k,d) temp is
             # n*k*d*8B — bounded by batch size, not dataset size
@@ -260,6 +343,7 @@ def kmeans(
         assign = _assign_fn(cref, idref)
 
         def _partials(batch: pa.Table) -> pa.Table:
+            batch = _valid_vec_rows(batch, vec_col)
             a = assign(batch)
             mat = _to_matrix(batch[vec_col])
             lab = a["cluster"].to_numpy(zero_copy_only=False)
@@ -280,7 +364,9 @@ def kmeans(
                 {
                     "cluster": pa.array([r["cluster"] for r in rows], pa.int64()),
                     "n": pa.array([r["n"] for r in rows], pa.int64()),
-                    "s": pa.array([r["s"] for r in rows]),
+                    "s": pa.array(
+                        [r["s"] for r in rows], pa.list_(pa.float64())
+                    ),
                 }
             )
 
@@ -323,6 +409,7 @@ def random_projection(
     """
 
     def _project(batch: pa.Table) -> pa.Table:
+        batch = _valid_vec_rows(batch, vec_col)
         col = batch[vec_col]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
@@ -381,6 +468,11 @@ def pq_train(
     exactly (m, k, dsub) and the whole run is reproducible.
     """
     mat = _normalize(deterministic_centroids(ds, sample, vec_col=vec_col))
+    if mat.size == 0:
+        raise ValueError(
+            "pq_train: the corpus has no non-null vectors — codebooks "
+            "cannot be trained on an empty sample"
+        )
     n, d = mat.shape
     if d % m:
         raise ValueError(f"PQ requires dim % m == 0, got dim={d} m={m}")
@@ -423,6 +515,7 @@ def pq_encode(
     bref = ray.put(np.ascontiguousarray(codebooks))
 
     def _encode(batch: pa.Table) -> pa.Table:
+        batch = _valid_vec_rows(batch, vec_col)
         books = ray.get(bref)
         mat = _normalize(_to_matrix(batch[vec_col]))
         n = mat.shape[0]
@@ -510,7 +603,20 @@ def pq_search(
         )
 
     refs = encoded.map_batches(_partial, batch_format="pyarrow").to_arrow_refs()
-    tbl = pa.concat_tables([ray.get(r) for r in refs])  # tasks × Q × k: small
+    parts = [ray.get(r) for r in refs]  # tasks × Q × k: small
+    empty_result = pa.table(
+        {
+            "query_id": pa.array([], pa.int64()),
+            "neighbor_id": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int64()),
+            "adc_d2": pa.array([], pa.float64()),
+        }
+    )
+    if not parts:
+        return empty_result
+    tbl = pa.concat_tables(parts)
+    if tbl.num_rows == 0:
+        return empty_result
     qid = tbl["query_id"].to_numpy(zero_copy_only=False)
     nid = tbl["neighbor_id"].to_numpy(zero_copy_only=False)
     d2 = tbl["adc_d2"].to_numpy(zero_copy_only=False)
@@ -558,6 +664,15 @@ def ivfpq_search(
     entries over it are rows-only by nature."""
     qmat = _normalize(np.asarray(query_matrix, dtype=np.float64))
     cmat = _normalize(np.asarray(centroids, dtype=np.float64))
+    if qmat.shape[0] == 0 or cmat.shape[0] == 0:
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int64()),
+                "adc_d2": pa.array([], pa.float64()),
+            }
+        )
     probe = np.argsort(-(qmat @ cmat.T), axis=1)[:, :nprobe]
     wanted = np.unique(probe.reshape(-1))
     sub = indexed_encoded.filter(
