@@ -1277,6 +1277,13 @@ def _events_zorder_scan(sf_dir: str):
         ev.map_batches(_cents, batch_format="pyarrow"),
         base,
         cols=["user_id", "cents"],
+        schema=pa.schema(  # _cents output; needed when the input is empty
+            [
+                ("user_id", pa.int64()),
+                ("event_type", pa.string()),
+                ("cents", pa.int64()),
+            ]
+        ),
         num_partitions=32,
     )
     pruned, _nread, _nskip = read_zone_pruned(base, col="user_id", lo=100, hi=400)
@@ -1345,6 +1352,13 @@ def _smb_user_stats(sf_dir: str):
         os.path.join(base, "events"),
         key="user_id",
         num_buckets=8,
+        schema=pa.schema(  # _cents output; needed when the input is empty
+            [
+                ("user_id", pa.int64()),
+                ("event_id", pa.int64()),
+                ("cents", pa.int64()),
+            ]
+        ),
     )
 
     def _stats(part: pa.Table) -> pa.Table:
@@ -1407,8 +1421,21 @@ def _incremental_contamination(sf_dir: str):
     ).map_batches(
         lambda t: t.rename_columns(["new_id", "fp"]), batch_format="pyarrow"
     )
-    write_bucketed(idx_fp, os.path.join(base, "index"), key="fp", num_buckets=8)
-    write_bucketed(new_fp, os.path.join(base, "new"), key="fp", num_buckets=8)
+    _fp_schema = lambda idc: pa.schema([(idc, pa.int64()), ("fp", pa.int64())])
+    write_bucketed(
+        idx_fp,
+        os.path.join(base, "index"),
+        key="fp",
+        num_buckets=8,
+        schema=_fp_schema("doc_id"),
+    )
+    write_bucketed(
+        new_fp,
+        os.path.join(base, "new"),
+        key="fp",
+        num_buckets=8,
+        schema=_fp_schema("new_id"),
+    )
     joined = bucketed_join(
         os.path.join(base, "index"), os.path.join(base, "new"), how="inner"
     )
@@ -1470,12 +1497,21 @@ def _smb_segment_revenue(sf_dir: str):
             }
         )
 
-    write_bucketed(cust, os.path.join(base, "customer"), key="c_custkey", num_buckets=8)
+    write_bucketed(
+        cust,
+        os.path.join(base, "customer"),
+        key="c_custkey",
+        num_buckets=8,
+        schema=pa.schema(
+            [("c_custkey", pa.int64()), ("c_mktsegment", pa.string())]
+        ),
+    )
     write_bucketed(
         orders.map_batches(_cents, batch_format="pyarrow"),
         os.path.join(base, "orders"),
         key="o_custkey",
         num_buckets=8,
+        schema=pa.schema([("o_custkey", pa.int64()), ("cents", pa.int64())]),
     )
     joined = bucketed_join(
         os.path.join(base, "customer"), os.path.join(base, "orders"), how="inner"
@@ -3083,11 +3119,19 @@ def _docs_anti_benchmark(sf_dir: str):
 
     from hypertrace_ingester_ray.stages.joins import broadcast_semi_join
 
-    bench_ids = pa.array(
-        _benchmark_docs(sf_dir).select_columns(["doc_id"]).to_pandas()[
-            "doc_id"
-        ],
-        pa.int64(),
+    # via arrow refs, not to_pandas(): Ray's to_pandas drops columns on a
+    # fully-empty dataset (no blocks), which would KeyError here
+    bparts = [
+        t
+        for t in _ray.get(
+            _benchmark_docs(sf_dir).select_columns(["doc_id"]).to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    bench_ids = (
+        pa.concat_tables(bparts)["doc_id"].combine_chunks().cast(pa.int64())
+        if bparts
+        else pa.array([], pa.int64())
     )
     return broadcast_semi_join(
         _docs(sf_dir).select_columns(["doc_id", "lang", "source"]),

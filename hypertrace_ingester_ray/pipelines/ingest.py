@@ -384,6 +384,25 @@ def _write_schema_manifest(out_dir: str) -> None:
     os.rename(tmp, path)
 
 
+def _backfill_empty_sinks(out_dir: str) -> None:
+    """Write a schema-bearing empty part for any sink dir that no partition
+    created (possible only when zero rows routed to that sink everywhere).
+    Driver-side, O(#sinks), tiny files — never touches populated sinks."""
+    import pyarrow.parquet as pq
+
+    sinks = dict(schemas.VIEW_SCHEMAS)
+    sinks["metrics"] = schemas.METRICS
+    for name, schema in sinks.items():
+        d = os.path.join(out_dir, name)
+        if os.path.exists(d):
+            continue
+        tmp = d + "_tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp, exist_ok=True)
+        pq.write_table(schema.empty_table(), os.path.join(tmp, "part-empty.parquet"))
+        os.rename(tmp, d)
+
+
 def _read_normalized(input_path_or_ds, config: "PipelineConfig"):
     """read → normalize → bypass split (the pre-shuffle half of the
     topology), shared by the direct run and the bucketed-corpus writer."""
@@ -705,6 +724,12 @@ def run_pipeline(
     phases["metrics_finalize"] = round(
         time.perf_counter() - t0 - phases["main_stage"], 2
     )
+
+    # Zero-row runs route no partitions, so no sink dir was ever created —
+    # backfill typed empty sinks from the declared schemas (the same
+    # contract _schema.json advertises) so view_dataset() and every
+    # downstream reader see the schema instead of FileNotFoundError.
+    _backfill_empty_sinks(out_dir)
 
     elapsed = time.perf_counter() - t0
     total_rows_in = int(stats["rows_in"].sum())

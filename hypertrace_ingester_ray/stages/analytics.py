@@ -893,7 +893,15 @@ def table_profile(ds: Dataset, columns: Optional[Sequence[str]] = None) -> pa.Ta
     statistics."""
     import ray as _ray
 
-    cols = list(columns or ds.schema().names)
+    if columns is None:
+        raw = ds.schema()
+        if raw is None:
+            raise ValueError(
+                "table_profile: dataset has no schema (certainly empty); "
+                "pass columns= explicitly"
+            )
+        columns = raw.names
+    cols = list(columns)
     out = {"col_name": [], "n_rows": [], "n_nulls": [], "min_value": [], "max_value": []}
     for c in cols:
 
@@ -918,7 +926,7 @@ def table_profile(ds: Dataset, columns: Optional[Sequence[str]] = None) -> pa.Ta
                 }
             )
 
-        parts = pa.concat_tables(
+        plist = [
             t
             for t in _ray.get(
                 ds.select_columns([c])
@@ -926,7 +934,15 @@ def table_profile(ds: Dataset, columns: Optional[Sequence[str]] = None) -> pa.Ta
                 .to_arrow_refs()
             )
             if t.num_rows
-        )
+        ]
+        if not plist:  # zero blocks: the column profile of nothing
+            out["col_name"].append(c)
+            out["n_rows"].append(0)
+            out["n_nulls"].append(0)
+            out["min_value"].append(None)
+            out["max_value"].append(None)
+            continue
+        parts = pa.concat_tables(plist)
         mn = pc.min(parts["mn"])
         mx = pc.max(parts["mx"])
         out["col_name"].append(c)
@@ -1959,6 +1975,19 @@ def global_rank(
             "unbounded — bin the column first (length_buckets / "
             "binned_quantiles) or raise the guard deliberately"
         )
+    if not len(hist):
+        # no non-null values anywhere (empty corpus, or col all-null —
+        # null values have no defined rank either way): typed empty result
+        raw = ds.schema()
+        fields = (
+            [pa.field(n, t) for n, t in zip(raw.names, raw.types)]
+            if raw is not None
+            else []
+        )
+        fields.append(pa.field(out_col, pa.int64()))
+        if dense_col:
+            fields.append(pa.field(dense_col, pa.int64()))
+        return _ray.data.from_arrow(pa.schema(fields).empty_table())
     hist = hist.sort_values(col, ascending=not descending).reset_index(drop=True)
     cnt = hist["sum(cnt)"].to_numpy(dtype=np.int64)
     ranks = np.empty_like(cnt)

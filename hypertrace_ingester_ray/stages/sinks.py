@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import json
 import os
+from typing import Optional
 
 import pyarrow as pa
 
@@ -134,6 +135,56 @@ def _as_int64_np(col):
     return v
 
 
+def _resolve_schema(ds: Dataset, schema: "Optional[pa.Schema]"):
+    """Explicit schema wins; else best-effort from the dataset (None when
+    the dataset is certainly empty and Ray reports no schema)."""
+    if schema is not None:
+        return schema
+    raw = ds.schema()
+    if raw is None:
+        return None
+    return pa.schema([pa.field(n, t) for n, t in zip(raw.names, raw.types)])
+
+
+def _write_empty_range_layout(
+    out_dir: str, *, view: str, col: str, schema: pa.Schema
+) -> dict:
+    """A zero-row range layout: no part files, an empty zone map carrying
+    the schema so ``read_zone_pruned`` can return a TYPED empty dataset."""
+    import base64
+
+    os.makedirs(out_dir, exist_ok=True)
+    run_path = os.path.join(out_dir, "_run_manifest.json")
+    with open(run_path + ".tmp", "w") as f:
+        json.dump(
+            {"num_partitions": 0, "view": view, "range_col": col,
+             "boundaries": []},
+            f,
+        )
+    os.rename(run_path + ".tmp", run_path)
+    zm_path = os.path.join(out_dir, "_zone_map.json")
+    with open(zm_path + ".tmp", "w") as f:
+        json.dump(
+            {
+                "view": view,
+                "range_col": col,
+                "zones": {},
+                "schema_ipc": base64.b64encode(
+                    schema.serialize().to_pybytes()
+                ).decode("ascii"),
+            },
+            f,
+            sort_keys=True,
+        )
+    os.rename(zm_path + ".tmp", zm_path)
+    return {
+        "rows": 0,
+        "num_partitions": 0,
+        "resumed_partitions": 0,
+        "view_counts": {view: 0},
+    }
+
+
 def write_range_partitioned(
     ds: Dataset,
     out_dir: str,
@@ -144,6 +195,7 @@ def write_range_partitioned(
     hist_bins: int = 4096,
     view: str = "data",
     persist_col: bool = True,
+    schema: "Optional[pa.Schema]" = None,
 ) -> dict:
     """Write ``ds`` clustered into ``num_partitions`` RANGE partitions of
     ``col`` (Delta/Iceberg-style clustering), with a per-partition zone map
@@ -174,7 +226,17 @@ def write_range_partitioned(
 
     mm = ds.select_columns([col]).map_batches(_mm, batch_format="pyarrow").to_pandas()
     if not len(mm):
-        raise ValueError("cannot range-partition an empty dataset")
+        stored = _resolve_schema(ds, schema)
+        if stored is None:
+            raise ValueError(
+                "write_range_partitioned: dataset is empty and has no "
+                "schema; pass schema= so the layout contract can be written"
+            )
+        if not persist_col and col in stored.names:
+            stored = stored.remove(stored.get_field_index(col))
+        return _write_empty_range_layout(
+            out_dir, view=view, col=col, schema=stored
+        )
     lo, hi = int(mm["lo"].min()), int(mm["hi"].max())
     width = max((hi - lo + hist_bins) // hist_bins, 1)
 
@@ -290,8 +352,20 @@ def write_range_partitioned(
         int(r.part_id): json.loads(r.zones) for r in stats.itertuples()
     }
     zm_path = os.path.join(out_dir, "_zone_map.json")
+    zm = {"view": view, "range_col": col, "zones": zone_map}
+    stored = _resolve_schema(ds, schema)
+    if stored is not None:
+        # lets read_zone_pruned return a TYPED empty dataset when every
+        # file is pruned (not only when the layout was written empty)
+        import base64
+
+        if not persist_col and col in stored.names:
+            stored = stored.remove(stored.get_field_index(col))
+        zm["schema_ipc"] = base64.b64encode(
+            stored.serialize().to_pybytes()
+        ).decode("ascii")
     with open(zm_path + ".tmp", "w") as f:
-        json.dump({"view": view, "range_col": col, "zones": zone_map}, f, sort_keys=True)
+        json.dump(zm, f, sort_keys=True)
     os.rename(zm_path + ".tmp", zm_path)
 
     summary = {
@@ -326,6 +400,12 @@ def read_zone_pruned(out_dir: str, *, col: str, lo=None, hi=None):
             continue
         keep.append(lineage.part_file(out_dir, view, int(pid)))
     if not keep:
+        ipc = zm.get("schema_ipc")
+        if ipc is not None:
+            import base64
+
+            sch = pa.ipc.read_schema(pa.BufferReader(base64.b64decode(ipc)))
+            return _rd.from_arrow(sch.empty_table()), 0, skipped
         return _rd.from_arrow([]), 0, skipped
     return _rd.read_parquet(keep), len(keep), skipped
 
@@ -350,6 +430,7 @@ def write_bucketed(
     *,
     key,
     num_buckets: int = DEFAULT_NUM_PARTITIONS,
+    schema: Optional[pa.Schema] = None,
 ) -> dict:
     """Write ``ds`` as a BUCKETED table: ``num_buckets`` parquet files, file
     ``i`` holding exactly the rows whose key-hash lands in bucket ``i``,
@@ -368,10 +449,20 @@ def write_bucketed(
     Inherits :func:`write_partitioned`'s CRC manifests + resume discipline.
     """
     keys = [key] if isinstance(key, str) else list(key)
-    schema = ds.schema()
-    arrow_schema = pa.schema(
-        [pa.field(n, t) for n, t in zip(schema.names, schema.types)]
-    )
+    raw = ds.schema()
+    if raw is None:
+        # a certainly-empty dataset reports no schema — the bucketing
+        # contract still needs one (bucketed_join validates against it)
+        if schema is None:
+            raise ValueError(
+                "write_bucketed: dataset has no schema (it is certainly "
+                "empty); pass schema= so the bucket contract can be written"
+            )
+        arrow_schema = schema
+    else:
+        arrow_schema = pa.schema(
+            [pa.field(n, t) for n, t in zip(raw.names, raw.types)]
+        )
     summary = write_partitioned(
         ds, out_dir, key=keys, num_partitions=num_buckets
     )
@@ -499,6 +590,7 @@ def write_zordered(
     num_partitions: int = 32,
     bits: int = 16,
     view: str = "data",
+    schema: "Optional[pa.Schema]" = None,
 ) -> dict:
     """Write ``ds`` clustered by the Z-ORDER (Morton) interleave of 2-3
     integer-like columns, with per-partition zone maps over ALL of them.
@@ -542,7 +634,15 @@ def write_zordered(
 
     mm = ds.select_columns(cols).map_batches(_mm, batch_format="pyarrow").to_pandas()
     if not len(mm):
-        raise ValueError("cannot z-order an empty dataset")
+        stored = _resolve_schema(ds, schema)
+        if stored is None:
+            raise ValueError(
+                "write_zordered: dataset is empty and has no schema; pass "
+                "schema= so the layout contract can be written"
+            )
+        return _write_empty_range_layout(
+            out_dir, view=view, col=_ZCODE, schema=stored
+        )
     ranges = {
         c: (int(mm[f"lo_{c}"].min()), int(mm[f"hi_{c}"].max())) for c in cols
     }

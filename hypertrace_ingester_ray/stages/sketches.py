@@ -195,10 +195,16 @@ def bloom_anti_join(
     # re-project each block: operator fusion can hand back a block that still
     # carries the pre-projection schema (observed with map_batches-filter →
     # select_columns chains), and concat_tables requires identical schemas
-    small_tbl = pa.concat_tables(
+    sparts = [
         t.select([key])
         for t in ray.get(small.select_columns([key]).to_arrow_refs())
-    )
+        # fully-empty datasets can hand back zero-COLUMN blocks that lack
+        # the key; zero rows contribute nothing either way
+        if t.num_rows
+    ]
+    if not sparts:  # empty exclusion set: anti join drops nothing
+        return ds
+    small_tbl = pa.concat_tables(sparts)
     vals = small_tbl[key].combine_chunks().to_numpy(zero_copy_only=False)
     vals = np.unique(vals)
     n = max(len(vals), 1)
@@ -307,11 +313,27 @@ def heavy_hitters(
         .groupby(value_col)
         .sum(["cnt", "n_rows"])
     )
-    mt = pa.concat_tables(
+    mparts = [
         t.select([value_col, "sum(cnt)", "sum(n_rows)"])
         for t in ray.get(merged.to_arrow_refs())
         if t.num_rows
-    )
+    ]
+    if not mparts:  # certainly-empty corpus: no candidates, nothing to count
+        vt = None
+        raw = ds.schema()
+        if raw is not None and value_col in raw.names:
+            t = dict(zip(raw.names, raw.types))[value_col]
+            if isinstance(t, pa.DataType):
+                vt = t
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    value_col: pa.array([], vt or pa.string()),
+                    out_count_col: pa.array([], pa.int64()),
+                }
+            )
+        )
+    mt = pa.concat_tables(mparts)
     total_n = int(pc.sum(mt["sum(n_rows)"]).as_py() or 0)
     if threshold * k <= total_n:
         raise ValueError(

@@ -1041,6 +1041,15 @@ def bm25_topk(
         .sum("val")
         .take_all()
     }
+    if "\x00N" not in agg:  # zero blocks: the corpus is certainly empty
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+                "score": pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int64()),
+            }
+        )
     n_docs, total_tok = agg["\x00N"], agg["\x00T"]
     df = {t: agg.get(t, 0) for t in terms}
     max_idf = n_docs * idf_scale // 1
@@ -1117,9 +1126,18 @@ def bm25_topk(
     partials = ds.select_columns([id_col, text_col]).map_batches(
         _score, batch_format="pyarrow"
     )
-    tbl = pa.concat_tables(
-        [_ray.get(r) for r in partials.to_arrow_refs()]
-    )  # tasks × |queries| × k rows: small
+    parts = [_ray.get(r) for r in partials.to_arrow_refs()]
+    if not parts:
+        parts = [
+            pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.int64()),
+                }
+            )
+        ]
+    tbl = pa.concat_tables(parts)  # tasks × |queries| × k rows: small
     qid = tbl["query_id"].to_numpy(zero_copy_only=False)
     did = tbl["doc_id"].to_numpy(zero_copy_only=False)
     sc = tbl["score"].to_numpy(zero_copy_only=False)
