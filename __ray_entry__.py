@@ -377,11 +377,14 @@ def _ua_parse_batch(batch):
 
     parser, tmpl = _ua_parse_state()
     k = (
-        pc.struct_field(
-            pc.extract_regex(batch["props"], r'"k": (?P<k>\d+)'), "k"
+        pc.fill_null(  # null/unmatched props → template 0 (synthetic UA)
+            pc.struct_field(
+                pc.extract_regex(batch["props"], r'"k": (?P<k>\d+)'), "k"
+            ).cast(pa.int64()),
+            0,
         )
-        .cast(pa.int64())
         .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
     )
     ua = tmpl.take(pa.array(k % 120))
     out = pa.table({"event_id": batch["event_id"]})
@@ -616,6 +619,23 @@ def _conv_rollup_salted(sf_dir: str):
 
     ds = transcripts_from_events(sf_dir)
 
+    def _ts_minmax(col, firsts):
+        """Segmented min/max of a timestamp column, SQL-style: nulls don't
+        participate; an all-null segment yields null (not a sentinel)."""
+        import pyarrow.compute as pc
+
+        arr = col.combine_chunks()
+        valid = arr.is_valid().to_numpy(zero_copy_only=False)
+        t64 = pc.fill_null(arr.cast("int64"), 0).to_numpy(zero_copy_only=False)
+        info = np.iinfo(np.int64)
+        mn = np.minimum.reduceat(np.where(valid, t64, info.max), firsts)
+        mx = np.maximum.reduceat(np.where(valid, t64, info.min), firsts)
+        none_valid = np.add.reduceat(valid.astype(np.int64), firsts) == 0
+        return (
+            pa.array(mn, mask=none_valid).cast(pa.timestamp("us")),
+            pa.array(mx, mask=none_valid).cast(pa.timestamp("us")),
+        )
+
     def partial(part: pa.Table) -> pa.Table:
         conv = part["conv_id"].combine_chunks().dictionary_encode()
         codes = conv.indices.to_numpy(zero_copy_only=False).astype(np.int64)
@@ -625,18 +645,14 @@ def _conv_rollup_salted(sf_dir: str):
         tool_valid = np.asarray(
             tools.is_valid().to_numpy(zero_copy_only=False), dtype=np.int64
         )
-        ts = part["ts"].combine_chunks().cast("int64").to_numpy(zero_copy_only=False)
+        first_ts, last_ts = _ts_minmax(part["ts"], firsts)
         return pa.table(
             {
                 "conv_id": part["conv_id"].take(pa.array(firsts)),
                 "num_turns": pa.array(np.diff(bounds).astype(np.int64)),
                 "num_tool_calls": pa.array(np.add.reduceat(tool_valid, firsts)),
-                "first_ts": pa.array(np.minimum.reduceat(ts, firsts)).cast(
-                    pa.timestamp("us")
-                ),
-                "last_ts": pa.array(np.maximum.reduceat(ts, firsts)).cast(
-                    pa.timestamp("us")
-                ),
+                "first_ts": first_ts,
+                "last_ts": last_ts,
             }
         )
 
@@ -647,19 +663,15 @@ def _conv_rollup_salted(sf_dir: str):
         firsts = bounds[:-1]
         nt = part["num_turns"].to_numpy(zero_copy_only=False)
         nc = part["num_tool_calls"].to_numpy(zero_copy_only=False)
-        f = part["first_ts"].combine_chunks().cast("int64").to_numpy(zero_copy_only=False)
-        l = part["last_ts"].combine_chunks().cast("int64").to_numpy(zero_copy_only=False)
+        first_ts, _ = _ts_minmax(part["first_ts"], firsts)
+        _, last_ts = _ts_minmax(part["last_ts"], firsts)
         return pa.table(
             {
                 "conv_id": part["conv_id"].take(pa.array(firsts)),
                 "num_turns": pa.array(np.add.reduceat(nt, firsts)),
                 "num_tool_calls": pa.array(np.add.reduceat(nc, firsts)),
-                "first_ts": pa.array(np.minimum.reduceat(f, firsts)).cast(
-                    pa.timestamp("us")
-                ),
-                "last_ts": pa.array(np.maximum.reduceat(l, firsts)).cast(
-                    pa.timestamp("us")
-                ),
+                "first_ts": first_ts,
+                "last_ts": last_ts,
             }
         )
 
@@ -1175,8 +1187,17 @@ def _doc_length_rank(sf_dir: str):
     Oracle = the SQL window functions, value-exact including ties."""
     from hypertrace_ingester_ray.stages.analytics import global_rank
 
+    import pyarrow.compute as pc
+
     docs = _rpq(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "n_chars"]
+    ).map_batches(
+        # null lengths have no defined rank (global_rank raises loudly);
+        # SQL mirror: WHERE n_chars IS NOT NULL
+        lambda t: t.filter(pc.is_valid(t["n_chars"]))
+        if t["n_chars"].null_count
+        else t,
+        batch_format="pyarrow",
     )
     return global_rank(
         docs, col="n_chars", descending=True,
@@ -1789,6 +1810,10 @@ def _trending_types_hourly(sf_dir: str):
     import pyarrow.compute as pc
 
     from hypertrace_ingester_ray.stages.corpus import top_k_per_group
+    from hypertrace_ingester_ray.stages.grouping import (
+        fill_null_keys,
+        restore_null_keys,
+    )
 
     ds = _rpq(os.path.join(sf_dir, "events.parquet"), columns=["ts", "event_type"])
 
@@ -1802,14 +1827,20 @@ def _trending_types_hourly(sf_dir: str):
             }
         )
         agg = h.group_by(["hour_us", "event_type"]).aggregate([([], "count_all")])
-        return agg.rename_columns(["hour_us", "event_type", "cnt"])
+        agg = agg.rename_columns(["hour_us", "event_type", "cnt"])
+        # Ray's sort-shuffle groupby can't order null keys — sentinel-fill
+        # here, restore after, so SQL's NULL group survives
+        return fill_null_keys(agg, ["hour_us", "event_type"])
 
     counts = (
         ds.map_batches(_partial, batch_format="pyarrow")
         .groupby(["hour_us", "event_type"])
         .sum("cnt")
         .map_batches(
-            lambda t: t.rename_columns(["hour_us", "event_type", "cnt"]),
+            lambda t: restore_null_keys(
+                t.rename_columns(["hour_us", "event_type", "cnt"]),
+                ["hour_us", "event_type"],
+            ),
             batch_format="pyarrow",
         )
     )
@@ -1948,6 +1979,8 @@ def _late_events_by_user(sf_dir: str):
     )
 
     def _prep(t: pa.Table) -> pa.Table:
+        if t["ts"].null_count:  # no event time → no watermark, never late
+            t = t.filter(pc.is_valid(t["ts"]))
         us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
         eid = t["event_id"].to_numpy(zero_copy_only=False)
         jitter_s = (eid * np.int64(2654435761)) % np.int64(200000)
@@ -2250,7 +2283,9 @@ def _doc_quota_mix(sf_dir: str):
         batch_format="pyarrow",
     ).take_all():
         sources.add(row["source"])
-    quotas = {s: 2 + (int(s[3:]) % 7) * 3 for s in sources}
+    quotas = {
+        s: 2 + (int(s[3:]) % 7) * 3 for s in sources if s is not None
+    }  # a null source has no quota formula → budget 0 (excluded)
     return corpus.quota_sample(
         docs, group_col="source", quotas=quotas, num_partitions=8
     )

@@ -23,6 +23,8 @@ import ray
 import ray.data
 from ray.data import Dataset
 
+from ..stages.grouping import fill_null_keys, restore_null_keys
+
 
 def _read(sf_dir: str, table: str, columns: Sequence[str]) -> Dataset:
     from ..sources.parquet import read_parquet_clean
@@ -163,11 +165,14 @@ def events_hourly(sf_dir: str) -> Dataset:
                 "sum_value_cents": _cents(batch["value"]),
             }
         )
-        return (
+        out = (
             t.group_by(["hour_ts", "event_type"])
             .aggregate([("sum_value_cents", "sum"), ([], "count_all")])
             .rename_columns(names)
         )
+        # Ray's sort-shuffle groupby can't order null keys; sentinel-fill
+        # so SQL's NULL group survives the exchange (restored in _final)
+        return fill_null_keys(out, ["hour_ts", "event_type"])
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     agg = partials.groupby(["hour_ts", "event_type"]).sum(
@@ -175,7 +180,9 @@ def events_hourly(sf_dir: str) -> Dataset:
     )
 
     def _final(b: pa.Table) -> pa.Table:
-        b = b.rename_columns(names)
+        b = restore_null_keys(
+            b.rename_columns(names), ["hour_ts", "event_type"]
+        )
         return b.set_column(
             0, "hour_ts", pc.cast(b["hour_ts"], pa.timestamp("us"))
         )

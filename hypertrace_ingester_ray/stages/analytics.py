@@ -794,6 +794,13 @@ def group_quantiles(
     """
     keys = [key] if isinstance(key, str) else list(key)
     pct_arr = np.asarray(sorted(pcts), dtype=np.int64)
+    # SQL percentile semantics: null values don't participate
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.is_valid(t[value_col]))
+        if t[value_col].null_count
+        else t,
+        batch_format="pyarrow",
+    )
 
     def _apply(part: pa.Table) -> pa.Table:
         bounds = run_boundaries(*_np_cols(part, keys))
@@ -983,6 +990,13 @@ def merge_intervals(
     keys = [key] if isinstance(key, str) else list(key)
 
     def _apply(part: pa.Table) -> pa.Table:
+        if part[start_col].null_count or part[end_col].null_count:
+            # an interval without both endpoints spans nothing
+            part = part.filter(
+                pc.and_(
+                    pc.is_valid(part[start_col]), pc.is_valid(part[end_col])
+                )
+            )
         n = part.num_rows
         empty = {
             **{k: part[k].slice(0, 0) for k in keys},
@@ -1224,6 +1238,8 @@ def group_zscore_outliers(
     keys_col, vcol = key, value_col
 
     def _partial(batch: pa.Table) -> pa.Table:
+        if batch[vcol].null_count:  # SQL semantics: nulls join no aggregate
+            batch = batch.filter(pc.is_valid(batch[vcol]))
         v = np.floor(
             batch[vcol].to_numpy(zero_copy_only=False) * cents_scale
         ).astype(np.int64)
@@ -1260,11 +1276,18 @@ def group_zscore_outliers(
     }
 
     def _filter(batch: pa.Table) -> pa.Table:
+        if batch[vcol].null_count:  # null values are never outliers
+            batch = batch.filter(pc.is_valid(batch[vcol]))
         v = np.floor(
             batch[vcol].to_numpy(zero_copy_only=False) * cents_scale
         ).astype(np.int64)
-        karr = batch[keys_col].to_numpy(zero_copy_only=False)
-        uniq, inv = np.unique(karr, return_inverse=True)
+        enc = batch[keys_col].combine_chunks().dictionary_encode()
+        uniq = enc.dictionary.to_pylist()
+        idx_arr = enc.indices
+        if idx_arr.null_count:  # null keys form their own (SQL NULL) group
+            idx_arr = pc.fill_null(idx_arr, len(uniq))
+            uniq = uniq + [None]
+        inv = idx_arr.to_numpy(zero_copy_only=False).astype(np.int64)
         thresholds = np.array(
             [cut.get(u, np.iinfo(np.int64).max) for u in uniq],
             dtype=np.int64,
@@ -1475,6 +1498,8 @@ def attribution(
                 "linear_micros": pa.array([], pa.int64()),
             }
         )
+        if part[ts_col].null_count:  # unordered events join no journey
+            part = part.filter(pc.is_valid(part[ts_col]))
         if part.num_rows == 0:
             return empty
         ucol = part[user_col].combine_chunks()
@@ -1521,10 +1546,16 @@ def attribution(
         # linear: ragged expansion to touch rows, floor-divided credit
         cts = counts[has]
         total = int(cts.sum())
-        csum = np.concatenate(([0], np.cumsum(cts)[:-1]))
-        flat = np.repeat(lo[has], cts) + (np.arange(total) - np.repeat(csum, cts))
-        lin_rows = touch[flat]
-        lin_credit = np.repeat(credit_scale // cts, cts)
+        if len(cts):
+            csum = np.concatenate(([0], np.cumsum(cts)[:-1]))
+            flat = np.repeat(lo[has], cts) + (
+                np.arange(total) - np.repeat(csum, cts)
+            )
+            lin_rows = touch[flat]
+            lin_credit = np.repeat(credit_scale // cts, cts)
+        else:  # no conversion in this partition has any prior touch
+            lin_rows = np.empty(0, np.int64)
+            lin_credit = np.empty(0, np.int64)
 
         chan_arr = part[type_col].combine_chunks()
         out = {}
@@ -1619,11 +1650,19 @@ def winsorize(
 
     def _clamp(batch: pa.Table) -> pa.Table:
         b = _ray.get(bands_ref)
+        if batch[value_col].null_count:
+            # a null value has no defined clamp and never entered the
+            # quantile bands — drop, mirroring SQL aggregate semantics
+            batch = batch.filter(pc.is_valid(batch[value_col]))
         enc = batch[kcol].combine_chunks().dictionary_encode()
         uniq = enc.dictionary.to_pylist()
+        idx_arr = enc.indices
+        if idx_arr.null_count:  # null keys form their own (SQL NULL) group
+            idx_arr = pc.fill_null(idx_arr, len(uniq))
+            uniq = uniq + [None]
         lo = np.array([b[u][0] for u in uniq], dtype=np.int64)
         hi = np.array([b[u][1] for u in uniq], dtype=np.int64)
-        idx = enc.indices.to_numpy(zero_copy_only=False)
+        idx = idx_arr.to_numpy(zero_copy_only=False).astype(np.int64)
         v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
         clamped = np.minimum(np.maximum(v, lo[idx]), hi[idx])
         return batch.append_column(out_col, pa.array(clamped))
@@ -1794,6 +1833,9 @@ def resample_gapfill(
     """
 
     def _partial(batch: pa.Table) -> pa.Table:
+        if batch[bucket_col].null_count:
+            # a null bucket (e.g. null timestamp upstream) sits on no grid
+            batch = batch.filter(pc.is_valid(batch[bucket_col]))
         t = (
             batch.select([key, bucket_col])
             .group_by([key, bucket_col])
@@ -1876,6 +1918,11 @@ def group_moments(
     lim = np.int64(1) << 31
 
     def _partial(batch: pa.Table) -> pa.Table:
+        # SQL aggregate semantics: rows with a null x/y contribute nothing
+        if batch[x_col].null_count or batch[y_col].null_count:
+            batch = batch.filter(
+                pc.and_(pc.is_valid(batch[x_col]), pc.is_valid(batch[y_col]))
+            )
         x = batch[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
         y = batch[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
         if len(x) and (np.abs(x).max() >= lim or np.abs(y).max() >= lim):

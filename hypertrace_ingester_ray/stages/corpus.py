@@ -161,6 +161,7 @@ def length_quantiles(
         arr = batch[col]
         if isinstance(arr, pa.ChunkedArray):
             arr = arr.combine_chunks()
+        arr = arr.drop_null()  # SQL percentile semantics: nulls don't rank
         vc = arr.value_counts()
         return pa.table(
             {
@@ -294,14 +295,42 @@ def stratified_sample(
     def _sample(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
         ticket = ((ids * _SAMPLE_K) % _MOD32 % np.uint64(1000)).astype(np.int64)
-        strata = batch[strata_col].to_numpy(zero_copy_only=False)
-        uniq, inv = np.unique(strata, return_inverse=True)
+        # dictionary codes, not np.unique (None can't be numpy-sorted);
+        # a null stratum is just another absent key → permille 0
+        enc = batch[strata_col].combine_chunks().dictionary_encode()
+        uniq = enc.dictionary.to_pylist()
+        idx_arr = enc.indices
+        if idx_arr.null_count:
+            idx_arr = pc.fill_null(idx_arr, len(uniq))
+            uniq = uniq + [None]
+        inv = idx_arr.to_numpy(zero_copy_only=False).astype(np.int64)
         limits = np.array(
             [int(fracs_x1000.get(s, 0)) for s in uniq], dtype=np.int64
         )
         return batch.filter(pa.array(ticket < limits[inv]))
 
     return ds.map_batches(_sample, batch_format="pyarrow")
+
+
+def _sortable_codes(col) -> np.ndarray:
+    """Column → int64 codes that sort exactly like the values, nulls LAST —
+    numpy can't order object arrays mixing None with str, so every numpy
+    sort over a possibly-null key goes through this."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    enc = arr.dictionary_encode()
+    d = enc.dictionary
+    ranks = np.empty(len(d), dtype=np.int64)
+    ranks[pc.array_sort_indices(d).to_numpy(zero_copy_only=False)] = np.arange(
+        len(d), dtype=np.int64
+    )
+    idx = enc.indices
+    if idx.null_count:
+        codes = idx.to_numpy(zero_copy_only=False)
+        out = np.full(len(codes), len(d), dtype=np.int64)
+        m = ~np.isnan(codes)
+        out[m] = ranks[codes[m].astype(np.int64)]
+        return out
+    return ranks[idx.to_numpy(zero_copy_only=False).astype(np.int64)]
 
 
 def top_k_per_group(
@@ -324,10 +353,14 @@ def top_k_per_group(
     def _topk(part: pa.Table) -> pa.Table:
         if part.num_rows == 0:
             return part.append_column("rank", pa.array([], pa.int64()))
-        g = part[group_col].to_numpy(zero_copy_only=False)
+        # value-ordered dictionary codes, not np.unique: object arrays
+        # mixing None and str can't be sorted by numpy — nulls get the
+        # last code (SQL NULLS LAST)
+        gcodes = _sortable_codes(part[group_col])
         v = part[order_col].to_numpy(zero_copy_only=False)
         i = part[id_col].to_numpy(zero_copy_only=False)
-        gcodes = np.unique(g, return_inverse=True)[1]
+        if i.dtype == object:  # nullable string tiebreaker
+            i = _sortable_codes(part[id_col])
         order = np.lexsort((i, -v, gcodes))
         seg = segment_ids_from_boundaries(run_boundaries(gcodes[order]))
         rank = segmented_cumcount(seg)
@@ -501,7 +534,8 @@ def remove_common_words(
 
     def _rewrite(batch: pa.Table) -> pa.Table:
         hot = ray.get(common_ref)
-        toks = pc.split_pattern(batch[text_col], " ")
+        # null text rewrites as "" (a null list entry would desync offsets)
+        toks = pc.split_pattern(pc.fill_null(batch[text_col], ""), " ")
         if isinstance(toks, pa.ChunkedArray):
             toks = toks.combine_chunks()
         flat = toks.flatten()
@@ -566,7 +600,7 @@ def pack_sequences(
 
     def _count(batch: pa.Table) -> pa.Table:
         n = pc.list_value_length(
-            pc.split_pattern(batch[text_col], " ")
+            pc.split_pattern(pc.fill_null(batch[text_col], ""), " ")
         ).cast(pa.int64())
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         return pa.table(
@@ -768,9 +802,15 @@ def quota_sample(
             return part
         ids = part[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
         ticket = ((ids * _SAMPLE_K) % _MOD32).astype(np.int64)
-        uniq, inv = np.unique(
-            part[group_col].to_numpy(zero_copy_only=False), return_inverse=True
-        )
+        # dictionary codes (None can't be numpy-sorted); a null group is
+        # just another key absent from quotas → budget 0
+        enc = part[group_col].combine_chunks().dictionary_encode()
+        uniq = enc.dictionary.to_pylist()
+        idx_arr = enc.indices
+        if idx_arr.null_count:
+            idx_arr = pc.fill_null(idx_arr, len(uniq))
+            uniq = uniq + [None]
+        inv = idx_arr.to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.lexsort((ids.astype(np.int64), ticket, inv))
         seg = segment_ids_from_boundaries(run_boundaries(inv[order]))
         rank = segmented_cumcount(seg)
@@ -812,7 +852,7 @@ def segment_dedup(
     import pandas as pd
 
     def _explode(batch: pa.Table) -> pa.Table:
-        col = batch[text_col]
+        col = pc.fill_null(batch[text_col], "")  # null text segments as ""
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         la = pc.split_pattern(col, " ")
@@ -919,6 +959,8 @@ def weighted_sample(
     corpus.  Weights must be positive int64 (raises loudly otherwise)."""
 
     def _local(batch: pa.Table) -> pa.Table:
+        if batch[weight_col].null_count:  # no weight → no draw priority
+            batch = batch.filter(pc.is_valid(batch[weight_col]))
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
         w = batch[weight_col].to_numpy(zero_copy_only=False).astype(np.int64)
         if len(w) and w.min() <= 0:

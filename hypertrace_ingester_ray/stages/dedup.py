@@ -406,6 +406,8 @@ def embedding_near_dup(
     """Pairs (a < b) within the same block whose cosine similarity ≥ threshold."""
 
     def _pairs(part: pa.Table) -> pa.Table:
+        if part[vec_col].null_count:  # rows without embeddings can't match
+            part = part.filter(pc.is_valid(part[vec_col]))
         blocks = part[block_col].to_numpy(zero_copy_only=False)
         ids = part[id_col].to_numpy(zero_copy_only=False)
         vecs = _vec_matrix(part[vec_col])
@@ -460,6 +462,8 @@ def embedding_near_dup_lsh(
     import ray as _ray
 
     def _assign(batch: pa.Table) -> pa.Table:
+        if batch[vec_col].null_count:  # rows without embeddings can't match
+            batch = batch.filter(pc.is_valid(batch[vec_col]))
         vecs = _vec_matrix(batch[vec_col])
         n, d = vecs.shape if vecs.ndim == 2 else (0, 0)
         if n == 0:

@@ -637,6 +637,54 @@ def assemble_conversations(
 
 
 # ---------------------------------------------------------------------------
+# null-safe native groupby: Ray Data's sort-based shuffle groupby crashes on
+# null keys (numpy searchsorted can't order None vs str inside
+# sort_and_partition).  SQL GROUP BY keeps the NULL group, so dropping rows
+# is wrong — instead fill each key with an improbable typed sentinel before
+# the native groupby and restore nulls after.
+# ---------------------------------------------------------------------------
+
+_NULL_STR_SENTINEL = "\x00\x00<null>"
+_NULL_INT_SENTINEL = -(2**62) - 777
+
+
+def _key_sentinel(t: pa.DataType):
+    if pa.types.is_integer(t):
+        return pa.scalar(_NULL_INT_SENTINEL, t)
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return pa.scalar(_NULL_STR_SENTINEL, t)
+    if pa.types.is_timestamp(t):
+        return pa.scalar(_NULL_INT_SENTINEL, pa.int64()).cast(t)
+    raise TypeError(f"no null-group sentinel for key type {t}")
+
+
+def fill_null_keys(batch: pa.Table, keys) -> pa.Table:
+    """Replace nulls in key columns with typed sentinels (pre-groupby)."""
+    for k in [keys] if isinstance(keys, str) else keys:
+        col = batch[k]
+        if col.null_count:
+            i = batch.schema.get_field_index(k)
+            batch = batch.set_column(
+                i, k, pc.fill_null(col, _key_sentinel(col.type))
+            )
+    return batch
+
+
+def restore_null_keys(batch: pa.Table, keys) -> pa.Table:
+    """Turn key sentinels back into nulls (post-groupby)."""
+    for k in [keys] if isinstance(keys, str) else keys:
+        col = batch[k]
+        sent = _key_sentinel(col.type)
+        mask = pc.equal(col, sent)
+        if pc.any(mask).as_py():
+            i = batch.schema.get_field_index(k)
+            batch = batch.set_column(
+                i, k, pc.if_else(mask, pa.scalar(None, col.type), col)
+            )
+    return batch
+
+
+# ---------------------------------------------------------------------------
 # cogroup: two datasets co-partitioned by one key, processed pairwise
 # ---------------------------------------------------------------------------
 

@@ -23,6 +23,8 @@ import pyarrow.compute as pc
 
 from ray.data import Dataset
 
+from .grouping import fill_null_keys, restore_null_keys
+
 METRIC_DIMS: List[str] = ["window_ts", "tenant_id", "service_name", "api_status"]
 
 
@@ -154,6 +156,8 @@ def hopping_window_counts(
     out_cols = ["window_start"] + list(dims) + ["num_events"]
 
     def explode_partial(batch: pa.Table) -> pa.Table:
+        if batch[ts_col].null_count:  # a row without a time has no window
+            batch = batch.filter(pc.is_valid(batch[ts_col]))
         n = batch.num_rows
         ts = (
             batch[ts_col].combine_chunks().cast(pa.int64())
@@ -176,13 +180,15 @@ def hopping_window_counts(
         out = t.group_by(["window_start"] + list(dims)).aggregate(
             [([], "count_all")]
         )
-        return out.rename_columns(["window_start"] + list(dims) + ["num_events"])
+        out = out.rename_columns(["window_start"] + list(dims) + ["num_events"])
+        # Ray's sort-shuffle groupby can't order null dim keys
+        return fill_null_keys(out, dims)
 
     partial = ds.map_batches(explode_partial, batch_format="pyarrow")
     agg = partial.groupby(["window_start"] + list(dims)).sum("num_events")
 
     def _final(b: pa.Table) -> pa.Table:
-        b = b.rename_columns(out_cols)
+        b = restore_null_keys(b.rename_columns(out_cols), dims)
         return b.set_column(
             0, "window_start", pc.cast(b["window_start"], pa.timestamp("us"))
         )
@@ -218,6 +224,8 @@ def hopping_window_distinct(
     n_hops = window_us // hop_us
 
     def _explode_unique(batch: pa.Table) -> pa.Table:
+        if batch[ts_col].null_count:  # a row without a time has no window
+            batch = batch.filter(pc.is_valid(batch[ts_col]))
         n = batch.num_rows
         ts = (
             batch[ts_col].combine_chunks().cast(pa.int64())

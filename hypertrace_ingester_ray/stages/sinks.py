@@ -301,8 +301,17 @@ def write_range_partitioned(
         part = part.drop_columns([_RPART])
         zones = {}
         for zc in zone_cols:
-            v = _as_int64_np(part[zc])
-            zones[zc] = [int(v.min()), int(v.max())]
+            zarr = part[zc]
+            if isinstance(zarr, pa.ChunkedArray):
+                zarr = zarr.combine_chunks()
+            v = _as_int64_np(zarr.drop_null())
+            if len(v):
+                zones[zc] = [int(v.min()), int(v.max())]
+            else:
+                # only null values here: no range predicate can match, so
+                # an impossible zone keeps this file always-pruned
+                i64 = np.iinfo(np.int64)
+                zones[zc] = [int(i64.max), int(i64.min)]
         if not persist_col:
             # synthetic sort keys (e.g. a z-order code) cluster the layout
             # but don't belong in the stored schema
@@ -609,6 +618,7 @@ def write_zordered(
     dropped from the stored files (``persist_col=False``).
     """
     import numpy as np
+    import pyarrow.compute as pc
 
     cols = list(cols)
     if not 2 <= len(cols) <= 3:
@@ -623,7 +633,10 @@ def write_zordered(
     def _mm(batch: pa.Table) -> pa.Table:
         out = {}
         for c in cols:
-            v = _as_int64_np(batch[c])
+            col = batch[c]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            v = _as_int64_np(col.drop_null())  # zones span non-null values
             if len(v) == 0:
                 return pa.table(
                     {f"{s}_{c}": pa.array([], pa.int64()) for c in cols for s in ("lo", "hi")}
@@ -652,8 +665,16 @@ def write_zordered(
         for d, c in enumerate(cols):
             lo, hi = ranges[c]
             span = max(hi - lo, 1)
+            col = batch[c]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            if col.null_count:
+                # null cluster values carry no position — park them at the
+                # low edge (rows are preserved; exact row filters at read
+                # time exclude them from any range predicate anyway)
+                col = pc.fill_null(col, pa.scalar(lo, pa.int64()).cast(col.type))
             q = np.minimum(
-                (_as_int64_np(batch[c]) - lo).astype(np.float64) * (mask / span),
+                (_as_int64_np(col) - lo).astype(np.float64) * (mask / span),
                 mask,
             ).astype(np.uint64)
             spread = np.zeros_like(q)

@@ -130,7 +130,15 @@ def hll_distinct(
         bucket = (h >> np.uint64(width)).astype(np.int64)
         rho = (width - _bit_length(h & w_mask) + 1).astype(np.uint8)
         karr = batch[key].combine_chunks()
-        uk, inv = np.unique(karr.to_numpy(zero_copy_only=False), return_inverse=True)
+        # dictionary codes, not np.unique: numpy can't order None vs str —
+        # the null key keeps its own register set (SQL's NULL group)
+        enc = karr.dictionary_encode()
+        uk = enc.dictionary.to_pylist()
+        idx_arr = enc.indices
+        if idx_arr.null_count:
+            idx_arr = pc.fill_null(idx_arr, len(uk))
+            uk = uk + [None]
+        inv = idx_arr.to_numpy(zero_copy_only=False).astype(np.int64)
         slot = inv * m + bucket
         order = np.argsort(slot, kind="stable")
         slot_s = slot[order]

@@ -33,10 +33,12 @@ QUALITY_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is"]
 
 def token_stats_batch(batch: pa.Table) -> pa.Table:
     """doc → token/char statistics (single-space tokenization, matching the
-    DuckDB oracle's string_split)."""
-    tokens = pc.split_pattern(batch["text"], " ")
+    DuckDB oracle's string_split).  Null text counts as "" (split_pattern's
+    null list entries would desync flatten() offsets from rows)."""
+    text = pc.fill_null(batch["text"], "")
+    tokens = pc.split_pattern(text, " ")
     n_tokens = pc.cast(pc.list_value_length(tokens), pa.int64())
-    n_chars = pc.cast(pc.utf8_length(batch["text"]), pa.int64())
+    n_chars = pc.cast(pc.utf8_length(text), pa.int64())
     return pa.table(
         {
             "doc_id": batch["doc_id"],
@@ -48,8 +50,9 @@ def token_stats_batch(batch: pa.Table) -> pa.Table:
 
 def quality_score_batch(batch: pa.Table) -> pa.Table:
     """Quality signals: token count, mean token length ×100 (integer, exact),
-    stopword hits — length/punct/stopword-ratio style scoring."""
-    text = batch["text"]
+    stopword hits — length/punct/stopword-ratio style scoring.  Null text
+    scores as "" (kept, not dropped — the row still exists in the corpus)."""
+    text = pc.fill_null(batch["text"], "")
     tokens = pc.split_pattern(text, " ")
     n_tokens = pc.cast(pc.list_value_length(tokens), pa.int64())
     n_chars = pc.cast(pc.utf8_length(text), pa.int64())
@@ -78,8 +81,9 @@ def quality_score_batch(batch: pa.Table) -> pa.Table:
 
 
 def lang_id_batch(batch: pa.Table) -> pa.Table:
-    """Stopword-hit argmax language ID (ties broken by language-code order)."""
-    tokens = pc.split_pattern(batch["text"], " ").combine_chunks()
+    """Stopword-hit argmax language ID (ties broken by language-code order).
+    Null text identifies as "unknown" (scored as empty)."""
+    tokens = pc.split_pattern(pc.fill_null(batch["text"], ""), " ").combine_chunks()
     flat = tokens.flatten()
     offsets = tokens.offsets.to_numpy(zero_copy_only=False)
     langs = sorted(STOPWORDS)
