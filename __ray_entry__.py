@@ -509,6 +509,10 @@ def _order_priority_revenue(sf_dir: str):
     )
     j = hash_join(li, od, on=["l_orderkey"], right_on=["o_orderkey"], num_partitions=16)
     names = ["o_orderpriority", "revenue_cents", "num_items"]
+    from hypertrace_ingester_ray.stages.grouping import (
+        fill_null_keys,
+        restore_null_keys,
+    )
 
     def partial(batch: pa.Table) -> pa.Table:
         cents = pc.cast(
@@ -516,16 +520,21 @@ def _order_priority_revenue(sf_dir: str):
             pa.int64(),
         )
         t = pa.table({"o_orderpriority": batch["o_orderpriority"], "revenue_cents": cents})
-        return (
+        out = (
             t.group_by(["o_orderpriority"])
             .aggregate([("revenue_cents", "sum"), ([], "count_all")])
             .rename_columns(names)
         )
+        # sort-shuffle groupby can't order null keys; sentinel round-trip
+        return fill_null_keys(out, "o_orderpriority")
 
     agg = j.map_batches(partial, batch_format="pyarrow").groupby(
         "o_orderpriority"
     ).sum(["revenue_cents", "num_items"])
-    return agg.map_batches(lambda b: b.rename_columns(names), batch_format="pyarrow")
+    return agg.map_batches(
+        lambda b: restore_null_keys(b.rename_columns(names), "o_orderpriority"),
+        batch_format="pyarrow",
+    )
 
 
 def _asof_last_click(sf_dir: str):
@@ -2517,6 +2526,10 @@ def _order_revenue_skewjoin(sf_dir: str):
         num_partitions=16,
     )
     names = ["o_orderpriority", "revenue_cents", "num_items"]
+    from hypertrace_ingester_ray.stages.grouping import (
+        fill_null_keys,
+        restore_null_keys,
+    )
 
     def partial(batch: pa.Table) -> pa.Table:
         cents = pc.cast(
@@ -2526,18 +2539,23 @@ def _order_revenue_skewjoin(sf_dir: str):
         t = pa.table(
             {"o_orderpriority": batch["o_orderpriority"], "revenue_cents": cents}
         )
-        return (
+        out = (
             t.group_by(["o_orderpriority"])
             .aggregate([("revenue_cents", "sum"), ([], "count_all")])
             .rename_columns(names)
         )
+        # sort-shuffle groupby can't order null keys; sentinel round-trip
+        return fill_null_keys(out, "o_orderpriority")
 
     agg = (
         j.map_batches(partial, batch_format="pyarrow")
         .groupby("o_orderpriority")
         .sum(["revenue_cents", "num_items"])
     )
-    return agg.map_batches(lambda b: b.rename_columns(names), batch_format="pyarrow")
+    return agg.map_batches(
+        lambda b: restore_null_keys(b.rename_columns(names), "o_orderpriority"),
+        batch_format="pyarrow",
+    )
 
 
 def _docs_v2(sf_dir: str):

@@ -73,7 +73,7 @@ def lineitem_pricing_summary(sf_dir: str) -> Dataset:
                 "sum_disc_price_cents": pc.cast(pc.floor(disc_price), pa.int64()),
             }
         )
-        return (
+        out = (
             t.group_by(["l_returnflag", "l_linestatus"])
             .aggregate(
                 [
@@ -85,12 +85,21 @@ def lineitem_pricing_summary(sf_dir: str) -> Dataset:
             )
             .rename_columns(names)
         )
+        # Ray's sort-shuffle groupby can't order null keys; sentinel-fill
+        # so SQL's NULL group survives the exchange (restored in _final)
+        return fill_null_keys(out, ["l_returnflag", "l_linestatus"])
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     agg = partials.groupby(["l_returnflag", "l_linestatus"]).sum(
         ["sum_qty", "sum_base_price_cents", "sum_disc_price_cents", "count_order"]
     )
-    return agg.map_batches(lambda b: b.rename_columns(names), batch_format="pyarrow")
+
+    def _final(b: pa.Table) -> pa.Table:
+        return restore_null_keys(
+            b.rename_columns(names), ["l_returnflag", "l_linestatus"]
+        )
+
+    return agg.map_batches(_final, batch_format="pyarrow")
 
 
 def revenue_by_nation(sf_dir: str) -> Dataset:

@@ -15,9 +15,12 @@ import tools.make_edge_fixtures as mef
 
 # one per hardening family: flagship views, text scoring, tokenize/pack,
 # sampling, ranking, windows/watermarks, native-groupby null keys, sketches,
-# attribution, layouts (SMB/zorder), similarity, embedding dedup
+# attribution, layouts (SMB/zorder), similarity, embedding dedup,
+# relational groupby/join with nullable TPC-H measure+label columns
 REPRESENTATIVE = [
     "view_per_turn",
+    "lineitem_pricing_summary",
+    "order_priority_revenue",
     "doc_quality",
     "doc_bm25_top10",
     "doc_pack_sequences",

@@ -3,9 +3,11 @@
   (a) <out>/sf_empty — every testdata table with IDENTICAL schema but zero
       rows (what a fully-filtered or not-yet-landed partition looks like);
   (b) <out>/sf_nulls — small slices of every table with ~10% nulls injected
-      into every non-key column of the big three (events, documents,
-      embeddings) — what a real web corpus looks like (missing text,
-      missing embeddings, null props).
+      into every non-key column of the fact/dimension tables (events,
+      documents, embeddings, orders, lineitem, part, customer, supplier)
+      — what a real web corpus looks like (missing text, missing
+      embeddings, null props, null measures/dates/labels). Identity and
+      join keys stay non-null.
 
 Deterministic (seeded), derived from /root/testdata — no external data.
 
@@ -23,7 +25,19 @@ TABLES = (
     "region nation customer supplier part orders lineitem "
     "events documents embeddings"
 ).split()
-KEY_COLS = {"event_id", "doc_id", "vec_id", "user_id"}
+# identity + join keys stay non-null (a production pipeline enforces
+# key integrity at ingest; everything else is fair game)
+KEY_COLS = {
+    "event_id", "doc_id", "vec_id", "user_id",
+    "o_orderkey", "o_custkey", "c_custkey", "c_nationkey",
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+    "p_partkey", "s_suppkey", "s_nationkey",
+    "n_nationkey", "n_regionkey", "r_regionkey",
+}
+NULLED_TABLES = (
+    "events", "documents", "embeddings",
+    "orders", "lineitem", "part", "customer", "supplier",
+)
 
 
 def build(src: str, out_root: str) -> tuple[str, str]:
@@ -40,7 +54,7 @@ def build(src: str, out_root: str) -> tuple[str, str]:
         tab = pq.read_table(f"{src}/{t}.parquet")
         n = min(tab.num_rows, 400)
         tab = tab.slice(0, n)
-        if t in ("events", "documents", "embeddings") and n:
+        if t in NULLED_TABLES and n:
             cols = []
             for i, f in enumerate(tab.schema):
                 col = tab.column(i)
