@@ -123,6 +123,9 @@ def wait_quiet(
 
 CLEAN_BW_GBPS = 3.0  # quiet host delivers >= 5; below 3 the run measures
 # the co-tenant's memory-bandwidth steal, not the engine (BENCH/BASELINE.md)
+CLEAN_MATMUL_MS = 60.0  # quiet host ~25-40 ms; 2026-08-19 showed a second
+# steal mode the bandwidth probe misses (bw 5-7 GB/s yet matmul 70-93 ms =
+# CPU steal, runs varying 135k-709k turns/s), so repeats carry BOTH stamps
 
 
 def run_headline(num_cpus: int, repeats: int = 1, max_extra: int = 6) -> dict:
@@ -133,10 +136,12 @@ def run_headline(num_cpus: int, repeats: int = 1, max_extra: int = 6) -> dict:
     Contamination gate (r3 verdict #1 — BENCH_r03 was poisoned by host
     memory-bandwidth steal the single pre-run probe missed): every repeat
     is probe-stamped BEFORE and AFTER its timed section; a repeat is clean
-    iff both bandwidth probes read >= CLEAN_BW_GBPS.  Each repeat first
-    waits (bounded) for a quiet window; if NO repeat lands clean, up to
-    ``max_extra`` retry repeats run before giving up and reporting the best
-    dirty attempt with ``clean: false`` stamped in the artifact.
+    iff both bandwidth probes read >= CLEAN_BW_GBPS, and fully clean iff
+    the pre-run matmul probe also reads <= CLEAN_MATMUL_MS (CPU-steal mode
+    the bandwidth probe misses).  Each repeat first waits (bounded) for a
+    quiet window; if NO repeat lands fully clean, up to ``max_extra`` retry
+    repeats run before giving up and reporting the best attempt with its
+    ``clean`` / ``cpu_clean`` stamps in the artifact.
 
     Global wall-clock budget (``HTR_BENCH_BUDGET_SEC``, default 1500 s):
     quiet-window waits, retry repeats, and post-settle polls all charge
@@ -259,6 +264,9 @@ def run_headline(num_cpus: int, repeats: int = 1, max_extra: int = 6) -> dict:
             "pre_bw": pre_bw,
             "post_bw": post_bw,
             "clean": pre_bw >= CLEAN_BW_GBPS and post_bw >= CLEAN_BW_GBPS,
+            # the bandwidth gate alone missed the CPU-steal mode (see
+            # CLEAN_MATMUL_MS); a fully-clean repeat passes both
+            "cpu_clean": pre_ms <= CLEAN_MATMUL_MS,
         }
 
     for i in range(repeats):
@@ -269,7 +277,7 @@ def run_headline(num_cpus: int, repeats: int = 1, max_extra: int = 6) -> dict:
     # one clean attempt beats seven contaminated ones as the round's record
     extra = 0
     while (
-        not any(r["clean"] for r in results)
+        not any(r["clean"] and r["cpu_clean"] for r in results)
         and extra < max_extra
         and time.perf_counter() < bench_deadline
     ):
@@ -277,13 +285,17 @@ def run_headline(num_cpus: int, repeats: int = 1, max_extra: int = 6) -> dict:
         results.append(one_run(repeats - 1 + extra))
 
     clean_results = [r for r in results if r["clean"]]
-    pool = clean_results or results
+    fully_clean = [r for r in clean_results if r["cpu_clean"]]
+    pool = fully_clean or clean_results or results
     best = dict(max(pool, key=lambda r: r["turns_per_sec"]))
     for k in ("pre_ms", "pre_bw", "post_bw"):
         best.pop(k, None)
     best["all_runs"] = [round(r["turns_per_sec"], 1) for r in results]
     best["clean_runs"] = [
         round(r["turns_per_sec"], 1) for r in clean_results
+    ]
+    best["fully_clean_runs"] = [
+        round(r["turns_per_sec"], 1) for r in fully_clean
     ]
     best["host_probe_ms"] = [r["pre_ms"] for r in results]
     best["host_bw_gbps"] = [r["pre_bw"] for r in results]
