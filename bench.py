@@ -474,8 +474,10 @@ def main():
         # attempt incl. retries landed dirty (clean=false -> the number
         # measures the host, compare against BASELINE.md clean-window runs)
         "clean": head.get("clean"),
+        "cpu_clean": head.get("cpu_clean"),
         "all_runs": head.get("all_runs"),
         "clean_runs": head.get("clean_runs"),
+        "fully_clean_runs": head.get("fully_clean_runs"),
         "host_probe_ms": head.get("host_probe_ms"),
         "host_bw_gbps": head.get("host_bw_gbps"),
         "host_bw_gbps_after": head.get("host_bw_gbps_after"),
