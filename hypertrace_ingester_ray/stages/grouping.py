@@ -112,12 +112,26 @@ def _hash_column(col: pa.ChunkedArray, num_partitions: int) -> pa.Array:
     """
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     if pa.types.is_integer(arr.type):
-        with np.errstate(invalid="ignore"):  # null keys arrive as NaN
-            np_vals = arr.to_numpy(zero_copy_only=False).astype(
-                np.uint64, copy=False
-            )
+        # Exact-integer path even when nulls are present: a NaN round-trip
+        # through float64 would round keys with |v| > 2^53 (e.g. 64-bit
+        # fingerprints), splitting the same key across partitions depending
+        # on per-batch null presence.  Fill nulls with 0 pre-conversion and
+        # overwrite their hash with a fixed constant after, so the NULL
+        # group lands on one deterministic partition on every architecture.
+        null_mask = None
+        if arr.null_count:
+            null_mask = pc.is_null(arr).to_numpy(zero_copy_only=False)
+            arr = pc.fill_null(arr, pa.scalar(0, arr.type))
+        np_vals = arr.to_numpy(zero_copy_only=False)
+        if np_vals.dtype.kind == "i":  # signed: wrap mod 2^64 (two's compl.)
+            np_vals = np_vals.astype(np.int64, copy=False).view(np.uint64)
+        else:
+            np_vals = np_vals.astype(np.uint64, copy=False)
         hashed = np_vals * np.uint64(0x9E3779B97F4A7C15)  # Fibonacci mix
         hashed ^= hashed >> np.uint64(29)
+        if null_mask is not None:
+            hashed = hashed.copy() if not hashed.flags.writeable else hashed
+            hashed[null_mask] = np.uint64(0xD1B54A32D192ED03)
     else:
         hashed = pd.util.hash_array(
             np.asarray(arr.to_pandas(), dtype=object), categorize=False
@@ -649,13 +663,24 @@ _NULL_INT_SENTINEL = -(2**62) - 777
 
 
 def _key_sentinel(t: pa.DataType):
+    """Typed null-group sentinel, or None when the type has no sentinel.
+
+    Returning None (rather than raising) means fill/restore become no-ops
+    for key types beyond int/string/timestamp (date32, decimal, ...): a
+    non-null groupby on such a key keeps working; a NULL-keyed one falls
+    through to Ray's native behavior.  Collision caveat: a genuine key
+    value exactly equal to the sentinel ("\\x00\\x00<null>" / -(2**62)-777)
+    would be restored to NULL — both values sit far outside any realistic
+    tenant/trace/doc key domain, which is the documented assumption at
+    every call site (hopping windows, salted rollups, native groupbys).
+    """
     if pa.types.is_integer(t):
         return pa.scalar(_NULL_INT_SENTINEL, t)
     if pa.types.is_string(t) or pa.types.is_large_string(t):
         return pa.scalar(_NULL_STR_SENTINEL, t)
     if pa.types.is_timestamp(t):
         return pa.scalar(_NULL_INT_SENTINEL, pa.int64()).cast(t)
-    raise TypeError(f"no null-group sentinel for key type {t}")
+    return None
 
 
 def fill_null_keys(batch: pa.Table, keys) -> pa.Table:
@@ -663,10 +688,11 @@ def fill_null_keys(batch: pa.Table, keys) -> pa.Table:
     for k in [keys] if isinstance(keys, str) else keys:
         col = batch[k]
         if col.null_count:
+            sent = _key_sentinel(col.type)
+            if sent is None:
+                continue  # unsupported key type: pass through unchanged
             i = batch.schema.get_field_index(k)
-            batch = batch.set_column(
-                i, k, pc.fill_null(col, _key_sentinel(col.type))
-            )
+            batch = batch.set_column(i, k, pc.fill_null(col, sent))
     return batch
 
 
@@ -675,6 +701,8 @@ def restore_null_keys(batch: pa.Table, keys) -> pa.Table:
     for k in [keys] if isinstance(keys, str) else keys:
         col = batch[k]
         sent = _key_sentinel(col.type)
+        if sent is None:
+            continue  # unsupported key type: nothing was filled
         mask = pc.equal(col, sent)
         if pc.any(mask).as_py():
             i = batch.schema.get_field_index(k)

@@ -1,0 +1,76 @@
+"""Round-5 regression tests for the ADVICE findings.
+
+1. _hash_column must take the exact-integer path even when the batch has
+   nulls: keys with |v| > 2^53 must land in the same partition regardless
+   of per-batch null presence, and nulls hash to one fixed partition.
+2. _key_sentinel returns None for unsupported key types (date32, decimal),
+   so fill/restore become pass-through no-ops instead of raising.
+"""
+
+import numpy as np
+import pyarrow as pa
+
+from hypertrace_ingester_ray.stages.grouping import (
+    _hash_column,
+    _key_sentinel,
+    fill_null_keys,
+    restore_null_keys,
+)
+
+
+def test_hash_column_big_int_keys_stable_under_nulls():
+    # keys beyond 2^53: a float64 round-trip would round these
+    keys = [2**62 + 1, 2**62 + 2, -(2**62) - 3, 2**53 + 1]
+    clean = pa.chunked_array([pa.array(keys, pa.int64())])
+    dirty = pa.chunked_array([pa.array(keys + [None], pa.int64())])
+    h_clean = _hash_column(clean, 1 << 20).to_pylist()
+    h_dirty = _hash_column(dirty, 1 << 20).to_pylist()
+    assert h_clean == h_dirty[: len(keys)]
+
+
+def test_hash_column_adjacent_big_ints_differ():
+    # rounding through float64 would collapse 2^62+1 and 2^62+2
+    keys = pa.chunked_array([pa.array([2**62 + 1, 2**62 + 2], pa.int64())])
+    h = _hash_column(keys, 1 << 30).to_pylist()
+    assert h[0] != h[1]
+
+
+def test_hash_column_nulls_single_deterministic_partition():
+    a = pa.chunked_array([pa.array([None, None, 7, None], pa.int64())])
+    h = _hash_column(a, 64).to_pylist()
+    assert h[0] == h[1] == h[3]
+    # repeated call identical (no architecture-dependent NaN cast)
+    assert h == _hash_column(a, 64).to_pylist()
+
+
+def test_hash_column_uint64_path():
+    a = pa.chunked_array([pa.array([2**63 + 5, None], pa.uint64())])
+    b = pa.chunked_array([pa.array([2**63 + 5], pa.uint64())])
+    assert _hash_column(a, 1024)[0].as_py() == _hash_column(b, 1024)[0].as_py()
+
+
+def test_key_sentinel_unsupported_types_return_none():
+    assert _key_sentinel(pa.date32()) is None
+    assert _key_sentinel(pa.decimal128(10, 2)) is None
+    assert _key_sentinel(pa.int64()) is not None
+    assert _key_sentinel(pa.string()) is not None
+    assert _key_sentinel(pa.timestamp("us")) is not None
+
+
+def test_fill_restore_passthrough_for_date32_keys():
+    t = pa.table(
+        {
+            "d": pa.array([18000, None, 18002], pa.date32()),
+            "v": pa.array([1.0, 2.0, 3.0]),
+        }
+    )
+    filled = fill_null_keys(t, "d")
+    assert filled["d"].to_pylist() == t["d"].to_pylist()  # unchanged
+    restored = restore_null_keys(filled, ["d"])
+    assert restored["d"].to_pylist() == t["d"].to_pylist()
+
+
+def test_fill_restore_roundtrip_int_keys_unchanged():
+    t = pa.table({"k": pa.array([1, None, 3], pa.int64())})
+    rt = restore_null_keys(fill_null_keys(t, "k"), "k")
+    assert rt["k"].to_pylist() == [1, None, 3]
