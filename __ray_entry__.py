@@ -840,12 +840,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_stats": lambda sf: text_analysis.token_stats(_docs(sf)),
         "doc_quality": lambda sf: text_analysis.quality_scores(_docs(sf)),
         "doc_lang_id": lambda sf: text_analysis.lang_id(_docs(sf)),
-        "doc_fingerprint": lambda sf: text_analysis.fingerprints(_docs(sf)),
+        # scheme="poly" = the SQL-mirrorable polynomial token hash: same
+        # operator code path, value-checkable against the DuckDB HUGEINT
+        # mod-2^64 oracles below (default siphash scheme isn't expressible)
+        "doc_fingerprint": lambda sf: text_analysis.fingerprints(
+            _docs(sf), scheme="poly"
+        ),
         "doc_minhash_pairs": lambda sf: dedup.minhash_lsh_pairs(
-            _docs(sf), num_partitions=16
+            _docs(sf), num_partitions=16, scheme="poly"
         ),
         "doc_simhash_pairs": lambda sf: dedup.simhash_pairs(
-            _docs(sf), num_partitions=16
+            _docs(sf), num_partitions=16, scheme="poly"
         ),
         "doc_near_dup_verified": lambda sf: dedup.verified_near_dup_pairs(
             _docs(sf), num_partitions=8
@@ -3460,6 +3465,153 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM fps a JOIN fps b ON a.mn = b.mn AND a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id
 """
+    # ------------------------------------------------------------------
+    # poly-scheme word-shingle oracles: the engine runs doc_fingerprint /
+    # doc_minhash_pairs / doc_simhash_pairs with scheme="poly" (polynomial
+    # byte fold per token, rolling combine per k-gram — all mod 2^64), so
+    # every hash is reproducible in DuckDB HUGEINT arithmetic, exactly as
+    # the winnow oracle above.  Mirrors functions/hashing.py:
+    # poly_hash_strings + shingle_hashes(scheme="poly").
+    _M64 = "18446744073709551616::HUGEINT"
+    _PC = f"{_WINNOW_C}::HUGEINT"  # same _ROLL_C constant
+
+    def _poly_str(col: str) -> str:
+        """Per-string polynomial byte fold mod 2^64 (h = h*C + byte)."""
+        return f"""(CASE WHEN {col} IS NULL OR len({col}) = 0 THEN 0::HUGEINT
+ELSE list_reduce(list_transform(range(1, len({col})+1),
+  j -> ord(substr({col}, CAST(j AS INT), 1))::HUGEINT),
+  (a, b) -> (a * {_PC} + b) % {_M64}) END)"""
+
+    def _poly_shingles_cte(k: int) -> str:
+        """CTE body (toks, tokh, sh, allsh): per-doc word-k-gram rolling
+        hashes with the whole-text fallback for docs shorter than k words."""
+        fold = "th"
+        for j in range(1, k):
+            fold = f"(({fold} * {_PC} + LEAD(th, {j}) OVER w) % {_M64})"
+        return f"""toks AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS w,
+         unnest(generate_series(1, len(string_split(text, ' ')))) AS i
+  FROM documents WHERE text IS NOT NULL
+),
+tokh AS (
+  SELECT doc_id, i, {_poly_str('w')} AS th,
+         count(*) OVER (PARTITION BY doc_id) AS n_tok
+  FROM toks
+),
+sh AS (
+  SELECT doc_id, {fold} AS s
+  FROM tokh
+  WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+  QUALIFY i + {k - 1} <= n_tok
+),
+allsh AS (
+  SELECT doc_id, s FROM sh
+  UNION ALL
+  SELECT doc_id, {_poly_str('text')} AS s FROM documents
+  WHERE COALESCE(len(string_split(text, ' ')), 0) < {k}
+)"""
+
+    _sgn64 = (
+        lambda e: f"CAST(CASE WHEN {e} >= 9223372036854775808::HUGEINT "
+        f"THEN {e} - {_M64} ELSE {e} END AS BIGINT)"
+    )
+    sql["doc_fingerprint"] = f"""
+WITH {_poly_shingles_cte(5)},
+mn AS (SELECT doc_id, MIN(s) AS m FROM allsh GROUP BY doc_id)
+SELECT doc_id, {_sgn64('m')} AS fingerprint FROM mn
+"""
+
+    # MinHash signatures: ph = ((s*a) mod 2^64 + b) mod 2^64 mod (2^61-1),
+    # sig = min per permutation; LSH bands of 4 sigs folded with K=1000003
+    # (each step mod 2^64), bucket = (fold mod 2^62)*16 + band mod 2^64 —
+    # the exact int64-wrap image of stages/dedup._band_explode.
+    _ma, _mb = dedup._minhash_params(64)
+    _perm_rows = ", ".join(
+        f"({i}, {int(_ma[i])}::HUGEINT, {int(_mb[i])}::HUGEINT)"
+        for i in range(64)
+    )
+    sql["doc_minhash_pairs"] = f"""
+WITH {_poly_shingles_cte(3)},
+perms(pi, a, b) AS (VALUES {_perm_rows}),
+sig AS (
+  SELECT doc_id, pi,
+    MIN(((s * a) % {_M64} + b) % {_M64} % 2305843009213693951::HUGEINT) AS sg
+  FROM allsh, perms GROUP BY doc_id, pi
+),
+bands AS (
+  SELECT doc_id, pi // 4 AS band,
+    MAX(CASE WHEN pi % 4 = 0 THEN sg END) AS s0,
+    MAX(CASE WHEN pi % 4 = 1 THEN sg END) AS s1,
+    MAX(CASE WHEN pi % 4 = 2 THEN sg END) AS s2,
+    MAX(CASE WHEN pi % 4 = 3 THEN sg END) AS s3
+  FROM sig GROUP BY doc_id, pi // 4
+),
+bexp AS (
+  SELECT doc_id,
+    (((((s0 * 1000003::HUGEINT + s1) % {_M64}) * 1000003::HUGEINT + s2)
+      % {_M64} * 1000003::HUGEINT + s3) % {_M64}
+     % 4611686018427387904::HUGEINT * 16 + band) % {_M64} AS bucket
+  FROM bands
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bexp a JOIN bexp b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT c.doc_a, c.doc_b,
+    SUM(CASE WHEN pa.sg = pb.sg THEN 1 ELSE 0 END) / 64.0 AS est_jaccard
+  FROM cand c
+  JOIN sig pa ON pa.doc_id = c.doc_a
+  JOIN sig pb ON pb.doc_id = c.doc_b AND pb.pi = pa.pi
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
+"""
+
+    # SimHash: bit votes over avalanche-spread shingle hashes (split-limb
+    # multiply keeps s*K inside HUGEINT), 4x16-bit band blocking, Hamming
+    # via bit_count(xor) on the signed-wrapped image.
+    _spread = (
+        f"((s % 4294967296::HUGEINT) * 11400714819323198485::HUGEINT"
+        f" + ((s // 4294967296::HUGEINT) * 11400714819323198485::HUGEINT"
+        f" % 4294967296::HUGEINT) * 4294967296::HUGEINT) % {_M64}"
+    )
+    _pw2 = ", ".join(f"({i}, {1 << i}::HUGEINT)" for i in range(64))
+    _pwb = ", ".join(f"({i}, {1 << (16 * i)}::HUGEINT)" for i in range(4))
+    _simhash_cte = f"""{_poly_shingles_cte(2)},
+spread AS (SELECT doc_id, {_spread} AS h FROM allsh),
+bits(b, p) AS (VALUES {_pw2}),
+votes AS (
+  SELECT doc_id, bits.b AS b, bits.p AS p,
+    SUM(CASE WHEN (h // bits.p) % 2 = 1 THEN 1 ELSE -1 END) AS vote
+  FROM spread, bits
+  GROUP BY doc_id, bits.b, bits.p
+),
+sim AS (
+  SELECT doc_id,
+    COALESCE(SUM(CASE WHEN vote > 0 THEN p ELSE 0::HUGEINT END),
+      0::HUGEINT) AS hu
+  FROM votes GROUP BY doc_id
+)"""
+    sql["doc_simhash_pairs"] = f"""
+WITH {_simhash_cte},
+bnds(band, p) AS (VALUES {_pwb}),
+bexp AS (
+  SELECT doc_id, {_sgn64('hu')} AS hi,
+         CAST((hu // bnds.p) % 65536::HUGEINT AS BIGINT) * 4 + bnds.band
+             AS bucket
+  FROM sim, bnds
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.hi AS ha, b.hi AS hb
+  FROM bexp a JOIN bexp b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+"""
+
     # new-batch docs of the v2 snapshot (text copies of their source rows)
     # checked against the base corpus's stored fingerprint index
     sql["incremental_contamination"] = f"""
@@ -4791,7 +4943,6 @@ SELECT c_mktsegment,
 FROM customer JOIN orders ON c_custkey = o_custkey
 GROUP BY c_mktsegment
 """
-    # doc_fingerprint / doc_minhash_pairs / doc_simhash_pairs /
     # knn_ivf_top5 (approximate) / media_features (stubbed decode):
     # not SQL-expressible → rows-only checks.
     return sql

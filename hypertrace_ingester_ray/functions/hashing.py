@@ -46,12 +46,53 @@ def _as_array(col) -> pa.Array:
     return col
 
 
-def token_hashes(texts) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+def poly_hash_strings(texts) -> np.ndarray:
+    """Polynomial byte hash per string: fold ``h = h*C + byte`` mod 2^64.
+
+    The SQL-expressible scheme (DuckDB HUGEINT ``list_reduce`` mirrors it
+    exactly), used by the oracle-checkable ``scheme="poly"`` variants of the
+    shingle kernels.  Vectorized: one pass over the concatenated byte buffer
+    — iteration j touches only the strings with len > j, so total work is
+    O(total bytes) regardless of length skew.  Nulls and empty strings hash
+    to 0 (the fold's seed).
+    """
+    arr = _as_array(texts)
+    b = arr.cast(pa.large_binary())
+    n = len(b)
+    if n == 0:
+        return np.empty(0, np.uint64)
+    o = np.frombuffer(
+        b.buffers()[1], dtype=np.int64, count=n + 1, offset=b.offset * 8
+    )
+    buf = b.buffers()[2]
+    data = (
+        np.frombuffer(buf, dtype=np.uint8)[o[0] : o[-1]]
+        if buf is not None
+        else np.empty(0, np.uint8)
+    )
+    off = o - o[0]
+    starts = off[:-1]
+    lens = np.diff(off)
+    acc = np.zeros(n, dtype=np.uint64)
+    for j in range(int(lens.max()) if n else 0):
+        mask = lens > j
+        acc[mask] = acc[mask] * _ROLL_C + data[starts[mask] + j]
+    return acc
+
+
+def token_hashes(
+    texts, *, scheme: str = "siphash"
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Split on spaces and hash every token of every doc, vectorized.
 
     Returns ``(tok_h, off, text_h)``: flat uint64 token hashes, int64
     per-doc offsets into ``tok_h`` (len = n_docs + 1), and a uint64 whole-text
     hash per doc (used as the short-doc fallback shingle).
+
+    ``scheme="siphash"`` (default) is pandas' keyed SipHash — best dispersion,
+    not expressible in SQL.  ``scheme="poly"`` is the polynomial byte fold of
+    :func:`poly_hash_strings` — weaker but DuckDB-mirrorable, so operators
+    run with it can be value-checked end-to-end against a SQL oracle.
     """
     arr = _as_array(texts)
     toks = _as_array(pc.split_pattern(arr, " "))
@@ -66,23 +107,29 @@ def token_hashes(texts) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         # O(total tokens) to O(vocabulary), a ~30x win on repetitive
         # corpora (exactly the dedup-workload shape)
         enc = flat.dictionary_encode()
-        uniq_h = pd.util.hash_array(
-            enc.dictionary.to_numpy(zero_copy_only=False), categorize=False
-        ).astype(np.uint64)
+        if scheme == "poly":
+            uniq_h = poly_hash_strings(enc.dictionary)
+        else:
+            uniq_h = pd.util.hash_array(
+                enc.dictionary.to_numpy(zero_copy_only=False), categorize=False
+            ).astype(np.uint64)
         tok_h = uniq_h[enc.indices.to_numpy(zero_copy_only=False)]
     else:
         tok_h = np.empty(0, dtype=np.uint64)
     if len(arr):
-        text_h = pd.util.hash_array(
-            arr.to_numpy(zero_copy_only=False), categorize=False
-        ).astype(np.uint64)
+        if scheme == "poly":
+            text_h = poly_hash_strings(arr)
+        else:
+            text_h = pd.util.hash_array(
+                arr.to_numpy(zero_copy_only=False), categorize=False
+            ).astype(np.uint64)
     else:
         text_h = np.empty(0, dtype=np.uint64)
     return tok_h, off, text_h
 
 
 def shingle_hashes(
-    texts, k: int
+    texts, k: int, *, scheme: str = "siphash"
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Word-``k``-gram rolling hashes for a whole batch of texts.
 
@@ -90,7 +137,7 @@ def shingle_hashes(
     document, and int64 offsets (len = n_docs + 1).  Every document has at
     least one shingle (short docs contribute their whole-text hash).
     """
-    tok_h, off, text_h = token_hashes(texts)
+    tok_h, off, text_h = token_hashes(texts, scheme=scheme)
     n = len(off) - 1
     total = len(tok_h)
     m = total - k + 1

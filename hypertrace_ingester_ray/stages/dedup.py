@@ -76,7 +76,12 @@ def _minhash_params(num_perm: int, seed: int = 7):
 
 
 def minhash_signatures_batch(
-    batch: pa.Table, *, num_perm: int = 64, shingle_k: int = 3, seed: int = 7
+    batch: pa.Table,
+    *,
+    num_perm: int = 64,
+    shingle_k: int = 3,
+    seed: int = 7,
+    scheme: str = "siphash",
 ) -> pa.Table:
     """doc → MinHash signature (uint64[num_perm] as FixedSizeList<int64>).
 
@@ -84,10 +89,12 @@ def minhash_signatures_batch(
     token-hash array + rolling combine), then per-doc column minima via
     ``np.minimum.reduceat``.  Permutations are processed in chunks so peak
     memory is ~(n_shingles x chunk x 8B) regardless of num_perm.
+    ``scheme="poly"`` swaps the token hash for the SQL-mirrorable polynomial
+    byte fold (DuckDB-oracle-checkable end to end).
     """
     a, b = _minhash_params(num_perm, seed)
     n = batch.num_rows
-    sh, soff = shingle_hashes(batch["text"], shingle_k)
+    sh, soff = shingle_hashes(batch["text"], shingle_k, scheme=scheme)
     sigs = np.empty((n, num_perm), dtype=np.uint64)
     starts = soff[:-1]
     chunk = 8
@@ -212,6 +219,7 @@ def minhash_lsh_pairs(
     shingle_k: int = 3,
     sim_threshold: float = 0.5,
     allpairs_cap: int = 1000,
+    scheme: str = "siphash",
     **kw,
 ) -> Dataset:
     """Near-duplicate candidate pairs via MinHash + LSH banding.
@@ -223,7 +231,11 @@ def minhash_lsh_pairs(
     sigs = ds.map_batches(
         minhash_signatures_batch,
         batch_format="pyarrow",
-        fn_kwargs={"num_perm": num_perm, "shingle_k": shingle_k},
+        fn_kwargs={
+            "num_perm": num_perm,
+            "shingle_k": shingle_k,
+            "scheme": scheme,
+        },
     )
     exploded = sigs.map_batches(
         _band_explode,
@@ -267,15 +279,18 @@ def exact_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
 # ---------------------------------------------------------------------------
 
 
-def simhash_batch(batch: pa.Table, *, shingle_k: int = 2) -> pa.Table:
+def simhash_batch(
+    batch: pa.Table, *, shingle_k: int = 2, scheme: str = "siphash"
+) -> pa.Table:
     """64-bit SimHash over word-shingle hashes (weight 1 each).
 
     Vectorized: one ``shingle_hashes`` pass for the batch, bit matrix over
     the flat shingle array, per-doc votes via ``np.add.reduceat``.  Bits are
-    processed in chunks of 16 to bound peak memory.
+    processed in chunks of 16 to bound peak memory.  ``scheme="poly"`` swaps
+    the token hash for the SQL-mirrorable polynomial byte fold.
     """
     n = batch.num_rows
-    sh, soff = shingle_hashes(batch["text"], shingle_k)
+    sh, soff = shingle_hashes(batch["text"], shingle_k, scheme=scheme)
     counts = np.diff(soff)
     starts = soff[:-1]
     h64 = sh * np.uint64(0x9E3779B97F4A7C15)  # avalanche spread
@@ -297,10 +312,14 @@ def simhash_batch(batch: pa.Table, *, shingle_k: int = 2) -> pa.Table:
     )
 
 
-def simhash_pairs(ds: Dataset, *, max_hamming: int = 3, **kw) -> Dataset:
+def simhash_pairs(
+    ds: Dataset, *, max_hamming: int = 3, scheme: str = "siphash", **kw
+) -> Dataset:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming, via 4×16-bit band
     blocking (a pair within distance 3 must agree on ≥1 of 4 bands)."""
-    sigs = ds.map_batches(simhash_batch, batch_format="pyarrow")
+    sigs = ds.map_batches(
+        simhash_batch, batch_format="pyarrow", fn_kwargs={"scheme": scheme}
+    )
 
     def _explode(batch: pa.Table) -> pa.Table:
         h = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)

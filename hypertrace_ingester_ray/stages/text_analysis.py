@@ -108,18 +108,22 @@ def lang_id_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def fingerprint_batch(batch: pa.Table, ngram: int = 5) -> pa.Table:
+def fingerprint_batch(
+    batch: pa.Table, ngram: int = 5, scheme: str = "siphash"
+) -> pa.Table:
     """Document fingerprint: min rolling hash over word n-grams (winnowing-
     style content fingerprint for near-dup candidate generation).
 
     Vectorized: one ``shingle_hashes`` pass over the batch (flat token-hash
     array + rolling combine), per-doc min via ``np.minimum.reduceat``.
     Short docs (< ngram words) fingerprint their whole text — the fallback
-    shingle ``shingle_hashes`` already provides.
+    shingle ``shingle_hashes`` already provides.  ``scheme="poly"`` swaps the
+    token hash for the SQL-mirrorable polynomial byte fold so the output is
+    value-checkable against a DuckDB oracle.
     """
     from ..functions.hashing import shingle_hashes
 
-    sh, soff = shingle_hashes(batch["text"], ngram)
+    sh, soff = shingle_hashes(batch["text"], ngram, scheme=scheme)
     if len(sh):
         fps = np.minimum.reduceat(sh, soff[:-1]).astype(np.int64)
     else:
@@ -139,8 +143,10 @@ def lang_id(ds: Dataset) -> Dataset:
     return ds.map_batches(lang_id_batch, batch_format="pyarrow")
 
 
-def fingerprints(ds: Dataset) -> Dataset:
-    return ds.map_batches(fingerprint_batch, batch_format="pyarrow")
+def fingerprints(ds: Dataset, *, scheme: str = "siphash") -> Dataset:
+    return ds.map_batches(
+        fingerprint_batch, batch_format="pyarrow", fn_kwargs={"scheme": scheme}
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -74,3 +74,34 @@ def test_fill_restore_roundtrip_int_keys_unchanged():
     t = pa.table({"k": pa.array([1, None, 3], pa.int64())})
     rt = restore_null_keys(fill_null_keys(t, "k"), "k")
     assert rt["k"].to_pylist() == [1, None, 3]
+
+
+def test_poly_hash_strings_matches_duckdb():
+    import duckdb
+    from hypertrace_ingester_ray.functions.hashing import poly_hash_strings
+
+    texts = ["hello", "", "a b c", "Zz9"]
+    got = poly_hash_strings(pa.array(texts, pa.string()))
+    want = [
+        duckdb.sql(
+            "SELECT CASE WHEN len(w)=0 THEN 0::HUGEINT ELSE "
+            "list_reduce(list_transform(range(1, len(w)+1), "
+            "i -> ord(substr(w, CAST(i AS INT), 1))::HUGEINT), "
+            "(a,b) -> (a*1099511628211::HUGEINT + b) "
+            "% 18446744073709551616::HUGEINT) END "
+            f"FROM (SELECT '{t}' AS w)"
+        ).fetchone()[0]
+        for t in texts
+    ]
+    assert [int(x) for x in got] == [int(x) for x in want]
+
+
+def test_shingle_hashes_poly_short_doc_fallback():
+    from hypertrace_ingester_ray.functions.hashing import (
+        poly_hash_strings,
+        shingle_hashes,
+    )
+
+    sh, off = shingle_hashes(pa.array(["one two"], pa.string()), 3, scheme="poly")
+    assert off.tolist() == [0, 1]
+    assert int(sh[0]) == int(poly_hash_strings(pa.array(["one two"]))[0])
