@@ -763,48 +763,62 @@ def entry() -> Any:
 # CORRECTNESS_local_r{N}.txt).  Entries not listed keep insertion order
 # after these.
 _DRIVER_WINDOW_PRIORITY = [
-    # flagship topology (always first: the north-rule pipeline)
-    "transcripts", "view_per_turn", "view_per_role", "view_per_conversation",
-    "view_call_edges", "view_per_tool", "view_errors", "metrics_by_minute",
-    "metrics_otlp",
-    # round-4 new/changed operators (highest-risk this round)
-    "corpus_prep", "doc_tfidf_top3", "doc_rarity", "doc_bigram_pmi",
-    "doc_bm25_top10", "order_revenue_skewjoin", "events_skewjoin_sampled",
-    "graph_pagerank", "graph_bfs_3hop",
-    # one representative per family with no prior driver-green row
-    "top_customers_by_revenue",        # big-big hash join
-    "users_more_views_than_purchases", # cogroup
-    "viewers_who_purchased",           # semi join
-    "viewer_days_no_purchase",         # anti join
-    "docs_snapshot_diff",              # CDC keyed diff
-    "docs_apply_changes",              # MERGE-INTO apply
-    "smb_segment_revenue",             # sorted-bucket join
-    "smb_user_stats",                  # bucketed group apply
-    "incremental_contamination",       # stored fingerprint index
-    "events_zorder_scan",              # z-order zone-pruned read
-    "conv_turn_lag",                   # window lag/lead
-    "events_rolling_value",            # ROWS-frame rolling
-    "events_rank_dollar",              # RANK/DENSE_RANK
-    "events_pivot_hour",               # pivot
-    "events_cube",                     # CUBE
-    "events_grouping_sets",            # GROUPING SETS
-    "docs_rollup",                     # ROLLUP
-    "distinct_users_by_type",          # exact distinct count
-    "events_sessionized",              # generic sessionize
-    "late_events_by_user",             # watermark lateness
-    "doc_quantiles_by_source",         # group quantiles
-    "value_quantiles_binned",          # binned quantiles
-    "token_heavy_hitters",             # Misra-Gries + confirm
-    "conv_role_path",                  # ordered group collect
-    "user_mode_event",                 # group mode
-    "event_value_mad",                 # robust MAD stats
-    "event_type_moments",              # exact moments
-    "event_value_trend",               # distributed OLS
-    "touch_attribution",               # multi-touch attribution
-    "user_daily_gapfill",              # time-grid resample
-    "user_day_views_purchases_full",   # FULL OUTER join
-    "doc_fuzzy_pairs",                 # blocked edit-distance join
-    "graph_triangles",                 # triangle count
+    # canaries: the north-rule flagship stays under driver check every round
+    "transcripts", "view_per_turn",
+    # ROUND-5 ROTATION: rounds 1-4 accumulated driver-green rows for 84 of
+    # 135 queries; this window carries the 48 never-driver-checked entries
+    # (of 51 — the 3 left out, approx_users_by_type /
+    # viewer_purchaser_overlap_approx / token_counts_cms, are approximate
+    # sketches whose pytest error-bound checks are the stronger evidence).
+    # Cumulative driver coverage after this round: 132/135.
+    "graph_triangles",                 # triangle count (missed r4 cap at #51)
+    "doc_fingerprint",                 # poly-scheme: oracle-backed this round
+    "doc_minhash_pairs",               # poly-scheme: oracle-backed this round
+    "doc_simhash_pairs",               # poly-scheme: oracle-backed this round
+    "embedding_near_dup_lsh",          # rows-only (LSH approximate)
+    "knn_ivf_top5",                    # rows-only (IVF approximate)
+    "knn_pq_top5",                     # rows-only (PQ approximate)
+    "knn_ivfpq_top5",                  # rows-only (IVF+PQ approximate)
+    "media_features",                  # rows-only (binary decode)
+    "video_frame_features",            # rows-only (binary decode)
+    "audio_clip_features",             # rows-only (binary decode)
+    "doc_shuffle_shards",
+    "doc_remove_common",
+    "doc_pack_sequences",
+    "doc_chunks",
+    "docs_anti_benchmark",
+    "doc_inverted_index",
+    "embedding_kmeans",
+    "embedding_semantic_dedup",
+    "role_transitions",
+    "docs_anti_bloom",
+    "events_type_long",
+    "doc_bigrams_top50",
+    "docs_profile",
+    "user_activity_islands",
+    "user_funnel",
+    "user_retention",
+    "event_value_outliers",
+    "shipping_priority_q3",
+    "customer_order_counts",
+    "doc_quota_mix",
+    "doc_segment_dedup",
+    "doc_weighted_sample",
+    "events_props_k",
+    "doc_bpe_tokens",
+    "events_sliding_users",
+    "event_value_winsorized",
+    "doc_length_buckets",
+    "trending_types_hourly",
+    "doc_text_normalized",
+    "user_event_diversity",
+    "tool_cooccurrence",
+    "embedding_projected",             # rows-only (seeded JL projection)
+    "docs_lang_source_intersect",
+    "docs_lang_source_except",
+    "docs_lang_source_union",
+    "brand_revenue_auto",
+    "doc_length_rank",
 ]
 
 
