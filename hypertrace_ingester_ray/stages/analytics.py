@@ -64,7 +64,30 @@ __all__ = [
 
 
 def _np_cols(part: pa.Table, cols: Sequence[str]):
-    return [part[c].to_numpy(zero_copy_only=False) for c in cols]
+    """Key columns as numpy arrays for adjacent-equality run detection.
+
+    Every caller feeds these to ``run_boundaries`` (equality only, never
+    value arithmetic), so columns WITH nulls are returned as dictionary
+    codes with nulls filled to -1: a nullable NUMERIC/temporal column would
+    otherwise ``to_numpy`` to float64/``NaT`` where ``NaN != NaN``, turning
+    each null-key row into its own run and silently fragmenting the SQL
+    NULL group (string keys were safe: ``None == None`` object-wise)."""
+    out = []
+    for c in cols:
+        col = part[c]
+        if col.null_count:
+            arr = (
+                col.combine_chunks()
+                if isinstance(col, pa.ChunkedArray)
+                else col
+            )
+            idx = arr.dictionary_encode().indices
+            out.append(
+                pc.fill_null(idx, -1).to_numpy(zero_copy_only=False)
+            )
+        else:
+            out.append(col.to_numpy(zero_copy_only=False))
+    return out
 
 
 def segmented_running(red, v: np.ndarray, seg_start: np.ndarray) -> np.ndarray:

@@ -105,3 +105,57 @@ def test_shingle_hashes_poly_short_doc_fallback():
     sh, off = shingle_hashes(pa.array(["one two"], pa.string()), 3, scheme="poly")
     assert off.tolist() == [0, 1]
     assert int(sh[0]) == int(poly_hash_strings(pa.array(["one two"]))[0])
+
+
+def test_group_quantiles_numeric_null_key_single_group(ray_session):
+    """ADVICE r4: a nullable NUMERIC key must form ONE SQL NULL group, not
+    one run per null row (nulls used to become NaN where NaN != NaN)."""
+    import ray
+
+    from hypertrace_ingester_ray.stages.analytics import group_quantiles
+
+    t = pa.table(
+        {
+            "k": pa.array([1, 1, None, None, None, 2], pa.int64()),
+            "v": pa.array([10, 20, 5, 15, 25, 7], pa.int64()),
+        }
+    )
+    res = (
+        group_quantiles(
+            ray.data.from_arrow(t), key="k", value_col="v", pcts=(50,),
+            num_partitions=4,
+        )
+        .to_pandas()
+    )
+    # one row per key incl. exactly ONE null-key row
+    assert len(res) == 3
+    null_rows = res[res["k"].isna()]
+    assert len(null_rows) == 1
+    # median of {5,15,25} by ceil-rank: rank ceil(0.5*3)=2 -> 15
+    assert int(null_rows["value"].iloc[0]) == 15
+
+
+def test_winsorize_numeric_null_key(ray_session):
+    import ray
+
+    from hypertrace_ingester_ray.stages.analytics import winsorize
+
+    t = pa.table(
+        {
+            "k": pa.array([None, None, None, None, 7], pa.int64()),
+            "v": pa.array([1, 2, 3, 100, 50], pa.int64()),
+        }
+    )
+    res = (
+        winsorize(
+            ray.data.from_arrow(t), key="k", value_col="v",
+            lo_pct=25, hi_pct=75, num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values("v")
+        .reset_index(drop=True)
+    )
+    # null group band: P25 = rank ceil(.25*4)=1 -> 1, P75 = rank 3 -> 3
+    null_rows = res[res["k"].isna()]
+    assert sorted(null_rows["v_wins"].tolist()) == [1, 2, 3, 3]
+    assert res[res["k"] == 7]["v_wins"].tolist() == [50]
