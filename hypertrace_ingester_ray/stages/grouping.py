@@ -814,6 +814,17 @@ def cogroup(
                 "empty side"
             )
         synth = pa.schema([known.field(k) for k in keys])
+        side = "left" if schema_l is None else "right"
+        # LOUD: an outer-join fn over a keys-only side silently drops that
+        # side's payload columns (the output schema becomes data-dependent
+        # on which side happened to be empty) — callers that need schema
+        # stability must pass left_schema/right_schema
+        print(
+            f"[cogroup] WARNING: {side} side is empty with unrecoverable "
+            f"schema; synthesizing KEYS-ONLY {list(synth.names)} — pass "
+            f"{side}_schema= if fn needs that side's payload columns "
+            "(e.g. outer joins)"
+        )
         if schema_l is None:
             schema_l = synth
         else:

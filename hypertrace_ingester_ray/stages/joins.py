@@ -127,6 +127,8 @@ def cogroup_join(
     right_on: Optional[Sequence[str]] = None,
     how: str = "inner",
     num_partitions: int = 32,
+    left_schema: Optional[pa.Schema] = None,
+    right_schema: Optional[pa.Schema] = None,
 ) -> Dataset:
     """Distributed hash join built on :func:`cogroup`: one explicit hash
     exchange per side, then a LOCAL ``pyarrow.Table.join`` per partition
@@ -141,6 +143,13 @@ def cogroup_join(
     explicitly and builds typed empty tables for empty partitions, so this
     variant is safe to chain and safe on arbitrarily sparse keys.  Use it
     whenever a join input may itself be a streamed join output.
+
+    ``left_schema``/``right_schema``: explicit schema fallbacks for a side
+    that may arrive EMPTY with an unrecoverable schema (Ray drops the
+    schema of an empty transformed dataset).  For outer joins, pass the
+    nullable side's schema — otherwise an empty side degrades to keys-only
+    and its payload columns vanish from the output (cogroup prints a loud
+    warning when that happens).
     """
     keys = list(on)
     rkeys = list(right_on or on)
@@ -151,12 +160,27 @@ def cogroup_join(
             return t.rename_columns([mapping.get(c, c) for c in t.column_names])
 
         right = right.map_batches(_rename, batch_format="pyarrow")
+        if right_schema is not None:
+            right_schema = pa.schema(
+                [
+                    pa.field(mapping.get(f.name, f.name), f.type)
+                    for f in right_schema
+                ]
+            )
     join_type = _COGROUP_JOIN_TYPES[how]
 
     def _local_join(lp: pa.Table, rp: pa.Table) -> pa.Table:
         return lp.join(rp, keys=keys, join_type=join_type)
 
-    return cogroup(left, right, keys, _local_join, num_partitions=num_partitions)
+    return cogroup(
+        left,
+        right,
+        keys,
+        _local_join,
+        num_partitions=num_partitions,
+        left_schema=left_schema,
+        right_schema=right_schema,
+    )
 
 
 def asof_join(
@@ -169,6 +193,7 @@ def asof_join(
     right_cols: Optional[Sequence[str]] = None,
     suffix: str = "_right",
     num_partitions: int = 32,
+    right_schema: Optional[pa.Schema] = None,
 ) -> Dataset:
     """Backward as-of join: each left row gains the columns of the latest
     right row with ``right.ts <= left.ts`` and the same key (nulls if none).
@@ -176,12 +201,39 @@ def asof_join(
     Zero-row inputs (Ray drops the schema of an empty dataset, so the empty
     side's payload columns are unrecoverable): an empty LEFT returns an
     untyped empty dataset; an empty RIGHT returns the left rows unchanged —
-    value-correct, but without the (untypeable) null right-payload columns.
+    value-correct, but without the null right-payload columns UNLESS
+    ``right_schema`` is passed, in which case they are emitted typed-null
+    and the output schema is stable regardless of which side is empty.
     """
     lsch_raw, rsch_raw = left.schema(), right.schema()
     if lsch_raw is None:
         return ray.data.from_arrow([])
+    if rsch_raw is None and right_schema is not None:
+        # typed-null right payload: schema-stable empty-right path
+        rp = [
+            f
+            for f in right_schema
+            if f.name in (right_cols or right_schema.names)
+            and f.name not in (key, ts_col)
+        ]
+
+        def _null_pad(batch: pa.Table) -> pa.Table:
+            if left_cols is not None:
+                batch = batch.select(list(left_cols))
+            for f in rp:
+                name = f.name + (suffix if f.name in batch.column_names else "")
+                batch = batch.append_column(
+                    name, pa.nulls(batch.num_rows, f.type)
+                )
+            return batch
+
+        return left.map_batches(_null_pad, batch_format="pyarrow")
     if rsch_raw is None:
+        print(
+            "[asof_join] WARNING: right side is empty with unrecoverable "
+            "schema; output keeps left columns only — pass right_schema= "
+            "for a stable output schema"
+        )
         return (
             left
             if left_cols is None

@@ -270,6 +270,7 @@ def heavy_hitters(
     threshold: int,
     k: int = 4096,
     out_count_col: str = "cnt",
+    value_type: "pa.DataType | None" = None,
 ) -> Dataset:
     """All values occurring at least ``threshold`` times — EXACT, computed
     with sketch-bounded state via the classic two-pass scheme:
@@ -327,9 +328,13 @@ def heavy_hitters(
         if t.num_rows
     ]
     if not mparts:  # certainly-empty corpus: no candidates, nothing to count
-        vt = None
+        # empty-result typing precedence: caller's value_type, then the
+        # dataset's recoverable schema, then string.  Without value_type a
+        # non-string value_col on an unrecoverable-schema empty run would
+        # flip to string and fail a later union/concat (ADVICE r4).
+        vt = value_type
         raw = ds.schema()
-        if raw is not None and value_col in raw.names:
+        if vt is None and raw is not None and value_col in raw.names:
             t = dict(zip(raw.names, raw.types))[value_col]
             if isinstance(t, pa.DataType):
                 vt = t

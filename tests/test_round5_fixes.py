@@ -159,3 +159,64 @@ def test_winsorize_numeric_null_key(ray_session):
     null_rows = res[res["k"].isna()]
     assert sorted(null_rows["v_wins"].tolist()) == [1, 2, 3, 3]
     assert res[res["k"] == 7]["v_wins"].tolist() == [50]
+
+
+def _empty_unschema_ds(schema: pa.Schema):
+    """An empty dataset whose schema Ray has lost (post-transform empty)."""
+    import ray
+
+    return ray.data.from_arrow(schema.empty_table()).filter(lambda r: False)
+
+
+def test_cogroup_join_left_outer_empty_right_schema_stable(ray_session):
+    import ray
+
+    from hypertrace_ingester_ray.stages.joins import cogroup_join
+
+    left = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 2], pa.int64()), "lv": ["a", "b"]})
+    )
+    rschema = pa.schema([("k", pa.int64()), ("rv", pa.float64())])
+    right = _empty_unschema_ds(rschema)
+    out = cogroup_join(
+        left, right, on=["k"], how="left_outer", num_partitions=4,
+        right_schema=rschema,
+    ).to_pandas()
+    assert sorted(out.columns) == ["k", "lv", "rv"]
+    assert out["rv"].isna().all() and len(out) == 2
+
+
+def test_asof_join_empty_right_schema_stable(ray_session):
+    import ray
+
+    from hypertrace_ingester_ray.stages.joins import asof_join
+
+    rschema = pa.schema(
+        [("k", pa.string()), ("ts", pa.int64()), ("price", pa.float64())]
+    )
+    left = ray.data.from_arrow(
+        pa.table({"k": ["x"], "ts": pa.array([5], pa.int64()), "lv": [1]})
+    )
+    out = asof_join(
+        left, _empty_unschema_ds(rschema), key="k", ts_col="ts",
+        num_partitions=4, right_schema=rschema,
+    ).to_pandas()
+    assert "price" in out.columns
+    assert out["price"].isna().all() and len(out) == 1
+
+
+def test_heavy_hitters_empty_respects_value_type(ray_session):
+    import ray
+
+    from hypertrace_ingester_ray.stages.sketches import heavy_hitters
+
+    schema = pa.schema([("v", pa.int64())])
+    out = heavy_hitters(
+        _empty_unschema_ds(schema), value_col="v", threshold=1, k=16,
+        value_type=pa.int64(),
+    )
+    sch = out.schema()
+    types = dict(zip(sch.names, sch.types))
+    assert types["v"] == pa.int64()  # was pa.string() without value_type
+    assert types["cnt"] == pa.int64()
+    assert out.count() == 0
