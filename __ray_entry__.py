@@ -2371,8 +2371,9 @@ def _graph_bfs_3hop(sf_dir: str):
 
 def _graph_pagerank(sf_dir: str):
     """Integer fixed-point PageRank (2 iterations) over the bidirectional
-    supplier<->part graph from lineitem (stages/graph.pagerank); the edge
-    list stays distributed, only node-sized state reaches the driver."""
+    supplier<->part graph from lineitem (stages/graph.pagerank); edges and
+    node state are both sharded — each iteration is a worker-to-worker
+    slice exchange and nothing node-sized reaches the driver."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
