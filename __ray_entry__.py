@@ -267,6 +267,61 @@ def _metrics_otlp(sf_dir: str):
     )
 
 
+def _turn_attr_projection(sf_dir: str):
+    """Config-declared attribute projection over the per_turn view — the
+    trace-reader analog (functions/attr_reader.py): first-match resolution
+    (DefaultValueResolver.java:122-131), ValueCoercer typed coercion,
+    source-field epoch-millis read, CONCATENATE expression with
+    all-or-nothing argument semantics."""
+    from hypertrace_ingester_ray.functions.attr_reader import (
+        project_attributes,
+    )
+
+    specs = [
+        {
+            "name": "page_num",
+            "kind": "int64",
+            "definition": {
+                "first_value_present": [
+                    {"source_path": "http.request.query.param.page"},
+                    {"literal": -1},
+                ]
+            },
+        },
+        {
+            "name": "q_str",
+            "kind": "string",
+            "definition": {"source_path": "http.request.query.param.q"},
+        },
+        {
+            "name": "started_ms",
+            "kind": "timestamp",
+            "definition": {"source_field": "start_time"},
+        },
+        {
+            "name": "page_label",
+            "kind": "string",
+            "definition": {
+                "expression": {
+                    "operator": "concatenate",
+                    "args": [
+                        {"literal": "page-"},
+                        {"source_path": "http.request.query.param.page"},
+                    ],
+                }
+            },
+        },
+    ]
+    return project_attributes(
+        _view(sf_dir, "per_turn"),
+        specs,
+        tags_cols=("tags",),
+        field_cols={"start_time": "ts"},
+    ).select_columns(
+        ["conv_id", "turn_idx", "page_num", "q_str", "started_ms", "page_label"]
+    )
+
+
 def _per_turn_hashable(sf_dir: str):
     """per_turn with the open ``tags`` map rendered as a deterministic
     ``tags_kv`` string (key-sorted ``k=v;...``) so the driver can
@@ -765,6 +820,8 @@ def entry() -> Any:
 _DRIVER_WINDOW_PRIORITY = [
     # canaries: the north-rule flagship stays under driver check every round
     "transcripts", "view_per_turn",
+    # new THIS round (highest-risk): trace-reader attribute projection
+    "turn_attr_projection",
     # ROUND-5 ROTATION: rounds 1-4 accumulated driver-green rows for 84 of
     # 135 queries; this window carries the 48 never-driver-checked entries
     # (of 51 — the 3 left out, approx_users_by_type /
@@ -813,7 +870,9 @@ _DRIVER_WINDOW_PRIORITY = [
     "doc_text_normalized",
     "user_event_diversity",
     "tool_cooccurrence",
-    "embedding_projected",             # rows-only (seeded JL projection)
+    # (embedding_projected dropped from the window to make room for
+    # turn_attr_projection — its JL-distortion-bound pytest is the
+    # stronger evidence for a rows-only seeded projection)
     "docs_lang_source_intersect",
     "docs_lang_source_except",
     "docs_lang_source_union",
@@ -833,6 +892,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- transcript topology (parse → group → enrich → route → aggregate)
         "transcripts": lambda sf: transcripts_from_events(sf),
         "view_per_turn": lambda sf: _per_turn_hashable(sf),
+        # trace-reader analog: config-declared attribute projection
+        "turn_attr_projection": _turn_attr_projection,
         "view_per_role": lambda sf: _view(sf, "per_role"),
         "view_per_conversation": lambda sf: _view(sf, "per_conversation"),
         "view_call_edges": lambda sf: _view(sf, "call_edges"),
@@ -3234,6 +3295,22 @@ def oracle_sql() -> dict[str, str]:
         f"WITH {TRANSCRIPTS_CTE} SELECT conv_id, turn_idx, role, text, tool, ts"
         " FROM transcripts"
     )
+    # trace-reader analog: the config above declares page_num as
+    # first_value_present([tag lookup, literal -1]) with int64 coercion
+    # (regex-guarded Long.valueOf ≡ TRY_CAST on this corpus), started_ms as
+    # the start_time source field (epoch millis), page_label as CONCATENATE
+    # with all-or-nothing null semantics (≡ CASE WHEN arg IS NULL)
+    sql["turn_attr_projection"] = f"""
+WITH {{ENRICHED_CTE}}
+SELECT conv_id, turn_idx,
+  COALESCE(TRY_CAST(query_param_page AS BIGINT), -1) AS page_num,
+  query_param_q AS q_str,
+  CAST(epoch_us(ts) // 1000 AS BIGINT) AS started_ms,
+  CASE WHEN query_param_page IS NOT NULL
+       THEN 'page-' || query_param_page END AS page_label
+FROM enriched
+""".replace("{ENRICHED_CTE}", ENRICHED_CTE)
+
     sql["view_per_turn"] = f"""
 WITH {ENRICHED_CTE}
 SELECT {', '.join('e.' + c.strip() for c in ENRICHED_COLS.split(','))},
