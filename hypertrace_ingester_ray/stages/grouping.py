@@ -317,8 +317,78 @@ DIRECT_SHUFFLE_MAX_PARTITIONS = int(
 # 1.96M).  On a multi-node cluster the exchange crosses NICs (10-25 Gb/s ≪
 # memory bandwidth) and compression is the standard win (Spark defaults to
 # lz4); flip HTR_SHUFFLE_COMPRESSION=lz4 there.  Values: "lz4" | "zstd" |
-# "" (off, local default).
+# "" (off, local default) | "auto" (probe once per process: stay off on a
+# single node, and on a multi-node cluster pick lz4 only if the wire time
+# saved on the first exchanged block beats the codec cost — see
+# resolve_shuffle_compression).
 SHUFFLE_COMPRESSION = os.environ.get("HTR_SHUFFLE_COMPRESSION", "")
+
+# one decision per process: the workload's compressibility doesn't change
+# between exchanges, and flip-flopping codecs would defeat lineage replay
+_RESOLVED_COMPRESSION: Optional[str] = None
+
+
+def decide_shuffle_compression(
+    num_alive_nodes: int,
+    sample: Optional[pa.Table],
+    nic_gbps: float,
+) -> str:
+    """Pure decision rule for ``HTR_SHUFFLE_COMPRESSION=auto``.
+
+    Single node → off: the plasma "exchange" is a shared-memory copy, so the
+    codec only steals cycles (measured A/B in BASELINE.md).  Multi-node →
+    compress iff the wire seconds saved by shrinking the sample block exceed
+    the measured compress+decompress seconds (the Spark-style bytes-vs-CPU
+    trade, resolved empirically instead of by default)."""
+    if num_alive_nodes <= 1:
+        return ""
+    if sample is None or sample.num_rows == 0:
+        return "lz4"  # nothing to measure; lz4 is the safe wire default
+    import time as _time
+
+    raw_bytes = sample.nbytes
+    t0 = _time.perf_counter()
+    buf = _ipc_compress(sample, "lz4")
+    t1 = _time.perf_counter()
+    _ipc_decompress(buf)
+    t2 = _time.perf_counter()
+    codec_s = (t1 - t0) + (t2 - t1)
+    wire_saved_s = max(0, raw_bytes - len(buf)) * 8.0 / (nic_gbps * 1e9)
+    return "lz4" if wire_saved_s > codec_s else ""
+
+
+def resolve_shuffle_compression(sample_block_ref=None) -> str:
+    """Resolve the effective shuffle codec, probing once per process when
+    HTR_SHUFFLE_COMPRESSION=auto.  ``sample_block_ref`` is an ObjectRef to
+    the first map-side block (a same-node plasma read — cheap); the probe
+    samples its first 65 536 rows.  NIC bandwidth can't be measured from
+    inside a task, so it comes from HTR_NIC_GBPS (default 10, a typical
+    cloud NIC)."""
+    global _RESOLVED_COMPRESSION
+    if SHUFFLE_COMPRESSION != "auto":
+        return SHUFFLE_COMPRESSION
+    if _RESOLVED_COMPRESSION is not None:
+        return _RESOLVED_COMPRESSION
+    import ray as _ray
+
+    try:
+        alive = sum(1 for n in _ray.nodes() if n.get("Alive"))
+    except Exception:
+        alive = 1
+    sample = None
+    if alive > 1 and sample_block_ref is not None:
+        try:
+            block = _ray.get(sample_block_ref)
+            if not isinstance(block, pa.Table):
+                from ray.data.block import BlockAccessor
+
+                block = BlockAccessor.for_block(block).to_arrow()
+            sample = block.slice(0, 65536)
+        except Exception:
+            sample = None
+    nic_gbps = float(os.environ.get("HTR_NIC_GBPS", "10"))
+    _RESOLVED_COMPRESSION = decide_shuffle_compression(alive, sample, nic_gbps)
+    return _RESOLVED_COMPRESSION
 
 
 def _ipc_compress(t: pa.Table, codec: str) -> pa.Buffer:
@@ -431,12 +501,17 @@ def _direct_group_apply(
     map_remote = _ray.remote(num_returns=num_partitions + 1)(_shuffle_map_fn)
     reduce_remote = _ray.remote(_shuffle_reduce_fn)
 
+    compression = SHUFFLE_COMPRESSION
     map_refs = []
     for bundle in ds.iter_internal_ref_bundles():
         for block_ref in bundle.block_refs:
+            if compression == "auto":
+                # probe on the first materialized block, once per process;
+                # later blocks (and later exchanges) reuse the decision
+                compression = resolve_shuffle_compression(block_ref)
             map_refs.append(
                 map_remote.remote(
-                    block_ref, keys, num_partitions, SHUFFLE_COMPRESSION, identity
+                    block_ref, keys, num_partitions, compression, identity
                 )
             )
     if not map_refs:

@@ -220,3 +220,82 @@ def test_heavy_hitters_empty_respects_value_type(ray_session):
     assert types["v"] == pa.int64()  # was pa.string() without value_type
     assert types["cnt"] == pa.int64()
     assert out.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# HTR_SHUFFLE_COMPRESSION=auto (VERDICT r4 #8): probe-driven codec pick
+# ---------------------------------------------------------------------------
+
+
+def test_compression_auto_off_single_node():
+    from hypertrace_ingester_ray.stages.grouping import decide_shuffle_compression
+
+    t = pa.table({"x": pa.array([b"a" * 1000] * 100)})
+    assert decide_shuffle_compression(1, t, nic_gbps=10) == ""
+
+
+def test_compression_auto_lz4_on_slow_nic_compressible():
+    from hypertrace_ingester_ray.stages.grouping import decide_shuffle_compression
+
+    # highly compressible payload + an effectively zero-bandwidth NIC:
+    # wire savings dominate any codec cost
+    t = pa.table({"x": pa.array([b"a" * 4096] * 2000)})
+    assert decide_shuffle_compression(4, t, nic_gbps=0.0001) == "lz4"
+
+
+def test_compression_auto_off_on_fast_nic_incompressible():
+    from hypertrace_ingester_ray.stages.grouping import decide_shuffle_compression
+
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    # incompressible random bytes + an absurdly fast NIC: codec can't win
+    t = pa.table({"x": pa.array([rng.bytes(4096) for _ in range(500)])})
+    assert decide_shuffle_compression(4, t, nic_gbps=1e9) == ""
+
+
+def test_compression_auto_multinode_no_sample_defaults_lz4():
+    from hypertrace_ingester_ray.stages.grouping import decide_shuffle_compression
+
+    assert decide_shuffle_compression(8, None, nic_gbps=10) == "lz4"
+
+
+def test_compression_auto_resolves_and_caches(ray_session, monkeypatch):
+    import hypertrace_ingester_ray.stages.grouping as g
+
+    monkeypatch.setattr(g, "SHUFFLE_COMPRESSION", "auto")
+    monkeypatch.setattr(g, "_RESOLVED_COMPRESSION", None)
+    # single local node: auto must resolve to off
+    assert g.resolve_shuffle_compression() == ""
+    # cached: a second call must not re-probe (poison ray.nodes to prove it)
+    monkeypatch.setattr(g, "_RESOLVED_COMPRESSION", "lz4")
+    assert g.resolve_shuffle_compression() == "lz4"
+
+
+def test_group_apply_end_to_end_under_auto(ray_session, monkeypatch):
+    import ray.data
+
+    import hypertrace_ingester_ray.stages.grouping as g
+
+    monkeypatch.setattr(g, "SHUFFLE_COMPRESSION", "auto")
+    monkeypatch.setattr(g, "_RESOLVED_COMPRESSION", None)
+    ds = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 2, 1, 3, 2] * 20), "v": pa.array(range(100))})
+    )
+
+    def summed(part: pa.Table) -> pa.Table:
+        import numpy as np
+
+        k = part["k"].to_numpy()
+        v = part["v"].to_numpy()
+        firsts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        return pa.table(
+            {
+                "k": pa.array(k[firsts]),
+                "s": pa.array(np.add.reduceat(v, firsts)),
+            }
+        )
+
+    out = g.group_apply(ds, "k", summed).to_pandas().sort_values("k")
+    assert out["s"].sum() == sum(range(100))
+    assert len(out) == 3
