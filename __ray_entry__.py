@@ -546,6 +546,24 @@ def _log_tokens(sf_dir: str):
     return explode_tokens(transcripts_from_events(sf_dir))
 
 
+def _conversation_tree_edges(sf_dir: str):
+    """Trace-visualizer analog (TraceUI.java): the flat (turn →
+    parent-turn) projection of the conversation tree — tool turns hang
+    off their invoking turn, non-tool turns chain through the previous
+    non-tool turn, all-tool-predecessor turns become roots (the
+    missing-parent-makes-root rule)."""
+    from hypertrace_ingester_ray.functions.visualizer import tree_edges
+    from hypertrace_ingester_ray.stages.grouping import group_apply
+
+    return group_apply(
+        transcripts_from_events(sf_dir),
+        "conv_id",
+        tree_edges,
+        sort_by=["turn_idx"],
+        num_partitions=16,
+    )
+
+
 def _order_priority_revenue(sf_dir: str):
     """Two-large-sides distributed hash join: lineitem ⋈ orders."""
     import pyarrow as pa
@@ -835,7 +853,11 @@ _DRIVER_WINDOW_PRIORITY = [
     "embedding_near_dup_lsh",          # rows-only (LSH approximate)
     "knn_ivf_top5",                    # rows-only (IVF approximate)
     "knn_pq_top5",                     # rows-only (PQ approximate)
-    "knn_ivfpq_top5",                  # rows-only (IVF+PQ approximate)
+    # (knn_ivfpq_top5 dropped from the window to make room for
+    # conversation_tree_edges — its recall pytest is the stronger evidence
+    # for a rows-only approximate index, and the visualizer tree is new
+    # oracle-backed code this round)
+    "conversation_tree_edges",         # trace-visualizer analog, oracle-backed
     "media_features",                  # rows-only (binary decode)
     "video_frame_features",            # rows-only (binary decode)
     "audio_clip_features",             # rows-only (binary decode)
@@ -985,6 +1007,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- additional operators
         "sessionized": _sessionized,
         "log_tokens": _log_tokens,
+        "conversation_tree_edges": _conversation_tree_edges,
         "order_priority_revenue": _order_priority_revenue,
         "asof_last_click": _asof_last_click,
         "clicks_before_error": _clicks_before_error,
@@ -3873,6 +3896,18 @@ SELECT conv_id, turn_idx,
   CAST(unnest(generate_series(1, len(string_split(text, ' ')))) AS INTEGER)
       AS token_idx,
   unnest(string_split(text, ' ')) AS token
+FROM transcripts
+"""
+    # trace-visualizer analog: parent = last preceding non-tool turn in
+    # the conversation; NULL (no such turn) marks a root, mirroring
+    # TraceUI.java's missing-parent-makes-root rule
+    sql["conversation_tree_edges"] = f"""
+WITH {TRANSCRIPTS_CTE}
+SELECT conv_id, turn_idx,
+  CAST(max(CASE WHEN tool IS NULL THEN turn_idx END) OVER (
+    PARTITION BY conv_id ORDER BY turn_idx
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS INTEGER)
+      AS parent_turn_idx
 FROM transcripts
 """
     sql["order_priority_revenue"] = """
