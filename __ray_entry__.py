@@ -1110,6 +1110,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_long": _events_type_long,
         # bin-histogram quantiles: bounded state for float domains
         "value_quantiles_binned": _value_quantiles_binned,
+        # deterministic bottom-k hash-sample quantiles: layout-independent
+        # mergeable quantile sketch, exactly SQL-mirrorable
+        "event_value_quantiles_sampled": _event_value_quantiles_sampled,
         # TPC-H Q10-style composition: big-big hash join + partial agg +
         # two broadcast lookups + top-k
         "top_customers_by_revenue": _top_customers_by_revenue,
@@ -2900,6 +2903,25 @@ def _value_quantiles_binned(sf_dir: str):
     )
 
 
+def _event_value_quantiles_sampled(sf_dir: str):
+    """Deterministic bottom-k hash-sample quantiles over events.value
+    (stages/sketches.sampled_quantiles): the sample is ORDER BY
+    (event_id*2246822519) % 2^32, event_id LIMIT k — a pure function of
+    the row set — so the oracle reproduces it exactly."""
+    from hypertrace_ingester_ray.stages import sketches
+
+    return sketches.sampled_quantiles(
+        _rpq(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_id", "value"],
+        ),
+        value_col="value",
+        id_col="event_id",
+        k=512,
+        pcts=(25, 50, 75, 90, 99),
+    )
+
+
 def _top_customers_by_revenue(sf_dir: str):
     """TPC-H Q10 analog: lineitem ⋈ orders (big-big hash join) → per-customer
     discounted revenue (per-batch partial combine, then a customer-keyed
@@ -4373,6 +4395,23 @@ SELECT CAST(q.pct AS BIGINT) AS pct,
        CAST(MIN(o.bin) * 5.0 AS DOUBLE) AS value
 FROM q CROSS JOIN n JOIN o ON o.cum >= GREATEST((q.pct * n.c + 99) // 100, 1)
 GROUP BY q.pct
+"""
+    # bottom-k hash-sample quantiles: the identical deterministic ticket
+    # (HUGEINT product mod 2^32, ties by id) selects the identical sample,
+    # then the same ceil-rank walk over the sorted sample values
+    sql["event_value_quantiles_sampled"] = """
+WITH s AS (
+  SELECT value FROM events
+  WHERE value IS NOT NULL AND event_id IS NOT NULL
+  ORDER BY (CAST(event_id AS HUGEINT) * 2246822519) % 4294967296, event_id
+  LIMIT 512),
+o AS (SELECT value, row_number() OVER (ORDER BY value) AS rn FROM s),
+n AS (SELECT count(*) AS c FROM s),
+q AS (SELECT unnest([25, 50, 75, 90, 99]) AS pct)
+SELECT CAST(q.pct AS BIGINT) AS pct, o.value AS value
+FROM q CROSS JOIN n
+JOIN o ON o.rn = GREATEST((q.pct * n.c + 99) // 100, 1)
+ORDER BY pct
 """
     sql["docs_snapshot_diff"] = """
 WITH v2_base AS (

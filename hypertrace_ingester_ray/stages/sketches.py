@@ -44,6 +44,7 @@ __all__ = [
     "bloom_anti_join",
     "heavy_hitters",
     "binned_quantiles",
+    "sampled_quantiles",
     "splitmix64",
 ]
 
@@ -581,6 +582,79 @@ def hll_set_ops(
                 "n_intersect_approx": pa.array(
                     [max(n_a + n_b - n_union, 0)], pa.int64()
                 ),
+            }
+        )
+    )
+
+
+def sampled_quantiles(
+    ds: Dataset,
+    *,
+    value_col: str,
+    id_col: str,
+    k: int = 1024,
+    pcts: Sequence[int] = (25, 50, 75, 90, 99),
+) -> Dataset:
+    """Quantile estimates from a DETERMINISTIC bottom-k hash sample — the
+    mergeable, layout-independent quantile sketch this family was missing.
+
+    KLL / GK / t-digest give tighter theoretical bounds but their state
+    depends on merge ORDER, so two runs with different block layouts (or a
+    resume) return different estimates.  The bottom-k sketch instead keeps
+    the ``k`` rows with the smallest fixed hash ticket
+    ``(id * 2246822519) mod 2^32`` (ties by id) — a uniform
+    without-replacement sample that is a pure FUNCTION OF THE ROW SET:
+    identical across runs, cluster shapes, shard layouts and resumes, and
+    therefore exactly mirrorable in SQL (``ORDER BY ticket, id LIMIT k``
+    is the whole sketch).  Standard sample-quantile bounds apply: rank
+    error ``O(sqrt(ln(1/δ)/k))`` — ~±4 rank points at k=1024 with high
+    probability (pytest checks the realized error against exact).
+
+    Quantile convention: value at ceil-rank ``max(1, (p·n + 99) // 100)``
+    of the sorted sample — the same integer convention as
+    :func:`binned_quantiles` / ``corpus.length_quantiles``.
+
+    Scale shape: each block keeps only its local bottom-k before the
+    global ``sort.limit(k)``, so the sort input is ``k × num_blocks`` rows
+    and the only driver materialization is the ≤ ``k``-row sample itself
+    (bounded by construction).  Merging two corpora = union then bottom-k
+    again — the sketch is mergeable with no loss.  ``id_col`` must be
+    non-negative int64 (same ticket contract as ``corpus.weighted_sample``).
+    """
+    from .corpus import _MOD32, _SAMPLE_K
+
+    def _local(batch: pa.Table) -> pa.Table:
+        batch = batch.select([id_col, value_col]).filter(
+            pc.and_(pc.is_valid(batch[id_col]), pc.is_valid(batch[value_col]))
+        )
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ticket = ((ids * _SAMPLE_K) % _MOD32).astype(np.int64)
+        batch = batch.append_column("_ticket", pa.array(ticket))
+        if batch.num_rows > k:
+            keep = np.lexsort(
+                (batch[id_col].to_numpy(zero_copy_only=False), ticket)
+            )[:k]
+            batch = batch.take(pa.array(np.sort(keep)))
+        return batch
+
+    sample_rows = (
+        ds.map_batches(_local, batch_format="pyarrow")
+        .sort(["_ticket", id_col])
+        .limit(k)
+        .take_all()  # bounded: <= k rows by construction
+    )
+    vals = np.sort(np.array([r[value_col] for r in sample_rows], np.float64))
+    n = len(vals)
+    out_p, out_v = [], []
+    for p in pcts:
+        if n:
+            out_p.append(int(p))
+            out_v.append(float(vals[max((int(p) * n + 99) // 100, 1) - 1]))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "pct": pa.array(out_p, pa.int64()),
+                "value": pa.array(out_v, pa.float64()),
             }
         )
     )
