@@ -1113,6 +1113,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # deterministic bottom-k hash-sample quantiles: layout-independent
         # mergeable quantile sketch, exactly SQL-mirrorable
         "event_value_quantiles_sampled": _event_value_quantiles_sampled,
+        # per-group variant: one bottom-k sample per key through a single
+        # keyed exchange (k rows/group state regardless of group size)
+        "event_value_quantiles_by_type": _event_value_quantiles_by_type,
+        # weighted sampling OVER A JOIN without materializing the join
+        # (EDBT'23 "Streaming Weighted Sampling over Join Queries" shape):
+        # joined blocks stream through per-block top-k, never collected
+        "order_line_join_sample": _order_line_join_sample,
         # TPC-H Q10-style composition: big-big hash join + partial agg +
         # two broadcast lookups + top-k
         "top_customers_by_revenue": _top_customers_by_revenue,
@@ -2922,6 +2929,79 @@ def _event_value_quantiles_sampled(sf_dir: str):
     )
 
 
+def _event_value_quantiles_by_type(sf_dir: str):
+    """Per-event_type bottom-k hash-sample quantiles
+    (stages/sketches.sampled_quantiles_by): k-row state per group through
+    one keyed exchange; the oracle reproduces the per-group sample with
+    row_number() OVER (PARTITION BY ... ORDER BY ticket, id) <= k."""
+    from hypertrace_ingester_ray.stages import sketches
+
+    return sketches.sampled_quantiles_by(
+        _rpq(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_id", "event_type", "value"],
+        ),
+        by="event_type",
+        value_col="value",
+        id_col="event_id",
+        k=256,
+        pcts=(25, 50, 75, 90),
+        num_partitions=8,
+    )
+
+
+def _order_line_join_sample(sf_dir: str):
+    """Deterministic weighted sample (k=40, weight = l_quantity) over the
+    lineitem ⋈ orders join, PIPELINED: the join's output blocks stream
+    straight into weighted_sample's per-block top-k, so the full join is
+    never materialized anywhere (the EDBT 2023 streaming-sample-over-join
+    pattern, PAPERS.md).  The sample id is the composite
+    l_orderkey*8 + l_linenumber (l_linenumber ≤ 7), so the ES ticket —
+    and therefore the drawn sample — is a pure function of the joined row
+    set, exactly reproducible in SQL."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hypertrace_ingester_ray.stages import corpus, joins
+
+    li = _rpq(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linenumber", "l_quantity"],
+    )
+    orders = _rpq(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate"],
+    )
+    joined = joins.hash_join(
+        li, orders, on=["l_orderkey"], right_on=["o_orderkey"],
+        num_partitions=8,
+    )
+
+    def _prep(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(
+                pc.is_valid(t["l_linenumber"]), pc.is_valid(t["l_quantity"])
+            )
+        )
+        samp_id = pc.add(
+            pc.multiply(t["l_orderkey"].cast(pa.int64()), 8),
+            t["l_linenumber"].cast(pa.int64()),
+        )
+        return t.append_column("samp_id", samp_id).append_column(
+            "w", t["l_quantity"].cast(pa.int64())
+        )
+
+    sampled = corpus.weighted_sample(
+        joined.map_batches(_prep, batch_format="pyarrow"),
+        weight_col="w",
+        id_col="samp_id",
+        k=40,
+    )
+    return sampled.select_columns(
+        ["samp_id", "l_orderkey", "l_linenumber", "o_orderdate", "w"]
+    )
+
+
 def _top_customers_by_revenue(sf_dir: str):
     """TPC-H Q10 analog: lineitem ⋈ orders (big-big hash join) → per-customer
     discounted revenue (per-batch partial combine, then a customer-keyed
@@ -4412,6 +4492,41 @@ SELECT CAST(q.pct AS BIGINT) AS pct, o.value AS value
 FROM q CROSS JOIN n
 JOIN o ON o.rn = GREATEST((q.pct * n.c + 99) // 100, 1)
 ORDER BY pct
+"""
+    # per-group bottom-k sample: identical ticket, identical ceil-rank walk
+    sql["event_value_quantiles_by_type"] = """
+WITH s AS (
+  SELECT event_type, value,
+    row_number() OVER (PARTITION BY event_type
+      ORDER BY (CAST(event_id AS HUGEINT) * 2246822519) % 4294967296,
+               event_id) AS srn
+  FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL),
+t AS (SELECT event_type, value FROM s WHERE srn <= 256),
+o AS (SELECT event_type, value,
+        row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+        count(*) OVER (PARTITION BY event_type) AS c
+  FROM t),
+q AS (SELECT unnest([25, 50, 75, 90]) AS pct)
+SELECT o.event_type, CAST(q.pct AS BIGINT) AS pct, o.value AS value
+FROM q JOIN o ON o.rn = GREATEST((q.pct * o.c + 99) // 100, 1)
+ORDER BY event_type, pct
+"""
+    # weighted sample over the join: identical composite id, ticket, and
+    # priority ordering — SQL materializes the join, the engine doesn't
+    sql["order_line_join_sample"] = """
+WITH j AS (
+  SELECT l_orderkey, l_linenumber, o_orderdate,
+         CAST(l_quantity AS BIGINT) AS w,
+         l_orderkey * 8 + l_linenumber AS samp_id
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_linenumber IS NOT NULL AND l_quantity IS NOT NULL),
+p AS (
+  SELECT samp_id, l_orderkey, l_linenumber, o_orderdate, w,
+    (CAST(samp_id AS HUGEINT) * 2246822519) % 4294967296 * 1000000 // w
+      AS pri
+  FROM j)
+SELECT samp_id, l_orderkey, l_linenumber, o_orderdate, w
+FROM p ORDER BY pri, samp_id LIMIT 40
 """
     sql["docs_snapshot_diff"] = """
 WITH v2_base AS (

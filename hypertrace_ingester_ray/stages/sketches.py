@@ -37,7 +37,12 @@ import pyarrow.compute as pc
 import ray
 from ray.data import Dataset
 
-from .grouping import DEFAULT_NUM_PARTITIONS, group_apply, run_boundaries
+from .grouping import (
+    DEFAULT_NUM_PARTITIONS,
+    group_apply,
+    run_boundaries,
+    segment_ids_from_boundaries,
+)
 
 __all__ = [
     "hll_distinct",
@@ -45,6 +50,7 @@ __all__ = [
     "heavy_hitters",
     "binned_quantiles",
     "sampled_quantiles",
+    "sampled_quantiles_by",
     "splitmix64",
 ]
 
@@ -657,4 +663,89 @@ def sampled_quantiles(
                 "value": pa.array(out_v, pa.float64()),
             }
         )
+    )
+
+
+def sampled_quantiles_by(
+    ds: Dataset,
+    *,
+    by: str,
+    value_col: str,
+    id_col: str,
+    k: int = 512,
+    pcts: Sequence[int] = (25, 50, 75, 90, 99),
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+) -> Dataset:
+    """Per-group :func:`sampled_quantiles`: one deterministic bottom-k hash
+    sample PER KEY, then the same ceil-rank walk — grouped quantile
+    estimates whose state is ``k`` rows per group no matter how many rows
+    or distinct values the group holds (``group_quantiles`` is the exact
+    path; this is the sketch when per-group value volume is unbounded).
+
+    Same ticket, same determinism story as the global sketch: the per-group
+    sample is a pure function of the group's row set, layout-independent,
+    mergeable, and exactly SQL-mirrorable (``row_number() OVER (PARTITION
+    BY key ORDER BY ticket, id) <= k``).
+
+    Scale shape: each block keeps its local per-group bottom-k (so the one
+    keyed exchange carries ≤ ``k × groups-per-block`` rows per block, not
+    the corpus), then complete groups meet in :func:`group_apply`
+    partitions where the final bottom-k + quantile walk runs per group —
+    a Python loop over groups × ≤k sample rows, fine for dimension-sized
+    key cardinalities (document/vocabulary-sized keys belong in
+    ``group_quantiles``' value-keyed exchange instead)."""
+    from .corpus import _MOD32, _SAMPLE_K, _sortable_codes
+
+    def _local(batch: pa.Table) -> pa.Table:
+        batch = batch.select([by, id_col, value_col]).filter(
+            pc.and_(pc.is_valid(batch[id_col]), pc.is_valid(batch[value_col]))
+        )
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ticket = ((ids * _SAMPLE_K) % _MOD32).astype(np.int64)
+        batch = batch.append_column("_ticket", pa.array(ticket))
+        gc = _sortable_codes(batch[by])
+        order = np.lexsort((ids, ticket, gc))
+        bounds = run_boundaries(gc[order])
+        seg = segment_ids_from_boundaries(bounds)
+        keep = order[(np.arange(len(order)) - bounds[seg]) < k]
+        return batch.take(pa.array(np.sort(keep)))
+
+    def _reduce(part: pa.Table) -> pa.Table:
+        group_type = part.schema.field(by).type
+        if part.num_rows == 0:
+            return pa.table(
+                {
+                    by: pa.array([], group_type),
+                    "pct": pa.array([], pa.int64()),
+                    "value": pa.array([], pa.float64()),
+                }
+            )
+        gc = _sortable_codes(part[by])
+        vals = part[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        bounds = run_boundaries(gc)
+        g_idx, out_p, out_v = [], [], []
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            sample = np.sort(vals[lo : min(lo + k, hi)])
+            n = len(sample)
+            for p in pcts:
+                g_idx.append(int(lo))
+                out_p.append(int(p))
+                out_v.append(float(sample[max((int(p) * n + 99) // 100, 1) - 1]))
+        gcol = part[by]
+        if isinstance(gcol, pa.ChunkedArray):
+            gcol = gcol.combine_chunks()
+        return pa.table(
+            {
+                by: gcol.take(pa.array(g_idx, pa.int64())),
+                "pct": pa.array(out_p, pa.int64()),
+                "value": pa.array(out_v, pa.float64()),
+            }
+        )
+
+    return group_apply(
+        ds.map_batches(_local, batch_format="pyarrow"),
+        by,
+        _reduce,
+        sort_by=["_ticket", id_col],
+        num_partitions=num_partitions,
     )
