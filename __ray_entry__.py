@@ -841,18 +841,27 @@ _DRIVER_WINDOW_PRIORITY = [
     # new THIS round (highest-risk): trace-reader attribute projection
     "turn_attr_projection",
     # ROUND-5 ROTATION: rounds 1-4 accumulated driver-green rows for 84 of
-    # 135 queries; this window carries the 48 never-driver-checked entries
-    # (of 51 — the 3 left out, approx_users_by_type /
-    # viewer_purchaser_overlap_approx / token_counts_cms, are approximate
-    # sketches whose pytest error-bound checks are the stronger evidence).
-    # Cumulative driver coverage after this round: 132/135.
+    # 135 queries; this window carries 48 never-driver-checked entries —
+    # 45 from the round-4 backlog plus the 3 NEW second-session queries
+    # (every window entry below was never driver-checked before round 5).
+    # Left out as approximate sketches whose pytest error/recall bounds
+    # are the stronger evidence: approx_users_by_type,
+    # viewer_purchaser_overlap_approx, token_counts_cms,
+    # embedding_near_dup_lsh, knn_ivf_top5, knn_pq_top5 (+ knn_ivfpq_top5,
+    # embedding_projected, noted below).  Cumulative driver coverage after
+    # this round: 132/140.
     "graph_triangles",                 # triangle count (missed r4 cap at #51)
     "doc_fingerprint",                 # poly-scheme: oracle-backed this round
     "doc_minhash_pairs",               # poly-scheme: oracle-backed this round
     "doc_simhash_pairs",               # poly-scheme: oracle-backed this round
-    "embedding_near_dup_lsh",          # rows-only (LSH approximate)
-    "knn_ivf_top5",                    # rows-only (IVF approximate)
-    "knn_pq_top5",                     # rows-only (PQ approximate)
+    # (embedding_near_dup_lsh / knn_ivf_top5 / knn_pq_top5 swapped out of
+    # the window for the three NEW second-session value-green queries
+    # below — a rows-only driver row only re-checks a fixed row count,
+    # while their recall/error-bound pytests are the stronger evidence,
+    # the same argument as knn_ivfpq_top5's exclusion)
+    "event_value_quantiles_sampled",   # new: bottom-k sample quantiles
+    "event_value_quantiles_by_type",   # new: per-group sample quantiles
+    "order_line_join_sample",          # new: weighted sample over a join
     # (knn_ivfpq_top5 dropped from the window to make room for
     # conversation_tree_edges — its recall pytest is the stronger evidence
     # for a rows-only approximate index, and the visualizer tree is new
