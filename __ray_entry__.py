@@ -3698,6 +3698,11 @@ GROUP BY a.doc_id, b.doc_id
     # every hash is reproducible in DuckDB HUGEINT arithmetic, exactly as
     # the winnow oracle above.  Mirrors functions/hashing.py:
     # poly_hash_strings + shingle_hashes(scheme="poly").
+    # ASCII contract (shared with the winnow oracle): the SQL folds
+    # ord(substr(..)) CODEPOINTS while the kernel folds UTF-8 BYTES —
+    # identical on ASCII (one byte == one codepoint; the synthetic corpora
+    # are ASCII by construction), divergent on non-ASCII, where these
+    # operators should be treated as rows-only (hashing.py docstring).
     _M64 = "18446744073709551616::HUGEINT"
     _PC = f"{_WINNOW_C}::HUGEINT"  # same _ROLL_C constant
 

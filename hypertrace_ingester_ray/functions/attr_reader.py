@@ -27,8 +27,10 @@ same, ValueCoercer.java:23-25), ``int64``, ``double``, ``bool``,
 Unsupported kinds (string_array / string_map / undefined) resolve to NULL,
 the Optional.empty() analog.  Documented divergences from the JVM: Java
 ``Double.toString`` switches to scientific notation at |v| >= 1e7 (we keep
-decimal form), and Java accepts trailing ``d``/``f`` suffixes in double
-strings (we don't).
+decimal form), and Java accepts trailing ``d``/``f`` suffixes and hex
+float literals (``0x1.8p1``) in double strings (we don't; plain decimal /
+scientific syntax and the case-sensitive ``Infinity``/``NaN`` names match
+exactly — see ``_parse_double``).
 """
 
 from __future__ import annotations
@@ -73,11 +75,26 @@ def _parse_long(s: str) -> Optional[int]:
     return None
 
 
+_JAVA_DOUBLE_RE = re.compile(r"^[+-]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?$")
+
+
 def _parse_double(s: str) -> Optional[float]:
-    try:
-        return float(s.strip())
-    except (ValueError, TypeError):
-        return None
+    """Double.parseDouble mirror: decimal syntax plus the case-sensitive
+    named values — NOT Python float(), which also accepts '1_0', 'inf',
+    'infinity' and 'nan' in any case (all rejected by the JVM)."""
+    t = s.strip()
+    if t in ("Infinity", "+Infinity"):
+        return float("inf")
+    if t == "-Infinity":
+        return float("-inf")
+    if t == "NaN":
+        return float("nan")
+    if _JAVA_DOUBLE_RE.match(t):
+        try:
+            return float(t)
+        except (ValueError, TypeError):
+            return None
+    return None
 
 
 def _parse_bool(s: str) -> Optional[bool]:
@@ -418,6 +435,15 @@ class AttributeProjector:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         for s in self.specs:
+            if s["name"] in batch.column_names:
+                # append_column would happily create a DUPLICATE column
+                # name; every later batch[name]/select(name) downstream
+                # then hits ambiguous-field behavior far from the config
+                # error's origin — fail here, at the projection, instead
+                raise ValueError(
+                    f"attribute spec {s['name']!r} collides with an "
+                    "existing column; project under a new name"
+                )
             batch = batch.append_column(
                 s["name"], self._resolve(batch, s["definition"], s["kind"])
             )

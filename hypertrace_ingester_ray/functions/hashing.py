@@ -49,11 +49,21 @@ def _as_array(col) -> pa.Array:
 def poly_hash_strings(texts) -> np.ndarray:
     """Polynomial byte hash per string: fold ``h = h*C + byte`` mod 2^64.
 
-    The SQL-expressible scheme (DuckDB HUGEINT ``list_reduce`` mirrors it
-    exactly), used by the oracle-checkable ``scheme="poly"`` variants of the
-    shingle kernels.  Vectorized: one pass over the concatenated byte buffer
-    — iteration j touches only the strings with len > j, so total work is
-    O(total bytes) regardless of length skew.  Nulls and empty strings hash
+    The SQL-expressible scheme, used by the oracle-checkable
+    ``scheme="poly"`` variants of the shingle kernels.  **Mirror contract**:
+    the DuckDB mirror folds ``ord(substr(s, j, 1))`` — Unicode CODEPOINTS —
+    while this kernel folds UTF-8 BYTES (the vectorizable form), so the two
+    agree byte-for-byte on ASCII text (one byte == one codepoint) and
+    diverge on non-ASCII.  The synthetic corpora are ASCII by construction;
+    a non-ASCII corpus should run the poly-scheme operators as rows-only
+    (or use ``scheme="siphash"``), exactly like the winnow oracle, which
+    shares this contract.
+
+    Vectorized without length-skew pathology: strings are processed
+    longest-first so iteration ``j`` touches a shrinking PREFIX of the
+    sorted arrays — total work is O(total bytes) + one argsort, not
+    O(n_strings × max_len) (a single 1 MB doc among 100k short ones would
+    otherwise cost ~10^11 mask operations).  Nulls and empty strings hash
     to 0 (the fold's seed).
     """
     arr = _as_array(texts)
@@ -73,10 +83,46 @@ def poly_hash_strings(texts) -> np.ndarray:
     off = o - o[0]
     starts = off[:-1]
     lens = np.diff(off)
-    acc = np.zeros(n, dtype=np.uint64)
-    for j in range(int(lens.max()) if n else 0):
-        mask = lens > j
-        acc[mask] = acc[mask] * _ROLL_C + data[starts[mask] + j]
+    max_len = int(lens.max())
+    if max_len == 0:
+        return np.zeros(n, dtype=np.uint64)
+    order = np.argsort(-lens, kind="stable")  # longest first
+    s_starts = starts[order]
+    s_lens = lens[order]
+    # active[j] = how many strings have len > j — a prefix of the sorted
+    # order, computed from one length histogram
+    hist = np.bincount(s_lens, minlength=max_len + 1)
+    active = n - np.cumsum(hist)  # active[j] counts lens > j
+    s_acc = np.zeros(n, dtype=np.uint64)
+    j = 0
+    while j < max_len:
+        a = int(active[j])
+        if a == 0:
+            break
+        if a <= 32:
+            # tail: few very long strings left — finish each with ONE
+            # vectorized Horner pass over its remaining bytes (wrapping
+            # uint64 cumprod gives the C-power ladder mod 2^64) instead of
+            # max_len-j more 1-element loop iterations
+            with np.errstate(over="ignore"):  # wrap mod 2^64 is the domain
+                for i in range(a):
+                    rest = data[
+                        s_starts[i] + j : s_starts[i] + s_lens[i]
+                    ].astype(np.uint64)
+                    m = len(rest)
+                    ladder = np.full(m, _ROLL_C, dtype=np.uint64)
+                    ladder[0] = 1
+                    ladder = np.cumprod(ladder, dtype=np.uint64)  # C^i
+                    top = ladder[-1] * _ROLL_C  # C^m
+                    # h' = h*C^m + sum rest[i] * C^(m-1-i)  (mod 2^64)
+                    s_acc[i] = s_acc[i] * top + (
+                        rest * ladder[::-1]
+                    ).sum(dtype=np.uint64)
+            break
+        s_acc[:a] = s_acc[:a] * _ROLL_C + data[s_starts[:a] + j]
+        j += 1
+    acc = np.empty(n, dtype=np.uint64)
+    acc[order] = s_acc
     return acc
 
 

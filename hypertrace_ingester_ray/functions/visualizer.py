@@ -162,13 +162,11 @@ def export_conversation_json(
     Debug tooling: run it on a driver-side slice (one conversation fetched
     by filter), never on the full dataset."""
     os.makedirs(dest_dir, exist_ok=True)
+    if part.num_rows == 0:  # np.r_[True, [], True] would yield one
+        return []  # spurious empty slice and an IndexError below
     paths = []
     conv = part["conv_id"].combine_chunks().dictionary_encode()
-    codes = (
-        conv.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        if part.num_rows
-        else np.zeros(0, dtype=np.int64)
-    )
+    codes = conv.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     bounds = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1], True])
     for lo, hi in zip(bounds[:-1], bounds[1:]):
         sub = part.slice(lo, hi - lo)

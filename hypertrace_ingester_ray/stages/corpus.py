@@ -969,7 +969,11 @@ def weighted_sample(
         pri = ticket * pri_scale // w
         batch = batch.append_column("_pri", pa.array(pri))
         if batch.num_rows > k:
-            keep = np.argpartition(pri, k)[:k]
+            # tie-break by id like the global sort: argpartition on pri
+            # alone could locally drop a (pri-tied, smaller-id) row the
+            # global ORDER BY (pri, id) LIMIT k keeps, diverging from the
+            # SQL mirror whenever ties straddle the per-block k boundary
+            keep = np.lexsort((ids, pri))[:k]
             batch = batch.take(pa.array(np.sort(keep)))
         return batch
 

@@ -218,12 +218,20 @@ def asof_join(
         ]
 
         def _null_pad(batch: pa.Table) -> pa.Table:
-            if left_cols is not None:
-                batch = batch.select(list(left_cols))
+            # mirror the non-empty path's output exactly: columns ordered
+            # [key, ts, *left_payload, *right_payload+suffix], right payload
+            # ALWAYS suffixed (the non-empty path suffixes unconditionally,
+            # so a conditional suffix here would make the schema flip
+            # between empty-right and non-empty-right runs)
+            lp = [
+                c
+                for c in (left_cols or batch.column_names)
+                if c not in (key, ts_col)
+            ]
+            batch = batch.select([key, ts_col] + list(lp))
             for f in rp:
-                name = f.name + (suffix if f.name in batch.column_names else "")
                 batch = batch.append_column(
-                    name, pa.nulls(batch.num_rows, f.type)
+                    f.name + suffix, pa.nulls(batch.num_rows, f.type)
                 )
             return batch
 

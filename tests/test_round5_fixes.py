@@ -201,8 +201,26 @@ def test_asof_join_empty_right_schema_stable(ray_session):
         left, _empty_unschema_ds(rschema), key="k", ts_col="ts",
         num_partitions=4, right_schema=rschema,
     ).to_pandas()
-    assert "price" in out.columns
-    assert out["price"].isna().all() and len(out) == 1
+    # schema-stable means IDENTICAL to the non-empty-right output, which
+    # ALWAYS suffixes right payload columns
+    nonempty = asof_join(
+        left,
+        ray.data.from_arrow(
+            pa.table(
+                {
+                    "k": ["x"],
+                    "ts": pa.array([1], pa.int64()),
+                    "price": [9.5],
+                }
+            )
+        ),
+        key="k",
+        ts_col="ts",
+        num_partitions=4,
+    ).to_pandas()
+    assert list(out.columns) == list(nonempty.columns)
+    assert "price_right" in out.columns
+    assert out["price_right"].isna().all() and len(out) == 1
 
 
 def test_heavy_hitters_empty_respects_value_type(ray_session):
@@ -299,3 +317,105 @@ def test_group_apply_end_to_end_under_auto(ray_session, monkeypatch):
     out = g.group_apply(ds, "k", summed).to_pandas().sort_values("k")
     assert out["s"].sum() == sum(range(100))
     assert len(out) == 3
+
+
+# ---------------------------------------------------------------------------
+# round-5 self-review fixes (second session)
+# ---------------------------------------------------------------------------
+
+
+def test_poly_hash_skew_and_equivalence():
+    import numpy as np
+    import time
+
+    from hypertrace_ingester_ray.functions.hashing import (
+        _ROLL_C,
+        poly_hash_strings,
+    )
+
+    def ref(s):
+        h = 0
+        for byt in s.encode():
+            h = (h * int(_ROLL_C) + byt) % (1 << 64)
+        return h
+
+    strs = ["", "a", "hello world", "x" * 1000, "q" * 33, "ab cd ef"]
+    got = poly_hash_strings(pa.array(strs))
+    assert [int(v) for v in got] == [ref(s) for s in strs]
+    # length-skew guard: one 1MB string among 100k short ones must not
+    # degrade to O(n_strings x max_len) mask passes
+    big = ["w" * 8] * 100_000 + ["y" * 1_000_000]
+    t0 = time.perf_counter()
+    h = poly_hash_strings(pa.array(big))
+    assert time.perf_counter() - t0 < 5.0
+    assert int(h[-1]) == ref("y" * 1_000_000)
+    assert int(h[0]) == ref("w" * 8)
+
+
+def test_weighted_sample_tie_break_matches_global_order(ray_session):
+    import ray
+
+    from hypertrace_ingester_ray.stages.corpus import weighted_sample
+
+    # equal weights => pri ties abound; ids 0..n share ticket collisions
+    # after //w. The kept set must equal ORDER BY (pri, id) LIMIT k no
+    # matter the block layout.
+    n = 400
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(list(range(n)), pa.int64()),
+            "w": pa.array([7] * n, pa.int64()),
+        }
+    )
+
+    def run(blocks):
+        ds = ray.data.from_arrow(tbl).repartition(blocks)
+        out = weighted_sample(ds, weight_col="w", id_col="doc_id", k=25)
+        return sorted(r["doc_id"] for r in out.take_all())
+
+    assert run(1) == run(13)
+
+
+def test_parse_double_java_semantics():
+    from hypertrace_ingester_ray.functions.attr_reader import _parse_double
+
+    assert _parse_double("1.5") == 1.5
+    assert _parse_double("-2e3") == -2000.0
+    assert _parse_double("Infinity") == float("inf")
+    assert _parse_double("-Infinity") == float("-inf")
+    nan = _parse_double("NaN")
+    assert nan != nan
+    # Python-float()-isms the JVM rejects
+    for bad in ("1_0", "inf", "infinity", "nan", "INFINITY", "0x10"):
+        assert _parse_double(bad) is None, bad
+
+
+def test_projector_rejects_column_collision():
+    import pytest as _pytest
+
+    from hypertrace_ingester_ray.functions.attr_reader import (
+        AttributeProjector,
+    )
+
+    proj = AttributeProjector(
+        [{"name": "role", "kind": "string", "definition": {"literal": "x"}}]
+    )
+    batch = pa.table({"role": ["user"]})
+    with _pytest.raises(ValueError, match="collides"):
+        proj(batch)
+
+
+def test_export_conversation_json_empty(tmp_path):
+    from hypertrace_ingester_ray.functions.visualizer import (
+        export_conversation_json,
+    )
+
+    empty = pa.table(
+        {
+            "conv_id": pa.array([], pa.string()),
+            "turn_idx": pa.array([], pa.int32()),
+            "role": pa.array([], pa.string()),
+            "tool": pa.array([], pa.string()),
+        }
+    )
+    assert export_conversation_json(empty, str(tmp_path)) == []
