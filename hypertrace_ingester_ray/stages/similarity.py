@@ -91,7 +91,29 @@ class _PartialTopK:
         mat = _normalize(_to_matrix(batch[self.vec_col]))
         sim = self.qmat @ mat.T  # (Q, B)
         k = min(self.k, sim.shape[1])
-        top = np.argpartition(-sim, k - 1, axis=1)[:, :k] if k else np.zeros((len(self.qids), 0), int)
+        if k:
+            # EXACT batch-local top-k by (score desc, id asc) — the same
+            # tie rule as the driver's final lexsort((nid, -cos, qid)).
+            # Plain argpartition on score alone picks arbitrarily among
+            # score-TIED candidates at the k boundary (exact duplicate
+            # vectors tie exactly), and a candidate dropped here can never
+            # be recovered by the final merge.  Per row: everything
+            # strictly above the kth score is in; remaining slots go to
+            # the smallest-id members of the tied set.  O(B) partition +
+            # O(ties log ties) per query; Q is small by design (the query
+            # matrix is a broadcast).
+            top = np.empty((sim.shape[0], k), dtype=np.int64)
+            for q in range(sim.shape[0]):
+                row = sim[q]
+                kth = np.partition(row, row.shape[0] - k)[row.shape[0] - k]
+                better = np.flatnonzero(row > kth)
+                need = k - len(better)
+                tied = np.flatnonzero(row == kth)
+                pick = tied[np.argsort(ids[tied], kind="stable")[:need]]
+                sel = np.concatenate([better, pick])
+                top[q] = sel[np.lexsort((ids[sel], -row[sel]))]
+        else:
+            top = np.zeros((len(self.qids), 0), int)
         qi = np.repeat(self.qids, k)
         ni = ids[top.reshape(-1)]
         sc = np.take_along_axis(sim, top, axis=1).reshape(-1)

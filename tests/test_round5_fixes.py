@@ -419,3 +419,33 @@ def test_export_conversation_json_empty(tmp_path):
         }
     )
     assert export_conversation_json(empty, str(tmp_path)) == []
+
+
+def test_knn_partial_topk_tie_break_by_id(ray_session):
+    """Exact duplicate vectors tie exactly in cosine; the batch-local
+    partial must keep the smallest-id tied candidates (the final merge's
+    tie rule) instead of an arbitrary argpartition pick."""
+    import numpy as np
+
+    from hypertrace_ingester_ray.stages.similarity import _PartialTopK
+
+    D, K = 4, 3
+    base = np.array([1.0, 0.0, 0.0, 0.0])
+    # 5 exact copies of the query direction with ids 50,40,30,20,10 —
+    # only the 3 smallest ids may survive the batch-local top-3
+    mat = np.stack([base] * 5 + [np.array([0.0, 1.0, 0.0, 0.0])])
+    ids = np.array([50, 40, 30, 20, 10, 5], dtype=np.int64)
+    batch = pa.table(
+        {
+            "vec_id": pa.array(ids),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(mat.ravel(), pa.float32()), D
+            ),
+        }
+    )
+    kern = _PartialTopK(
+        {"ids": np.array([999]), "matrix": base[None, :]}, K,
+        "vec_id", "embedding",
+    )
+    out = kern(batch).to_pandas()
+    assert out.neighbor_id.tolist() == [10, 20, 30]
